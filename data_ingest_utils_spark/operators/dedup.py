@@ -1,0 +1,164 @@
+"""Deduplication operators for LLM corpora: exact, MinHash-LSH,
+SimHash, n-gram Jaccard (SURVEY §2k + task brief).
+
+Scale ladder (the 100 TB story):
+- exact: hash-groupBy on a normalized content hash — one shuffle.
+- simhash: 64-bit signature per doc from token hashes — one shuffle;
+  near-dup candidates via band equality (no O(n²)).
+- minhash-LSH (Spark ML): banded signatures, candidate pairs from
+  same-bucket joins — the standard web-scale near-dedup.
+- n-gram Jaccard: exact pair scores, but only over candidate pairs
+  produced by a blocking key (here: lang) — never all-pairs global.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.operators.text import distinct_shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact dedup on sha256(lower(trim(text))), keeping the lowest id
+    per hash.  Pure hash-groupBy: one shuffle on the digest, no
+    comparisons — the only exact-dedup shape that works at 100 TB.
+    """
+    h = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select(id_col, "content_hash", *keep_cols)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document from xxhash64(token).
+
+    For each bit i, sum +1/-1 over tokens by whether bit i of the
+    token hash is set; the signature bit is the sign of the sum.  All
+    64 bit-sums run in ONE hash aggregation (64 conditional-sum
+    columns), entirely JVM-side.  Emits 16-bit bands b0..b3: same-band
+    equality is the O(n) candidate-pair blocking key (Hamming-distance
+    near-dups share a band with high probability).
+    """
+    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    tok = tok.withColumn("th", F.xxhash64("term"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*bit_sums)
+    sig = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(1 << i)
+         for i in range(64)),
+        start=F.lit(0).cast("long"),
+    )
+    out = per_doc.select(id_col, sig.alias("simhash"))
+    for b in range(4):
+        out = out.withColumn(
+            f"band{b}",
+            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over blocked candidate pairs.
+
+    |A∩B| via a self-join on distinct (block, shingle); |A|,|B| from
+    per-doc shingle counts; J = inter / (|A|+|B|-inter), rounded to
+    4 dp (contract).  The block key caps the pair space — at 100 TB
+    the block key is an LSH bucket instead of lang, same plan shape.
+    """
+    base = df.select(id_col, block_col, "text")
+    shingle_rows = (
+        distinct_shingles(base, n, id_col)
+        .join(base.select(id_col, block_col), id_col)
+    )
+    sizes = shingle_rows.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingle_rows.select(
+        F.col(id_col).alias("doc_a"), F.col(block_col).alias("blk"), "shingle"
+    )
+    b = shingle_rows.select(
+        F.col(id_col).alias("doc_b"), F.col(block_col).alias("blk"), "shingle"
+    )
+    inter = (
+        a.join(b, ["blk", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 5,
+    max_distance: float = 0.6,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (Spark ML).
+
+    shingle → HashingTF sparse vector → MinHashLSH signatures →
+    approxSimilarityJoin on Jaccard distance.  Randomized even when
+    seeded across engines ⇒ rows-only key (no SQL oracle); invariants
+    asserted in unit tests.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tk = Tokenizer(inputCol=text_col, outputCol="_tokens")
+    tf = HashingTF(inputCol="_tokens", outputCol="_features", numFeatures=num_features)
+    featurized = tf.transform(tk.transform(df.select(id_col, text_col)))
+    lsh = MinHashLSH(
+        inputCol="_features", outputCol="_sig", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(featurized)
+    pairs = model.approxSimilarityJoin(
+        featurized, featurized, max_distance, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )

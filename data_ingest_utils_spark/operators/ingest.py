@@ -1,0 +1,137 @@
+"""Ingestion helpers — the reference's own utility surface (SURVEY.md §2b).
+
+Flat-file / RDBMS → lake-table hygiene: column-name normalization,
+declarative safe casts, null standardization, audit columns,
+high-watermark incremental filters, and keep-latest-per-key upserts.
+
+All pure Column-expression transforms: Catalyst folds them into the
+scan (pushdown/pruning preserved), nothing here breaks whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: String cells with these exact values are standardized to NULL.
+DEFAULT_NULL_SENTINELS = ("", "NULL", "null", "N/A", "n/a", "NA", "None", "-")
+
+
+def normalize_name(name: str) -> str:
+    """``"  Order Key#1 " -> "order_key_1"`` — lake-safe column name."""
+    s = re.sub(r"[^0-9a-zA-Z]+", "_", name.strip())
+    s = re.sub(r"_+", "_", s).strip("_").lower()
+    return s or "col"
+
+
+def normalize_columns(df: DataFrame, trim_strings: bool = True) -> DataFrame:
+    """Lowercase/underscore-safe column names; optionally trim strings.
+
+    Duplicate post-normalization names get positional suffixes so the
+    result is always a valid schema.
+    """
+    seen: dict[str, int] = {}
+    new_names = []
+    for c in df.columns:
+        n = normalize_name(c)
+        if n in seen:
+            seen[n] += 1
+            n = f"{n}_{seen[n]}"
+        else:
+            seen[n] = 0
+        new_names.append(n)
+    out = df.toDF(*new_names)
+    if trim_strings:
+        out = out.select(
+            *[
+                F.trim(F.col(c)).alias(c) if t == "string" else F.col(c)
+                for c, t in out.dtypes
+            ]
+        )
+    return out
+
+
+def cast_columns(df: DataFrame, casts: dict[str, str], safe: bool = True) -> DataFrame:
+    """Declarative type coercion; ``safe=True`` maps bad values → NULL
+    (``try_cast``) instead of failing the job — the ingestion default.
+    """
+    cols = []
+    for c in df.columns:
+        if c in casts:
+            col = F.col(c)
+            cols.append((col.try_cast(casts[c]) if safe else col.cast(casts[c])).alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def standardize_nulls(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    sentinels: Sequence[str] = DEFAULT_NULL_SENTINELS,
+) -> DataFrame:
+    """Replace sentinel strings (``''``, ``'NULL'``, ``'N/A'``, …) with NULL."""
+    targets = set(cols) if cols is not None else {c for c, t in df.dtypes if t == "string"}
+    sent = F.array(*[F.lit(s) for s in sentinels])
+    out_cols = []
+    for c, t in df.dtypes:
+        if c in targets and t == "string":
+            out_cols.append(
+                F.when(F.array_contains(sent, F.col(c)), F.lit(None)).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return df.select(*out_cols)
+
+
+def with_audit(df: DataFrame, load_id: str = "") -> DataFrame:
+    """Attach load metadata: source file, a stable per-row content hash,
+    and an optional load id.  ``xxhash64`` over all columns is the
+    cheap JVM-side row fingerprint (used again by dedup operators).
+    """
+    return (
+        df.withColumn("_audit_source_file", F.input_file_name())
+        .withColumn("_audit_row_hash", F.xxhash64(*[F.col(c) for c in df.columns]))
+        .withColumn("_audit_load_id", F.lit(load_id))
+    )
+
+
+def incremental(df: DataFrame, ts_col: str, last_ts) -> DataFrame:
+    """High-watermark incremental load: rows strictly after ``last_ts``.
+
+    100 TB: this is a Column predicate, so it pushes down to parquet
+    row-group stats / partition pruning — an incremental load over a
+    date-partitioned lake table touches only new partitions.
+    """
+    return df.filter(F.col(ts_col) > F.lit(last_ts))
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Keep the latest row per key (SCD-1 upsert compaction).
+
+    Deterministic: ``ts`` descending, then explicit tiebreaker columns
+    descending.  One hash-partitioned window shuffle on ``keys``; at
+    100 TB, pre-bucketing the lake table by the same keys removes the
+    shuffle entirely.
+    """
+    order = [F.col(ts_col).desc()] + [F.col(t).desc() for t in tiebreakers]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def null_safe_div(num: Column, den: Column) -> Column:
+    """x / NULLIF(y, 0) — the ingestion-safe division."""
+    return num / F.nullif(den, F.lit(0))

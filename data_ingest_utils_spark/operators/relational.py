@@ -1,0 +1,142 @@
+"""Relational core: joins, aggregations, windows, top-k, set ops
+(SURVEY.md §2c–2h).
+
+Everything is declarative DataFrame API so Catalyst keeps predicate
+pushdown, column pruning, join selection/reordering, and AQE in play.
+The helpers encode the *scale* decisions (broadcast hints, pinned
+deterministic orderings, TakeOrderedAndProject phrasing) so call
+sites can't get them wrong.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- joins
+
+def join_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Fact ⋈ small-dimension join with an explicit broadcast hint.
+
+    100 TB: a broadcast hash join ships the dim to every executor and
+    avoids shuffling the fact table entirely — the only sane plan when
+    the dim fits in memory (region/nation/date dims always do).  AQE
+    would usually discover this, but the hint makes it deterministic.
+    """
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def join_facts(left: DataFrame, right: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Large-large equi join: plain shuffle join, AQE handles skew.
+
+    100 TB: both sides hash-partition on the join keys (sort-merge or
+    shuffled-hash chosen by the planner).  For repeated joins on the
+    same keys, bucket both lake tables by the keys to eliminate the
+    shuffle; for a single skewed key, AQE's skew-join splitting kicks
+    in (enabled in session confs).
+    """
+    return left.join(right, on, how)
+
+
+def as_of_attach(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    value_col: Column,
+    out_name: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """As-of join expressed as a running ``last(..., ignoreNulls)``.
+
+    Attaches, to every row, the most recent non-null ``value_col`` at
+    or before the row's ``ts`` within its partition.  This is the
+    shuffle-minimal formulation of "as-of join against events of the
+    same stream": ONE window shuffle instead of a range join.  For an
+    as-of join between two *different* tables, union the tables with a
+    side tag first and apply the same window — still one shuffle.
+    """
+    order = [F.col(ts_col)] + [F.col(t) for t in tiebreakers]
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_name, F.last(value_col, ignorenulls=True).over(w))
+
+
+# ------------------------------------------------------------ windows
+
+def ranked(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order: Sequence[Column],
+    rank_fn=F.row_number,
+    out_name: str = "rn",
+) -> DataFrame:
+    """Attach a ranking column over a deterministic window order."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return df.withColumn(out_name, rank_fn().over(w))
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    out_name: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number + filter.
+
+    100 TB: Spark's WindowGroupLimit pushes the k-limit into the sort
+    of each partition before the full window materializes, so this is
+    the scalable phrasing (never collect-and-slice).  ``order`` must
+    end with a unique tiebreaker for deterministic results.
+    """
+    return ranked(df, partition_cols, order, F.row_number, out_name).filter(
+        F.col(out_name) <= k
+    )
+
+
+def top_n_global(df: DataFrame, order: Sequence[Column], n: int) -> DataFrame:
+    """Global top-n: ``orderBy().limit()`` — planned as
+    TakeOrderedAndProject (per-partition heaps + driver merge of n
+    rows, never a global sort).  ``order`` must pin a total order.
+    """
+    return df.orderBy(*order).limit(n)
+
+
+# ----------------------------------------------------------- grouping
+
+def grouped_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """groupBy().agg() — hash aggregation with map-side partial
+    aggregation for free (HashAggregate partial → shuffle → final)."""
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def distinct_on(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+) -> DataFrame:
+    """DISTINCT ON (keys) with a deterministic pick order (first row
+    per key under ``order``)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale ladder:
+- ``cosine_topk``: brute-force top-k against ONE query vector — the
+  query is a broadcast literal, so the scan is O(n·dim) with no join
+  at all, finished by TakeOrderedAndProject.  The exact baseline.
+- ``ivf_topk``: inverted-file variant — restrict candidates to the
+  query's coarse cell (here the ``label`` column stands in for a
+  k-means cell id) before scoring.  Same plan shape as a production
+  IVF index where cell ids are precomputed at ingest: partition
+  pruning does the candidate cut.
+- ``cosine_pairs_lsh``: all-pairs candidates via random-hyperplane
+  LSH (Spark ML BucketedRandomProjectionLSH) — never a cross join.
+
+Dot products use ``zip_with`` + ``aggregate`` higher-order functions:
+JVM-side, codegen'd, float32 widened to double before multiply so the
+DuckDB oracle (``::DOUBLE[]``) sees identical arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, query: Sequence[float]) -> Column:
+    """Cosine similarity of each row's vector to a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    qnorm = math.sqrt(sum(float(v) * float(v) for v in query))
+    return _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast query literal, O(n·dim) scan,
+    TakeOrderedAndProject finish.  Deterministic: rounded sim desc,
+    then id asc."""
+    sim = F.round(cosine_to_query(df, vec_col, query), round_dp)
+    return (
+        df.select(id_col, sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    query_cell,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style pruned search: score only the query's coarse cell.
+
+    At 100 TB the lake table is partitioned by ``cell_col`` so this
+    filter is partition pruning — the scan touches 1/n_cells of the
+    data; nprobe>1 = IN-list of cells.
+    """
+    return cosine_topk(
+        df.filter(F.col(cell_col) == F.lit(query_cell)), query, k, vec_col, id_col
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """All-pairs near-neighbors via random-hyperplane bucketing —
+    candidate pairs come from equal LSH buckets, then exact cosine
+    filters.  Randomized bucketing ⇒ rows-only key."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        id_col, F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_v", outputCol="_h", bucketLength=bucket_length,
+        numHashTables=num_hash_tables, seed=42,
+    )
+    model = lsh.fit(feats)
+    # Euclidean-distance candidates; exact cosine computed on the pair.
+    pairs = model.approxSimilarityJoin(feats, feats, 2.0, distCol="_dist")
+    a_vec, b_vec = F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")
+    cos = _dot(a_vec, b_vec) / (_norm(a_vec) * _norm(b_vec))
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("vec_a"),
+            F.col(f"datasetB.{id_col}").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .filter((F.col("vec_a") < F.col("vec_b")) & (F.col("cos_sim") >= threshold))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs over a blocked pair space.
+
+    ``block_col=None`` scores all pairs (oracle-checkable baseline —
+    viable at fixture scale); with a block column the same plan rides
+    an equi-join (LSH bucket / IVF cell at 100 TB)."""
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
+                  *( [F.col(block_col).alias("_blk")] if block_col else [] ))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
+                  *( [F.col(block_col).alias("_blk")] if block_col else [] ))
+    joined = (
+        a.join(b, "_blk") if block_col else a.crossJoin(b)
+    ).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        joined.withColumn("cos_sim", F.round(cos, 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

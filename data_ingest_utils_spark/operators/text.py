@@ -1,0 +1,97 @@
+"""Text-analysis operators for LLM training-data pipelines: token
+counting, shingling, fingerprinting, language ID, quality scoring.
+
+All pure Column expressions / higher-order functions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path.  ``documents.text``
+tokenizes on single spaces (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Stopword list used by quality scoring / language scoring demos.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+#: BPE-ish word/number token pattern (dialect-portable: same meaning in
+#: Java regex and RE2).
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space-separated corpus)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column, pattern: str = TOKEN_RE) -> Column:
+    """BPE-ish token count: number of regex-token matches."""
+    return F.size(F.expr(f"regexp_extract_all(text, '{pattern}', 0)"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings: transform over a sequence of
+    start offsets — one JVM higher-order expression, no explode yet."""
+    t = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+
+
+def distinct_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Explode to distinct (id, shingle) rows — the join key space for
+    n-gram Jaccard / fingerprinting."""
+    return (
+        df.select(id_col, F.explode(shingles(F.col("text"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def stopword_ratio(text: Column, stopwords: Sequence[str] = STOPWORDS) -> Column:
+    t = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    return n_stop.cast("double") / F.size(t)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = non-space chars / token count."""
+    t = tokens(text)
+    return (
+        F.length(F.regexp_replace(text, " ", "")).cast("double") / F.size(t)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0, 1]: length-capped token
+    count damped by stopword density.  (Real pipelines plug in model
+    scores; the plumbing — pure column expr over the corpus — is what
+    scales.)"""
+    n = token_count(text)
+    return F.round(
+        (1 - stopword_ratio(text)) * F.least(n, F.lit(200)).cast("double") / 200.0, 6
+    )
+
+
+def min_shingle_fingerprint(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: lexicographic MIN of sha256(shingle).
+
+    Engine-portable stand-in for min-hash with a single permutation:
+    sha256 exists bit-identically in Spark and DuckDB, so the oracle
+    can verify it exactly (unlike xxhash64/murmur).  Returns one row
+    per document: (id, fingerprint, n_shingles).
+    """
+    sh = distinct_shingles(df, n, id_col)
+    return sh.groupBy(id_col).agg(
+        F.min(F.sha2(F.col("shingle"), 256)).alias("fingerprint"),
+        F.count("*").alias("n_shingles"),
+    )

@@ -1,0 +1,214 @@
+"""SURVEY §2e — aggregations.
+
+groupBy().agg() compiles to partial (map-side) + final hash
+aggregation automatically — the 100 TB shape.  Float outputs whose
+value depends on partition/accumulation order are ROUND(…, 6) on both
+engine and oracle sides (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+
+
+@plan(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 6)      AS sum_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           min(l_extendedprice)           AS min_price,
+           max(l_extendedprice)           AS max_price,
+           min(l_shipdate)                AS min_ship,
+           max(l_shipdate)                AS max_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@plan(
+    "agg_hash_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6)      AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(avg(l_quantity), 6)      AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6)      AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship (``entry``) query."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@plan(
+    "agg_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@plan(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — expands to a two-phase aggregate.  100 TB: for
+    dashboards prefer agg_approx_count_distinct (HLL, one pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@plan("agg_approx_count_distinct")  # rows-only: HLL estimate ≠ exact oracle
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type — the single-pass,
+    fixed-memory sketch that replaces exact count-distinct at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@plan(
+    "agg_filtered",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 6) AS f_total,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) AS n_all
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (pivot-style) aggregation via sum(CASE WHEN …)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 6
+        ).alias("f_total"),
+        F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("n_open"),
+        F.count("*").alias("n_all"),
+    )
+
+
+@plan(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").rollup(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@plan(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").cube(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@plan(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, n_name,
+           count(*) AS n_rows, round(sum(c_acctbal), 6) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL entry point (EP3)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).createOrReplaceTempView(
+        "_gs_customer_nation"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name,
+               count(*) AS n_rows, round(sum(c_acctbal), 6) AS sum_bal
+        FROM _gs_customer_nation
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        """
+    )
+
+
+@plan(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted value list; sort_array pins the order that
+    collect_list leaves unspecified, stringified for stable hashing."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderstatus"))).alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )

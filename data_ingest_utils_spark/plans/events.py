@@ -1,0 +1,145 @@
+"""SURVEY §2j — event-time operators.
+
+Each operator is ONE DataFrame transform used in two modes: batch
+(these plans, DuckDB-oracle-checked) and streaming (wrapped by
+``streaming.runner`` with readStream/writeStream — asserted in
+tests/test_streaming.py with availableNow triggers and crafted
+out-of-order micro-batches).  That one-code-path property is the point
+of Structured Streaming's unbounded-table model.
+
+100 TB streaming notes: watermarks bound state store size; tumbling/
+session aggregations shuffle on (key, window); dropDuplicates within
+watermark keeps the dedup state finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+from data_ingest_utils_spark.streaming.transforms import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+_EPOCH_SECONDS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+
+
+@plan(
+    "evt_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+           event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY bucket_start, event_type
+    """,
+)
+def evt_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window per event type (epoch-aligned buckets on
+    both engines — verified compatible)."""
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@plan(
+    "evt_sliding",
+    oracle="""
+    SELECT bucket_start, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - i.i * INTERVAL '15 minutes' AS bucket_start,
+             value
+      FROM events, (SELECT unnest(range(4)) AS i) i
+    ) GROUP BY bucket_start
+    """,
+)
+def evt_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min: each event lands in exactly
+    4 windows (window/slide), which the oracle reproduces by shifting
+    the 15-min base bucket 4 times."""
+    return sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+@plan(
+    "evt_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_sec
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def evt_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap (gap >= 30min ⇒
+    new session, matching session_window's strict-overlap merge); the
+    oracle is the classic gaps-and-islands rewrite."""
+    return session_agg(load_table(spark, sf_dir, "events"))
+
+
+@plan("evt_watermark_late")  # rows-only: watermark is a no-op in batch
+def evt_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation.  In batch the watermark is a
+    no-op (documented Spark semantics), so this key is rows-only; the
+    real late-data-drop behavior is asserted in tests/test_streaming.py
+    with a crafted out-of-order micro-batch sequence."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )
+
+
+@plan(
+    "evt_dedup_stateful",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def evt_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by event_id.  event_id is unique in the fixture, so batch
+    dedup is the identity (the oracle states exactly that); the
+    streaming twin (dropDuplicatesWithinWatermark) is exercised with
+    genuinely duplicated micro-batches in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@plan(
+    "evt_stateful_counter",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM events
+    """,
+)
+def evt_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event count.  Batch semantics = cumulative
+    window count; the streaming twin keeps the same counter in
+    applyInPandasWithState (streaming/stateful.py, tested separately)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_so_far")
+    )

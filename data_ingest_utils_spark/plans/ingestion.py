@@ -1,0 +1,119 @@
+"""SURVEY §2b — ingestion helpers (the reference's own utility surface).
+
+Each plan demonstrates one ``operators.ingest`` helper on fixture data
+so the DuckDB oracle can hash-match the transform semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.operators import ingest as ing
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+
+
+@plan(
+    "ing_normalize_columns",
+    oracle="""
+    SELECT c_custkey AS cust_key, trim(c_name) AS customer_name,
+           c_nationkey AS nation_key, c_acctbal AS acct_bal
+    FROM customer
+    """,
+)
+def ing_normalize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Messy source headers → lake-safe snake_case + trimmed strings."""
+    messy = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("  Cust Key "),
+        F.col("c_name").alias("Customer-Name"),
+        F.col("c_nationkey").alias("NATION  KEY"),
+        F.col("c_acctbal").alias("acct.bal"),
+    )
+    return ing.normalize_columns(messy)
+
+
+@plan(
+    "ing_cast_columns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey AS INTEGER)          AS o_custkey,
+           TRY_CAST(o_orderstatus AS INTEGER)  AS o_orderstatus,
+           TRY_CAST(o_orderpriority AS DOUBLE) AS o_orderpriority
+    FROM orders
+    """,
+)
+def ing_cast_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative safe casts: bad values → NULL, never a failed job."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    return ing.cast_columns(
+        o,
+        {"o_custkey": "int", "o_orderstatus": "int", "o_orderpriority": "double"},
+    )
+
+
+@plan(
+    "ing_standardize_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(NULLIF(NULLIF(
+             CASE WHEN o_orderstatus = 'P' THEN 'N/A' ELSE o_orderstatus END,
+             ''), 'NULL'), 'N/A') AS status_clean
+    FROM orders
+    """,
+)
+def ing_standardize_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentinel strings ('', 'NULL', 'N/A', …) → real NULLs.  The 'P'
+    status is rewritten to a sentinel first so the fixture (which has
+    no dirty cells) actually exercises the operator."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit("N/A"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_clean"),
+    )
+    return ing.standardize_nulls(o, ["status_clean"])
+
+
+@plan("ing_add_audit_cols")  # rows-only: file paths are env-dependent
+def ing_add_audit_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load metadata: source file + stable xxhash64 row fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ing.with_audit(docs, load_id="round1").select(
+        "doc_id", "_audit_source_file", "_audit_row_hash", "_audit_load_id"
+    )
+
+
+@plan(
+    "ing_incremental_filter",
+    oracle="""
+    SELECT event_id, ts, user_id
+    FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def ing_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental load; predicate pushes to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ing.incremental(
+        ev, "ts", F.expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'")
+    ).select("event_id", "ts", "user_id")
+
+
+@plan(
+    "ing_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def ing_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 keep-latest-per-key compaction (merge/upsert semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ing.latest_per_key(ev, ["user_id"], "ts", tiebreakers=["event_id"]).select(
+        "user_id", "event_id", "ts", "value"
+    )

@@ -1,0 +1,230 @@
+"""SURVEY §2d — joins.
+
+Scale notes inline per key; the common rules: dims get explicit
+``broadcast()`` hints, fact-fact joins shuffle on equi-keys with AQE
+skew handling, the as-of join is a window (one shuffle), and the theta
+join keeps its equi component so the planner can sort-merge on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.operators.relational import as_of_attach, join_dim, join_facts
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+
+
+@plan(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim equi join — broadcast hash join, zero fact shuffle."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return join_dim(n, r, n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@plan(
+    "join_inner_shuffle",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join: both sides hash-partition on the key.
+    100 TB: bucket both lake tables by orderkey to delete this shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return join_facts(li, o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_totalprice"
+    )
+
+
+@plan(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return join_facts(c, o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@plan(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return join_facts(o, c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_mktsegment", "o_orderkey"
+    )
+
+
+@plan(
+    "join_full",
+    oracle="""
+    SELECT cn.c_nationkey, sn.s_nationkey
+    FROM (SELECT DISTINCT c_nationkey FROM customer) cn
+    FULL JOIN (SELECT DISTINCT s_nationkey FROM supplier) sn
+      ON cn.c_nationkey = sn.s_nationkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null extension on both sides."""
+    cn = load_table(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    sn = load_table(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    return join_facts(cn, sn, cn.c_nationkey == sn.s_nationkey, "full").select(
+        "c_nationkey", "s_nationkey"
+    )
+
+
+@plan(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having orders; no right columns, no dup
+    amplification — the scalable EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return join_facts(c, o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@plan(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return join_facts(c, o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@plan(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane between tiny dims (125 rows
+    here); the LLM similarity ops deliberately avoid this shape."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@plan(
+    "join_theta_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range theta join: the equi key keeps it a shuffle join
+    (range applied as join residual), never a cartesian."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == o.o_orderkey) & F.expr(
+        "l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAYS"
+    )
+    return join_facts(li, o, cond).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate"
+    )
+
+
+@plan(
+    "join_asof",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS asof_purchase_ts
+    FROM events
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach the most recent purchase at-or-before each
+    event, per user.  Window formulation = ONE shuffle on user_id —
+    the scale-correct phrasing (a range join would be quadratic per
+    user; Spark has no native ASOF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return as_of_attach(
+        ev,
+        ["user_id"],
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+        "asof_purchase_ts",
+        tiebreakers=["event_id"],
+    ).select("event_id", "user_id", "ts", "asof_purchase_ts")
+
+
+@plan(
+    "join_multiway_star",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           count(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape 5-table star join: dims broadcast, facts shuffle
+    once on orderkey; date filter pushed to the orders scan."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = join_dim(join_dim(c, n, c.c_nationkey == n.n_nationkey), r,
+                   F.col("n_regionkey") == F.col("r_regionkey"))
+    facts = join_facts(li, o, li.l_orderkey == o.o_orderkey)
+    return (
+        facts.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

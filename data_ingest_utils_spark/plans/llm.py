@@ -1,0 +1,425 @@
+"""SURVEY §2k + task-brief extensions — LLM training-data pipeline
+operators: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force / IVF / LSH), text
+analysis (stats, tf-idf, language-ID, quality, fingerprint, token
+count), multimodal packing, corpus partitioning.
+
+Oracle-checkable keys use engine-portable primitives (sha256, exact
+set algebra, double-widened vector math); randomized ops (LSH,
+xxhash-based SimHash) are rows-only with invariants in unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.operators import dedup as dd
+from data_ingest_utils_spark.operators import multimodal as mm
+from data_ingest_utils_spark.operators import similarity as sim
+from data_ingest_utils_spark.operators import text as tx
+from data_ingest_utils_spark.operators.relational import topk_per_group
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+from data_ingest_utils_spark.sources.writers import read_back, write_partitioned
+
+_STOP_SQL = "['the','a','of','to','and','in','is','on','for','with']"
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    """Fetch ONE query vector (64 floats) — a driver-side literal, the
+    deliberate single exception to the no-collect rule."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding", "label")
+        .head()
+    )
+    return list(row.embedding), row.label
+
+
+# ------------------------------------------------------------- dedup
+
+@plan(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT doc_id, content_hash, lang FROM (
+      SELECT doc_id, lang, sha256(lower(trim(text))) AS content_hash,
+             row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                                ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text sha256, keep lowest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, keep_cols=("lang",))
+
+
+@plan("llm_dedup_near")  # rows-only: LSH randomized across engines
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (Spark ML)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, max_distance=0.6)
+
+
+@plan("llm_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature + 16-bit LSH bands per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash64(docs)
+
+
+@plan(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, lang,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _l
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.1
+    """,
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over lang-blocked candidate pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, n=3, block_col="lang", threshold=0.1)
+
+
+# -------------------------------------------------------- similarity
+
+@plan(
+    "llm_sim_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors of one query vector."""
+    q, _ = _query_vec(spark, sf_dir, 0)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return sim.cosine_topk(emb, q, k=5)
+
+
+@plan(
+    "llm_sim_ivf",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv, label AS ql
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim
+    FROM embeddings e, q
+    WHERE e.label = q.ql AND e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def llm_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned search: only the query's coarse cell (label
+    stands in for the k-means cell id; at 100 TB the cell is a
+    partition key ⇒ the filter is partition pruning)."""
+    q, label = _query_vec(spark, sf_dir, 0)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return sim.ivf_topk(emb, q, label, k=5)
+
+
+@plan("llm_sim_pairs_lsh")  # rows-only: randomized hyperplanes
+def llm_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near neighbors via BucketedRandomProjectionLSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_pairs_lsh(emb, threshold=0.3)
+
+
+@plan(
+    "llm_embed_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
+)
+def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact all-pairs baseline at
+    fixture scale; the 100 TB path blocks on an LSH bucket/IVF cell
+    (same plan with block_col set, see llm_sim_pairs_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# ------------------------------------------------------ text analysis
+
+@plan(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 6)       AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 6)       AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = tx.token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum(ntok.cast("long")).alias("total_tokens"),
+        F.round(F.avg(ntok), 6).alias("avg_tokens"),
+    )
+
+
+@plan(
+    "llm_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT lang, term, count(*) AS tf FROM toks GROUP BY lang, term
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, term, tf,
+             round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT lang, term, tf, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                       ORDER BY tfidf DESC, term) AS rnk FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per lang by TF-IDF (ln(N/df) idf, ties → term asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(tx.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4),
+        )
+    )
+    return topk_per_group(
+        scored, ["lang"], [F.col("tfidf").desc(), F.col("term")], 3, "rnk"
+    ).select("lang", "term", "tf", "tfidf", "rnk")
+
+
+@plan(
+    "llm_lang_id",
+    oracle="""
+    WITH doc_terms AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), lang_terms AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), vocab AS (
+      SELECT lang, term FROM (
+        SELECT lang, term,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, term) AS rn
+        FROM lang_terms GROUP BY lang, term) WHERE rn <= 20
+    ), votes AS (
+      SELECT t.doc_id, v.lang, count(*) AS n_votes
+      FROM doc_terms t JOIN vocab v USING (term)
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, lang, n_votes,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_votes DESC, lang) AS rn
+      FROM votes
+    )
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang,
+           CAST(coalesce(b.n_votes, 0) AS BIGINT) AS n_votes
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: vote each doc's distinct terms
+    against per-lang top-20 vocabularies derived from the corpus
+    itself; argmax with lang-asc tiebreak, 'und' when no votes."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_terms = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    lang_terms = docs.select("lang", F.explode(tx.tokens(F.col("text"))).alias("term"))
+    vocab = topk_per_group(
+        lang_terms.groupBy("lang", "term").agg(F.count("*").alias("cnt")),
+        ["lang"],
+        [F.col("cnt").desc(), F.col("term")],
+        20,
+        "rn",
+    ).select("lang", "term")
+    votes = doc_terms.join(F.broadcast(vocab), "term").groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_votes")
+    )
+    best = topk_per_group(
+        votes, ["doc_id"], [F.col("n_votes").desc(), F.col("lang")], 1, "rn"
+    ).select("doc_id", F.col("lang").alias("pred_lang"), "n_votes")
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("n_votes", F.lit(0)).cast("long").alias("n_votes"),
+    )
+
+
+@plan(
+    "llm_quality_score",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           round(length(replace(text, ' ', ''))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                     x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS stop_ratio,
+           round((1 - len(list_filter(string_split(text, ' '),
+                          x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                     / len(string_split(text, ' ')))
+                 * least(len(string_split(text, ' ')), 200)::DOUBLE / 200.0,
+                 6) AS quality
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics: token count, mean token length,
+    stopword density, composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.round(tx.avg_token_len(F.col("text")), 6).alias("avg_token_len"),
+        F.round(tx.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@plan(
+    "llm_fingerprint",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _l
+    )
+    SELECT doc_id, min(sha256(shingle)) AS fingerprint, count(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle fingerprint: lexicographic min of sha256(3-gram) — an
+    engine-portable single-permutation min-hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.min_shingle_fingerprint(docs, n=3)
+
+
+@plan(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER)        AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
+           round(length(text)::DOUBLE
+                 / len(regexp_extract_all(text, '[a-z0-9]+')), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    re_tok = tx.regex_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("ws_tokens"),
+        re_tok.alias("re_tokens"),
+        F.round(F.length("text").cast("double") / re_tok, 6).alias("chars_per_token"),
+    )
+
+
+# ------------------------------------------------- multimodal / sinks
+
+@plan(
+    "llm_multimodal_pack",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           sha256(text) AS payload_sha,
+           'mem://doc/' || CAST(doc_id AS VARCHAR) AS uri
+    FROM documents
+    """,
+)
+def llm_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + pointer/metadata struct; the oracle verifies
+    the projected scalars (uri, byte size, sha256)."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = mm.pack_payload(docs)
+    return packed.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("payload_sha"),
+        F.col("media_meta.uri").alias("uri"),
+    )
+
+
+@plan("llm_multimodal_features")  # rows-only: stubbed decoder
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over payloads (decode stubbed —
+    deterministic sha-derived features; plumbing is real mapInPandas)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.extract_features(mm.pack_payload(docs))
+
+
+@plan(
+    "llm_lang_partition",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def llm_lang_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route/partition the corpus by lang (partitioned parquet sink +
+    read-back), verified by per-lang counts."""
+    import os
+
+    from data_ingest_utils_spark.plans.scans import SCRATCH
+
+    path = f"{SCRATCH}/docs_by_lang"
+    docs = load_table(spark, sf_dir, "documents")
+    write_partitioned(docs, path, ["lang"])
+    back = read_back(spark, path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

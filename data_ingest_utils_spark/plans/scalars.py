@@ -1,0 +1,232 @@
+"""SURVEY §2i — scalar function coverage (string / date / math / case /
+array / JSON / struct), exercised as query keys.
+
+Dialect mappings encoded here (SURVEY §7): Spark ``split`` ↔ DuckDB
+``string_split`` (both 1-indexed via element access), ``datediff(end,
+start)`` ↔ ``date_diff('day', start, end)``, Spark int-returning date
+parts ↔ DuckDB BIGINT (cast), Spark ``ceil/floor``→LONG ↔ DuckDB
+DOUBLE (cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+
+
+@plan(
+    "fn_string",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority)                    AS prio_upper,
+           lower(o_orderpriority)                    AS prio_lower,
+           substr(o_orderpriority, 1, 3)             AS prio3,
+           string_split(o_orderpriority, '-')[1]     AS prio_code,
+           string_split(o_orderpriority, '-')[2]     AS prio_word,
+           CAST(length(o_orderpriority) AS INTEGER)  AS prio_len,
+           concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+           (o_orderpriority LIKE '%URGENT')          AS is_urgent,
+           regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_digit
+    FROM orders
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    sp = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.substring("o_orderpriority", 1, 3).alias("prio3"),
+        F.element_at(sp, 1).alias("prio_code"),
+        F.element_at(sp, 2).alias("prio_word"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.col("o_orderpriority").like("%URGENT").alias("is_urgent"),
+        F.regexp_extract("o_orderpriority", "([0-9]+)", 1).alias("prio_digit"),
+    )
+
+
+@plan(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)  AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           date_trunc('month', o_orderdate)    AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since,
+           o_orderdate + INTERVAL 3 MONTH      AS plus_3mo,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.expr("datediff(o_orderdate, DATE '1995-01-01')").alias("days_since"),
+        F.expr("o_orderdate + INTERVAL 3 MONTH").alias("plus_3mo"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+    )
+
+
+@plan(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 2)                     AS price2,
+           abs(l_discount - 0.05)                        AS abs_disc,
+           CAST(ceil(l_extendedprice) AS BIGINT)         AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT)        AS price_floor,
+           round(ln(1 + l_extendedprice), 6)             AS log_price,
+           round(pow(l_discount, 2), 6)                  AS disc_sq,
+           CAST(sign(l_discount - 0.05) AS INTEGER)      AS disc_sign,
+           l_extendedprice / NULLIF(l_quantity, 0)       AS unit_price
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price2"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.log(F.lit(1) + F.col("l_extendedprice")), 6).alias("log_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        (F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0))).alias(
+            "unit_price"
+        ),
+    )
+
+
+@plan(
+    "fn_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderpriority LIKE '1-%' THEN 1
+                     WHEN o_orderpriority LIKE '2-%' THEN 2
+                     WHEN o_orderpriority LIKE '3-%' THEN 3
+                     ELSE 9 END AS INTEGER) AS prio_class,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'partial' END AS status_word
+    FROM orders
+    """,
+)
+def fn_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").like("1-%"), 1)
+        .when(F.col("o_orderpriority").like("2-%"), 2)
+        .when(F.col("o_orderpriority").like("3-%"), 3)
+        .otherwise(9)
+        .cast("int")
+        .alias("prio_class"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_word"),
+    )
+
+
+@plan(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1]::DOUBLE            AS first_elem,
+           embedding[64]::DOUBLE           AS last_elem,
+           round(list_aggregate(list_transform(embedding[1:8], x -> x::DOUBLE), 'sum'), 6) AS sum8,
+           list_contains(list_transform(embedding, x -> x > 0), true) AS has_positive
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops on the embedding column: size, element access, slice
+    (+fold), existence — all JVM higher-order functions, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.element_at("embedding", 64).cast("double").alias("last_elem"),
+        F.round(
+            F.aggregate(
+                F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sum8"),
+        F.exists("embedding", lambda x: x > 0).alias("has_positive"),
+    )
+
+
+@plan(
+    "fn_array_explode",
+    oracle="""
+    SELECT vec_id, CAST(ord - 1 AS INTEGER) AS pos, val::DOUBLE AS val
+    FROM (SELECT vec_id,
+                 unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS ord
+          FROM embeddings WHERE vec_id < 10)
+    """,
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: vector → (position, value) rows."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+@plan(
+    "fn_map_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY k
+    """,
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column: parse events.props JSON ({"k": int} —
+    shape verified in FIXTURES.md) and aggregate by the extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+@plan(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS price,
+           CAST(year(o_orderdate) AS INTEGER) AS yr
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a struct, then flatten it back to scalars (the oracle sees
+    the flattened projection; struct machinery is Spark-side)."""
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.year("o_orderdate").alias("yr"),
+        ).alias("meta"),
+    )
+    return nested.select("o_orderkey", "meta.price", "meta.yr")

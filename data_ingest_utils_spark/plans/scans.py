@@ -1,0 +1,65 @@
+"""SURVEY §2a — scans, sources, sinks."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table, read_csv, read_jsonl
+from data_ingest_utils_spark.sources.writers import read_back, write_partitioned
+
+#: Scratch space for sink/read-back round trips (NOT the read-only
+#: testdata tree).
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/data_ingest_utils_spark")
+
+
+@plan(
+    "scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain columnar scan; Catalyst prunes to the read schema."""
+    return load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@plan("scan_csv_infer")  # rows-only: file paths/ordering env-dependent
+def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with header + schema inference (round-tripped from
+    the region fixture so the sandbox needs no external CSV)."""
+    path = f"{SCRATCH}/csv_region"
+    load_table(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(path)
+    return read_csv(spark, path)
+
+
+@plan("scan_json")  # rows-only
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion (round-tripped from the nation fixture)."""
+    path = f"{SCRATCH}/json_nation"
+    load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").json(path)
+    return read_jsonl(spark, path)
+
+
+@plan(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_rows
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write + read-back; the per-partition counts
+    prove the layout survived the round trip.  100 TB: the lang/segment
+    partition layout is what enables partition pruning on later reads.
+    """
+    path = f"{SCRATCH}/sink_customer"
+    write_partitioned(load_table(spark, sf_dir, "customer"), path, ["c_mktsegment"])
+    return read_back(spark, path).groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows")
+    )

@@ -1,0 +1,73 @@
+"""SURVEY §2c — projection / filter / predicates.
+
+All predicates are Column expressions ⇒ Catalyst pushes them into the
+parquet scan (PushedFilters) and prunes columns (ReadSchema) — the
+100 TB behavior tests/test_explain.py asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+
+
+@plan(
+    "sel_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 6) AS revenue
+    FROM lineitem
+    """,
+)
+def sel_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+    )
+
+
+@plan(
+    "sel_filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 1000 AND 300000
+      AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      AND o_custkey IS NOT NULL
+    """,
+)
+def sel_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicate mix: IN, BETWEEN, LIKE, IS NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 300000)
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@plan(
+    "sel_filter_date",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+    """,
+)
+def sel_filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp range predicate — pushes to parquet row-group stats."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+            & (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )

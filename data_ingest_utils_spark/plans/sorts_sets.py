@@ -1,0 +1,149 @@
+"""SURVEY §2g (sort / limit / top-k) and §2h (set operations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.operators.relational import join_dim, top_n_global
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+
+
+@plan(
+    "sort_multi_key",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_acctbal END AS sort_key
+    FROM customer
+    ORDER BY sort_key ASC NULLS FIRST, c_custkey
+    LIMIT 100
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULLS FIRST + unique tiebreaker so
+    the LIMIT boundary is a total order (SURVEY §7 determinism)."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "sort_key",
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None)).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    return c.orderBy(
+        F.col("sort_key").asc_nulls_first(), F.col("c_custkey")
+    ).limit(100).select("c_custkey", "c_mktsegment", "sort_key")
+
+
+@plan(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: join + agg + global top-10.  orderBy().limit()
+    plans TakeOrderedAndProject (per-partition heaps, no global sort);
+    ordering on the ROUNDED revenue keeps the cutoff identical on both
+    engines; l_orderkey breaks ties."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            "revenue"
+        )
+    )
+    return top_n_global(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
+
+
+# ----------------------------------------------------------- set ops
+
+@plan(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (duplicates preserved) of two overlapping splits."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return o.filter(F.col("o_orderstatus") == "O").unionByName(
+        o.filter(F.col("o_totalprice") > 150000)
+    )
+
+
+@plan(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+@plan(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations having both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@plan(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with customers but no suppliers (distinct EXCEPT)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)

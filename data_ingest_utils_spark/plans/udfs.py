@@ -1,0 +1,126 @@
+"""SURVEY §2l — UDF / UDAF / UDTF surface.
+
+Every Python boundary here is Arrow-batched (pandas_udf /
+applyInPandas / Python UDTF with Arrow) — never row-at-a-time.  The
+oracle sides are plain-SQL reformulations; float drift between numpy
+and DuckDB accumulation is absorbed by the contract ROUND(…, 6).
+
+Note: ``pandas_udf`` with a DDL return type needs an active
+SparkSession to parse it, so UDFs are created lazily inside the plan
+callables (the driver builds the session, not this module).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+
+
+def _charge_batch(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+    # Same association as the SQL expr: (p*(1-d))*(1+t) — identical IEEE bits.
+    return (price * (1 - disc)) * (1 + tax)
+
+
+@plan(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round((l_extendedprice * (1 - l_discount)) * (1 + l_tax), 6) AS charge
+    FROM lineitem
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, ~10-100× faster
+    than row-at-a-time Python UDFs)."""
+    charge_udf = pandas_udf(_charge_batch, "double")
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            charge_udf(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")), 6
+        ).alias("charge"),
+    )
+
+
+def _geomean_series(v: pd.Series) -> float:
+    import numpy as np
+
+    return float(np.exp(np.log(v.to_numpy()).mean()))
+
+
+@plan(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT event_type, round(exp(avg(ln(value))), 6) AS geo_mean
+    FROM events GROUP BY event_type
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: per-group geometric mean (values
+    verified > 0 in the fixture)."""
+    geomean_udf = pandas_udf(_geomean_series, "double")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(geomean_udf(F.col("value")), 6).alias("geo_mean")
+    )
+
+
+def _zscore_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    m = pdf["value"].mean()
+    s = pdf["value"].std(ddof=1)  # sample stddev — pinned semantics
+    return pd.DataFrame({"event_id": pdf["event_id"], "z": (pdf["value"] - m) / s})
+
+
+@plan(
+    "udf_grouped_map",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z
+    FROM events WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-event-type z-score normalization
+    (the canonical per-group pandas transform)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").applyInPandas(_zscore_fn, "event_id long, z double")
+    return out.select("event_id", F.round("z", 6).alias("z"))
+
+
+@plan(
+    "udf_python_udtf",
+    oracle="""
+    SELECT doc_id, CAST(ord - 1 AS INTEGER) AS pos, tok AS token
+    FROM (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS ord
+          FROM documents WHERE doc_id < 20)
+    """,
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one row → many (token, position) rows via
+    LATERAL — the table-function flavor of the UDF surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL split_tokens(d.text) t
+        """
+    )

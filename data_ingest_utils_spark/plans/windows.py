@@ -1,0 +1,206 @@
+"""SURVEY §2f — window functions.
+
+Every window order ends in a unique tiebreaker (SURVEY §7 determinism
+rule).  Running/rolling float results are computed in a deterministic
+frame order on both engines, but still ROUND(…, 6) per contract.
+
+100 TB: windows shuffle once on their partition keys; the global-order
+windows (win_ntile) are flagged — a single-partition sort does not
+scale, production uses bucketed quantiles (approx_percentile) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.operators.relational import ranked, topk_per_group
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+
+#: Epoch anchor for tz-independent second arithmetic on TIMESTAMP_NTZ.
+_EPOCH_SECONDS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+
+
+@plan(
+    "win_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return ranked(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        F.row_number, "rn",
+    ).select("o_custkey", "o_orderkey", "rn")
+
+
+@plan(
+    "win_rank",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+           CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS INTEGER) AS rnk
+    FROM part
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() with real ties (p_size) — gap semantics; deterministic
+    without a tiebreaker because equal keys get equal ranks."""
+    p = load_table(spark, sf_dir, "part")
+    return ranked(
+        p, ["p_brand"], [F.col("p_size").desc()], F.rank, "rnk"
+    ).select("p_brand", "p_partkey", "p_size", "rnk")
+
+
+@plan(
+    "win_dense_rank",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS INTEGER) AS drnk
+    FROM part
+    """,
+)
+def win_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return ranked(
+        p, ["p_brand"], [F.col("p_size").desc()], F.dense_rank, "drnk"
+    ).select("p_brand", "p_partkey", "p_size", "drnk")
+
+
+@plan(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quartiles of account balance.  NOTE (100 TB): an
+    unpartitioned window is a single-task sort — fine for a 15k-row
+    dim, wrong for facts; use approx_percentile buckets there."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@plan(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           round(value - lag(value) OVER w, 6) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@plan(
+    "win_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_total
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("run_total"),
+    )
+
+
+@plan(
+    "win_moving_avg_range",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM events
+    """,
+)
+def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour average per user — RANGE frame on epoch seconds
+    (tz-independent via the NTZ epoch anchor; DuckDB side floors
+    epoch() to the same integer seconds)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_sec", F.expr(_EPOCH_SECONDS.format(col="ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+    )
+
+
+@plan(
+    "win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderdate) OVER w AS first_dt,
+           last_value(o_orderdate)  OVER w AS last_dt
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_orderdate").over(w).alias("first_dt"),
+        F.last("o_orderdate").over(w).alias("last_dt"),
+    )
+
+
+@plan(
+    "win_topk_per_group",
+    oracle="""
+    SELECT user_id, event_id, value, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user.  Spark plans WindowGroupLimit:
+    the k-limit is pushed below the full window sort — the phrasing
+    that survives 100 TB (never collect-and-slice)."""
+    ev = load_table(spark, sf_dir, "events")
+    return topk_per_group(
+        ev, ["user_id"], [F.col("value").desc(), F.col("event_id")], 3, "rn"
+    ).select("user_id", "event_id", "value", "rn")

@@ -1,0 +1,32 @@
+"""The t2 gate, run locally: every declared key at sf0.01 against its
+DuckDB oracle (exact replica of the driver's comparison, with richer
+diagnostics); rows-only keys must at least execute and return a stable
+schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingest_utils_spark.plans import ORACLES, QUERIES
+from tests.conftest import SF_T2
+from tests.parity import assert_parity
+
+ORACLE_KEYS = sorted(k for k in QUERIES if k in ORACLES)
+ROWS_ONLY_KEYS = sorted(k for k in QUERIES if k not in ORACLES)
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_oracle_parity(key, spark, duck):
+    sdf = QUERIES[key](spark, SF_T2)
+    spark_pdf = sdf.toPandas()
+    oracle_pdf = duck.execute(ORACLES[key]).fetchdf()
+    assert_parity(spark_pdf, oracle_pdf, key)
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+def test_rows_only_executes(key, spark):
+    sdf = QUERIES[key](spark, SF_T2)
+    n = sdf.count()
+    assert n >= 0
+    assert len(sdf.schema.fields) > 0
