@@ -63,9 +63,15 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         for i in range(64)
     ]
     per_doc = tok.groupBy(id_col).agg(*bit_sums)
+    # bit 63 wraps into the sign bit (two's complement) — intended for a
+    # raw 64-bit signature; shiftleft stays in JVM long arithmetic.
     sig = sum(
-        (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(1 << i)
-         for i in range(64)),
+        (
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(64)
+        ),
         start=F.lit(0).cast("long"),
     )
     out = per_doc.select(id_col, sig.alias("simhash"))
