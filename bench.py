@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline-query benchmark — the driver's per-round perf probe.
+
+Contract (task brief): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set = the BASELINE.md headline shapes (BASELINE.md:24-32), timed
+warm: one shared SparkSession, one un-timed warmup pass (JVM/codegen/
+file-listing warmup), then best-of-3 per query.  ``value`` is the sum
+of per-query best times — comparable to summing the BASELINE.md Spark
+column.  All diagnostics go to stderr; stdout carries exactly the one
+JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Queries chosen to mirror BASELINE.md's measured rows, one per shape
+# family (agg / join+topk / star join / window / distinct / event-time
+# window / vector search).
+HEADLINE = [
+    "agg_hash_group",
+    "sort_limit_topk",
+    "join_multiway_star",
+    "win_topk_per_group",
+    "agg_count_distinct",
+    "evt_tumbling",
+    "llm_sim_topk",
+]
+
+REPEATS = 3
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.session import get_session
+
+    spark = get_session("dius-bench")
+    print(f"bench: sf_dir={sf_dir} master={spark.conf.get('spark.master')}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = QUERIES[key]
+        fn(spark, sf_dir).collect()  # warmup: scan + codegen, un-timed
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[key] = round(best, 4)
+        print(f"bench: {key} = {timings[key]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
