@@ -31,20 +31,34 @@ def token_count(text: Column) -> Column:
 
 
 def regex_token_count(text: Column, pattern: str = TOKEN_RE) -> Column:
-    """BPE-ish token count: number of regex-token matches."""
-    return F.size(F.expr(f"regexp_extract_all(text, '{pattern}', 0)"))
+    """BPE-ish token count: number of regex-token matches.
+
+    Column-API form (not a string-built ``expr``) so the ``text``
+    argument is honored for any column and the pattern survives quotes.
+    """
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
 
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings: transform over a sequence of
-    start offsets — one JVM higher-order expression, no explode yet."""
+    start offsets — one JVM higher-order expression, no explode yet.
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array
+    (matching the oracle's ``range(1, len-1)`` semantics); the guard
+    matters because ``sequence(1, 0)`` descends by default and would
+    otherwise index ``element_at(t, 0)`` → runtime error.
+    """
     t = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+    offsets = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            offsets,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def distinct_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:

@@ -351,7 +351,8 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(string_split(text, ' ')) AS INTEGER)        AS ws_tokens,
            CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
            round(length(text)::DOUBLE
-                 / len(regexp_extract_all(text, '[a-z0-9]+')), 6) AS chars_per_token
+                 / nullif(len(regexp_extract_all(text, '[a-z0-9]+')), 0),
+                 6) AS chars_per_token
     FROM documents
     """,
 )
@@ -359,11 +360,15 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace split + BPE-ish regex tokens."""
     docs = load_table(spark, sf_dir, "documents")
     re_tok = tx.regex_token_count(F.col("text"))
+    # NULLIF divisor: a zero-regex-token doc (e.g. empty text) yields
+    # NULL, matching the oracle — and avoids ANSI DIVIDE_BY_ZERO.
     return docs.select(
         "doc_id",
         tx.token_count(F.col("text")).alias("ws_tokens"),
         re_tok.alias("re_tokens"),
-        F.round(F.length("text").cast("double") / re_tok, 6).alias("chars_per_token"),
+        F.round(
+            F.length("text").cast("double") / F.nullif(re_tok, F.lit(0)), 6
+        ).alias("chars_per_token"),
     )
 
 

@@ -1,0 +1,59 @@
+"""Unit tests for text operators — short-document edge cases and
+column-parameter honoring (regressions for round-1 advisor findings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.operators import text as tx
+
+
+def test_shingles_short_docs_yield_empty_arrays(spark):
+    """Docs with fewer than n tokens must produce an EMPTY shingle
+    array — not a runtime error (sequence(1,0) descends) nor a
+    spurious short shingle."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "one two"), (3, "one two three"),
+         (4, "one two three four")],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", tx.shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert rows[0] == []
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == ["one two three"]
+    assert rows[4] == ["one two three", "two three four"]
+
+
+def test_distinct_shingles_drops_short_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "x y z"), (2, "x y z")], "doc_id int, text string"
+    )
+    out = tx.distinct_shingles(df, 3).collect()
+    assert {(r.doc_id, r.shingle) for r in out} == {(1, "x y z"), (2, "x y z")}
+
+
+def test_regex_token_count_honors_column_argument(spark):
+    """The counted column is the one passed in — not a hardcoded
+    'text' name (round-1 bug: F.expr string always read `text`)."""
+    df = spark.createDataFrame(
+        [("zz", "a1 b2 c3 d4")], "text string, body string"
+    )
+    row = df.select(
+        tx.regex_token_count(F.col("body")).alias("n_body"),
+        tx.regex_token_count(F.col("text")).alias("n_text"),
+    ).head()
+    assert row.n_body == 4
+    assert row.n_text == 1
+
+
+def test_regex_token_count_pattern_with_quote(spark):
+    """Patterns containing quotes must not break (no SQL-literal
+    string interpolation)."""
+    df = spark.createDataFrame([("it's a don't list",)], "s string")
+    n = df.select(tx.regex_token_count(F.col("s"), "[a-z]+'[a-z]+").alias("n")).head().n
+    assert n == 2
