@@ -154,19 +154,22 @@ def llm_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan(
     "llm_embed_near_dup",
     oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
     """,
 )
 def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs — exact all-pairs baseline at
-    fixture scale; the 100 TB path blocks on an LSH bucket/IVF cell
-    (same plan with block_col set, see llm_sim_pairs_lsh)."""
+    """Embedding-cosine near-dup pairs BLOCKED on the coarse cell
+    (``label`` = IVF cell / LSH bucket at 100 TB): the pair space rides
+    an equi-join on the block key — a shuffle hash join, never a cross
+    join — so candidates stay O(Σ block²) with bounded blocks, not
+    O(n²) global.  The oracle applies the identical blocking, so the
+    check stays hash-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dup_pairs(emb, threshold=0.4)
+    return sim.embedding_near_dup_pairs(emb, threshold=0.4, block_col="label")
 
 
 # ------------------------------------------------------ text analysis

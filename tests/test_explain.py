@@ -1,0 +1,93 @@
+"""Physical-plan shape assertions — the 100×-scale insurance layer.
+
+Correctness tests prove the VALUES; these prove the PLAN: filters
+reach the parquet scan, small dims broadcast, top-k uses
+WindowGroupLimit / TakeOrderedAndProject, and pair generators never
+degenerate into cartesian products.  A plan regression here is a
+performance cliff at 100 TB even when every value still matches.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from data_ingest_utils_spark.plans import QUERIES
+from tests.conftest import SF_T2
+
+
+def _plan(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF_T2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushed_to_scan(spark):
+    """sel_filter_date's date predicate must reach the parquet reader
+    (PushedFilters), not run as a post-scan Filter only."""
+    plan = _plan(spark, "sel_filter_date")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"empty PushedFilters in:\n{plan}"
+
+
+def test_projection_pruned_at_scan(spark):
+    """sel_project reads only the projected columns (ReadSchema)."""
+    plan = _plan(spark, "sel_project")
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # The full 16-column lineitem schema must NOT be scanned.
+    assert read_schema.count(",") < 8, read_schema
+
+
+@pytest.mark.parametrize("key", ["join_inner_broadcast", "join_multiway_star"])
+def test_dim_joins_broadcast(spark, key):
+    """Small-dimension joins must be BroadcastHashJoin, never
+    shuffle-both-sides for a dim that fits in memory."""
+    assert "BroadcastHashJoin" in _plan(spark, key)
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """win_topk_per_group must carry the WindowGroupLimit optimization
+    (per-partition top-k pruning before the shuffle)."""
+    assert "WindowGroupLimit" in _plan(spark, "win_topk_per_group")
+
+
+def test_order_limit_uses_take_ordered(spark):
+    """sort_limit_topk must finish with TakeOrderedAndProject — a
+    per-partition heap + driver merge, never a global sort."""
+    assert "TakeOrderedAndProject" in _plan(spark, "sort_limit_topk")
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["llm_embed_near_dup", "llm_dedup_ngram_jaccard", "llm_dedup_near",
+     "llm_sim_pairs_lsh"],
+)
+def test_pair_generators_never_cartesian(spark, key):
+    """Every pair-generating operator must block/bucket its pair space:
+    no CartesianProduct or BroadcastNestedLoopJoin in the plan."""
+    plan = _plan(spark, key)
+    assert "CartesianProduct" not in plan, f"cartesian in {key}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"nested-loop in {key}"
+
+
+def test_sim_topk_no_join(spark):
+    """llm_sim_topk broadcasts the query vector as a literal — the plan
+    must be scan → project → TakeOrderedAndProject with NO join."""
+    plan = _plan(spark, "llm_sim_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_global_agg_partial_final(spark):
+    """agg_global must be a two-phase hash aggregate (partial map-side
+    combine before the single-partition exchange)."""
+    plan = _plan(spark, "agg_hash_group")
+    # partial HashAggregate -> Exchange -> final HashAggregate
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
