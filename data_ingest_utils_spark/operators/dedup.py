@@ -83,6 +83,28 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return out
 
 
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, id_col: str,
+                        threshold: float) -> DataFrame:
+    """J = inter / (|A|+|B|-inter) for (doc_a, doc_b, inter) rows,
+    4-dp rounded (contract), filtered to >= threshold."""
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -94,8 +116,11 @@ def ngram_jaccard_pairs(
 
     |A∩B| via a self-join on distinct (block, shingle); |A|,|B| from
     per-doc shingle counts; J = inter / (|A|+|B|-inter), rounded to
-    4 dp (contract).  The block key caps the pair space — at 100 TB
-    the block key is an LSH bucket instead of lang, same plan shape.
+    4 dp (contract).  The block key caps the pair space.  NOTE: a
+    low-cardinality block (lang) is quadratic WITHIN the block — fine
+    at fixture scale and oracle-exact, but the 100 TB path is
+    :func:`ngram_jaccard_banded`, which blocks on SimHash bands so the
+    candidate count stays near-linear.
     """
     base = df.select(id_col, block_col, "text")
     shingle_rows = (
@@ -115,22 +140,61 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    return _jaccard_from_inter(inter, sizes, id_col, threshold)
+
+
+def simhash_band_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs from SimHash band collisions: docs sharing ANY
+    of the four 16-bit bands.  Near-linear at scale — the self-join key
+    is (band_idx, band_value), a 2^16-ary partition per band, so the
+    pair space is Σ bucket² with hash-sized buckets, never n²."""
+    sig = simhash64(df, text_col, id_col)
+    bands = sig.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(4)])).alias(
+            "band_idx", "band_val"
+        ),
     )
+    a = bands.select(F.col(id_col).alias("doc_a"), "band_idx", "band_val")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_banded(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard scored ONLY over SimHash-band candidate
+    pairs — the 100 TB shape of :func:`ngram_jaccard_pairs`.
+
+    Candidates come from :func:`simhash_band_candidates` (near-dups
+    collide in a band w.h.p.); the exact score then confirms.  The
+    intersection join is candidate-bounded: shingles of doc_a are
+    joined to the candidate list first, then matched to doc_b's
+    shingles on (doc_b, shingle) — two equi-joins, cost O(|cand| ×
+    shingles/doc), not O(pairs-in-block).  Rows-only key (xxhash64 has
+    no DuckDB twin); recall/precision invariants asserted in
+    tests/test_invariants.py.
+    """
+    sh = distinct_shingles(df.select(id_col, "text"), n, id_col)
+    cands = simhash_band_candidates(df, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, id_col, threshold)
 
 
 def minhash_lsh_pairs(

@@ -96,9 +96,20 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard over lang-blocked candidate pairs."""
+    """Exact 3-gram Jaccard over lang-blocked candidate pairs
+    (oracle-exact fixture shape; the scale path is
+    llm_dedup_ngram_banded)."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(docs, n=3, block_col="lang", threshold=0.1)
+
+
+@plan("llm_dedup_ngram_banded")  # rows-only: xxhash64 bands have no DuckDB twin
+def llm_dedup_ngram_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard scored only over SimHash-band candidate
+    pairs — the near-linear 100 TB variant of llm_dedup_ngram_jaccard
+    (invariants: tests/test_invariants.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_banded(docs, n=3, threshold=0.5)
 
 
 # -------------------------------------------------------- similarity

@@ -1,0 +1,156 @@
+"""Invariant tests for rows-only (randomized / hash-based) operators —
+the verification layer the SQL oracle can't provide.
+
+Covers the round-1 promises: LSH pair invariants (planted near-dups
+found, no self-pairs, canonical ordering, distance bounds), banded
+Jaccard recall vs the exact all-pairs result, approx_count_distinct
+error bounds, and JDBC reader argument construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.operators import dedup as dd
+from data_ingest_utils_spark.operators import similarity as sim
+from tests.conftest import SF_T2
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """120 distinct docs + 10 planted near-duplicate pairs (one-token
+    edits of ~40-token texts ⇒ Jaccard well above 0.5)."""
+    rows = []
+    for i in range(120):
+        toks = [f"w{i}x{j}" for j in range(40)]
+        rows.append((i, " ".join(toks)))
+    for p in range(10):
+        base_id = p * 7
+        toks = [f"w{base_id}x{j}" for j in range(40)]
+        toks[20] = "EDITED"
+        rows.append((1000 + p, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, planted_docs):
+    pairs = dd.minhash_lsh_pairs(planted_docs, max_distance=0.6).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    for p in range(10):
+        assert (p * 7, 1000 + p) in found, f"planted pair {p} missed"
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard_dist <= 0.6
+
+
+def test_banded_jaccard_matches_exact_survivors(spark, planted_docs):
+    """SimHash-band blocking must (a) generate far fewer candidates
+    than n²/2 and (b) keep every survivor the exact all-pairs scorer
+    finds at the threshold."""
+    n_docs = planted_docs.count()
+    cands = dd.simhash_band_candidates(planted_docs)
+    n_cand = cands.count()
+    assert n_cand < n_docs * (n_docs - 1) // 2 / 4, (
+        f"banding isn't pruning: {n_cand} candidates for {n_docs} docs"
+    )
+    banded = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.ngram_jaccard_banded(planted_docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.ngram_jaccard_pairs(
+            planted_docs.withColumn("lang", F.lit("xx")),
+            block_col="lang",
+            threshold=0.5,
+        ).collect()
+    }
+    # Precision is exact: every banded survivor carries the true
+    # Jaccard and appears in the all-pairs result.
+    assert banded <= exact
+    # Recall is probabilistic (4×16-bit bands guarantee only
+    # Hamming<=3); with one-token edits it must stay high.  xxhash64
+    # is deterministic, so this bound is stable run-to-run.
+    assert len(banded) >= 0.8 * len(exact), (len(banded), len(exact))
+
+
+def test_cosine_pairs_lsh_invariants(spark):
+    pairs = sim.cosine_pairs_lsh(
+        spark.read.parquet(f"{SF_T2}/embeddings.parquet"), threshold=0.3
+    ).collect()
+    assert pairs, "LSH found no pairs at 0.3 on fixture embeddings"
+    for r in pairs:
+        assert r.vec_a < r.vec_b
+        assert r.cos_sim >= 0.3
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """approx_count_distinct(rsd=0.05) within 3*rsd of exact."""
+    li = spark.read.parquet(f"{SF_T2}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).head()
+    assert abs(row.approx - row.exact) <= 3 * 0.05 * row.exact
+
+
+def test_watermark_noop_in_batch(spark):
+    """Batch watermarked agg equals the unwatermarked agg (documented
+    Spark semantics — the streaming twin is tests/test_streaming.py)."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    wm = QUERIES["evt_watermark_late"](spark, SF_T2).toPandas()
+    plain = (
+        QUERIES["evt_tumbling"](spark, SF_T2)
+        .toPandas()[["bucket_start", "event_type", "n"]]
+    )
+    key = ["bucket_start", "event_type"]
+    assert (
+        wm.sort_values(key).reset_index(drop=True)
+        .equals(plain.sort_values(key).reset_index(drop=True))
+    )
+
+
+def test_jdbc_reader_argument_construction(spark, monkeypatch):
+    """read_jdbc wires url/table/partitioning into the DataFrameReader
+    options and rejects partial bounds (no RDBMS in sandbox — capture
+    the option calls, stub load)."""
+    from data_ingest_utils_spark.sources.jdbc import read_jdbc
+
+    captured: dict[str, str] = {}
+
+    class FakeReader:
+        def format(self, fmt):
+            captured["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            captured[k] = v
+            return self
+
+        def load(self):
+            captured["loaded"] = "yes"
+            return "sentinel"
+
+    class FakeSpark:
+        read = FakeReader()
+
+    out = read_jdbc(
+        FakeSpark(), "jdbc:postgresql://db/x", "public.orders",
+        partition_column="o_orderkey", lower_bound=0, upper_bound=1_000_000,
+        num_partitions=16, properties={"fetchsize": "10000"},
+    )
+    assert out == "sentinel"
+    assert captured == {
+        "format": "jdbc",
+        "url": "jdbc:postgresql://db/x",
+        "dbtable": "public.orders",
+        "partitionColumn": "o_orderkey",
+        "lowerBound": "0",
+        "upperBound": "1000000",
+        "numPartitions": "16",
+        "fetchsize": "10000",
+        "loaded": "yes",
+    }
+    with pytest.raises(ValueError, match="bounds"):
+        read_jdbc(FakeSpark(), "jdbc:x", "t", partition_column="id")
