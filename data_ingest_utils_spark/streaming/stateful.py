@@ -1,0 +1,59 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+``running_counter`` is the streaming twin of the batch
+``evt_stateful_counter`` plan (cumulative per-user event count): state
+is one long per user, each micro-batch emits its input rows with the
+updated running total.  Equivalence with the batch window phrasing is
+asserted in tests/test_streaming.py.
+
+100 TB notes: state lives in the executor state store (RocksDB in
+production), partitioned by the grouping key — the shuffle is on
+user_id only, and each micro-batch touches only keys present in that
+batch.  Pair with a watermark + timeout to expire idle keys; here the
+counter is intentionally unbounded (NoTimeout) to mirror the batch
+cumulative window exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Output rows: the input row identity plus the running total.
+COUNTER_OUTPUT_SCHEMA = "user_id long, event_id long, n_so_far long"
+#: Per-user state: a single running count.
+COUNTER_STATE_SCHEMA = "n long"
+
+
+def _counter_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (n,) = state.get if state.exists else (0,)
+    out = []
+    for pdf in pdfs:
+        # ts-then-event_id order inside the batch mirrors the batch
+        # window's ORDER BY ts, event_id.
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid in pdf["event_id"]:
+            n += 1
+            out.append((key[0], int(eid), n))
+    state.update((n,))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "n_so_far"])
+
+
+def running_counter(events: DataFrame) -> DataFrame:
+    """Per-user running event count over a STREAMING DataFrame; state
+    persists across micro-batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _counter_fn,
+        COUNTER_OUTPUT_SCHEMA,
+        COUNTER_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,199 @@
+"""Structured Streaming semantics tests — the promised verification
+for the §2j streaming twins (SURVEY §5.6).
+
+Each test crafts parquet micro-batch files with staggered modification
+times and runs them through the SAME transforms the batch plans use,
+via maxFilesPerTrigger=1 + availableNow — so watermark advancement,
+late-row drops, within-watermark dedup, and cross-batch state are
+exercised across genuinely separate micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_ingest_utils_spark.streaming.runner import (
+    read_parquet_stream,
+    run_available_now,
+)
+from data_ingest_utils_spark.streaming.stateful import running_counter
+from data_ingest_utils_spark.streaming.transforms import watermarked_tumbling
+
+
+def _write_batches(tmpdir: str, batches: list[list[tuple]]) -> str:
+    """Write each batch as one parquet file with strictly increasing
+    modification times (file-source processing order)."""
+    base = time.time() - 1000
+    for i, rows in enumerate(batches):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        tbl = pa.table(
+            {
+                "event_id": pa.array(df.event_id, type=pa.int64()),
+                "ts": pa.array(pd.to_datetime(df.ts), type=pa.timestamp("us")),
+                "user_id": pa.array(df.user_id, type=pa.int64()),
+                "event_type": pa.array(df.event_type, type=pa.string()),
+                "value": pa.array(df.value, type=pa.float64()),
+            }
+        )
+        path = os.path.join(tmpdir, f"batch_{i:03d}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (base + i * 10, base + i * 10))
+    return tmpdir
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An event older than the late-events watermark is DROPPED from
+    its window; the batch plan (no-op watermark) would count it.
+
+    Spark >= 3.4 filters batch N's late events with the watermark as
+    of batch N-1's start, so the late row arrives two batches after
+    the event that advanced the watermark past its window.
+    """
+    src = _write_batches(
+        str(tmp_path),
+        [
+            # batch 0: two 10:xx clicks + a 12:30 event ⇒ watermark
+            # 12:20 after this batch — past the [10:00,11:00) window end.
+            [
+                (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+                (2, "2024-01-01 10:50:00", 1, "click", 1.0),
+                (3, "2024-01-01 12:30:00", 2, "view", 1.0),
+            ],
+            # batch 1: fresh event; [10:00,11:00) is evicted+emitted
+            # here (eviction watermark 12:20).
+            [
+                (5, "2024-01-01 12:40:00", 2, "view", 1.0),
+            ],
+            # batch 2: a LATE 10:30 click — late-events watermark is
+            # now 12:20 ⇒ dropped, never re-opens the emitted window.
+            [
+                (4, "2024-01-01 10:30:00", 1, "click", 1.0),
+            ],
+        ],
+    )
+    stream = read_parquet_stream(spark, src)
+    progress = run_available_now(
+        watermarked_tumbling(stream, watermark="10 minutes", width="1 hour"),
+        "wm_out",
+        output_mode="append",
+    )
+    rows = spark.table("wm_out").collect()
+    out = {(str(r.bucket_start), r.event_type): r.n for r in rows}
+    # The 10:00 click window emitted exactly the two on-time clicks…
+    assert out[("2024-01-01 10:00:00", "click")] == 2
+    # …exactly once: the late row neither merged (count stays 2) nor
+    # re-opened the window as a spurious second append row.
+    assert len(rows) == 1
+    # The stateful operator reports the drop.
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1
+    # Batch mode on the identical rows WOULD count the late row.
+    batch_counts = {
+        (str(r.bucket_start), r.event_type): r.n
+        for r in watermarked_tumbling(
+            spark.read.parquet(src), watermark="10 minutes", width="1 hour"
+        ).collect()
+    }
+    assert batch_counts[("2024-01-01 10:00:00", "click")] == 3
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """An event_id repeated in a later micro-batch (within the
+    watermark) is suppressed; each id appears exactly once."""
+    src = _write_batches(
+        str(tmp_path),
+        [
+            [
+                (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+                (2, "2024-01-01 10:00:30", 1, "click", 1.0),
+                (3, "2024-01-01 10:01:00", 2, "view", 1.0),
+            ],
+            [
+                (2, "2024-01-01 10:00:30", 1, "click", 1.0),  # dup of id 2
+                (4, "2024-01-01 10:02:00", 2, "view", 1.0),
+            ],
+        ],
+    )
+    stream = read_parquet_stream(spark, src).withWatermark("ts", "10 minutes")
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    run_available_now(deduped, "dedup_out", output_mode="append")
+    ids = sorted(r.event_id for r in spark.table("dedup_out").collect())
+    assert ids == [1, 2, 3, 4]
+
+
+def test_stateful_counter_matches_batch_window(spark, tmp_path):
+    """applyInPandasWithState running counter across micro-batches
+    equals the batch cumulative-window count on the same rows."""
+    src = _write_batches(
+        str(tmp_path),
+        [
+            [
+                (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+                (2, "2024-01-01 10:01:00", 1, "click", 1.0),
+                (3, "2024-01-01 10:02:00", 2, "view", 1.0),
+            ],
+            [
+                (4, "2024-01-01 10:03:00", 1, "click", 1.0),
+                (5, "2024-01-01 10:04:00", 2, "view", 1.0),
+            ],
+            [
+                (6, "2024-01-01 10:05:00", 2, "view", 1.0),
+            ],
+        ],
+    )
+    stream = read_parquet_stream(spark, src)
+    run_available_now(running_counter(stream), "counter_out", output_mode="update")
+    streamed = {
+        r.event_id: r.n_so_far for r in spark.table("counter_out").collect()
+    }
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = {
+        r.event_id: r.n_so_far
+        for r in spark.read.parquet(src)
+        .select("event_id", F.count("*").over(w).alias("n_so_far"))
+        .collect()
+    }
+    assert streamed == batch == {1: 1, 2: 2, 3: 1, 4: 3, 5: 2, 6: 3}
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    """The unbounded-table property itself: the SAME tumbling_agg
+    transform over the stream (complete mode) equals batch."""
+    from data_ingest_utils_spark.streaming.transforms import tumbling_agg
+
+    rows = [
+        (i, f"2024-01-01 {10 + i % 3}:{i % 60:02d}:00", i % 4, "click", float(i))
+        for i in range(40)
+    ]
+    src = _write_batches(str(tmp_path), [rows[:20], rows[20:]])
+    stream = read_parquet_stream(spark, src)
+    run_available_now(tumbling_agg(stream), "tumb_out", output_mode="complete")
+    streamed = {
+        (str(r.bucket_start), r.event_type): (r.n, r.sum_value)
+        for r in spark.table("tumb_out").collect()
+    }
+    batch = {
+        (str(r.bucket_start), r.event_type): (r.n, r.sum_value)
+        for r in tumbling_agg(spark.read.parquet(src)).collect()
+    }
+    assert streamed == batch
