@@ -46,6 +46,45 @@ def join_facts(left: DataFrame, right: DataFrame, on, how: str = "inner") -> Dat
     return left.join(right, on, how)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_src: Sequence[str],
+    salt_mod: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating salted equi-join.
+
+    The fact side gets a DETERMINISTIC salt in [0, salt_mod) hashed
+    from ``salt_src`` columns (not rand() — keeps the plan replayable
+    and AQE-friendly); the dim side is replicated salt_mod× via an
+    exploded literal range.  The join key becomes (key, salt), so a
+    single hot key's rows spread across salt_mod shuffle partitions
+    instead of hot-spotting one reducer.
+
+    100 TB: use when ONE side is skewed and the other is replicable
+    (salt_mod × dim must still be shuffle-affordable).  For ambient
+    skew prefer AQE skew-join splitting (enabled in session confs);
+    salting is the explicit fallback for pathological keys AQE can't
+    split (e.g. a single key larger than a partition).
+    """
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_mod))
+    )
+    dim_s = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1)).cast("array<long>")),
+    )
+    joined = fact_s.join(
+        dim_s,
+        (fact_s[left_key] == dim_s[right_key]) & (fact_s["_salt"] == dim_s["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")
+
+
 def as_of_attach(
     df: DataFrame,
     partition_cols: Sequence[str],

@@ -15,6 +15,7 @@ from data_ingest_utils_spark.plans import aggregates  # noqa: E402,F401  (§2e)
 from data_ingest_utils_spark.plans import windows  # noqa: E402,F401  (§2f)
 from data_ingest_utils_spark.plans import sorts_sets  # noqa: E402,F401  (§2g,2h)
 from data_ingest_utils_spark.plans import scalars  # noqa: E402,F401  (§2i)
+from data_ingest_utils_spark.plans import analytics  # noqa: E402,F401  (§2 extensions)
 from data_ingest_utils_spark.plans import events  # noqa: E402,F401  (§2j)
 from data_ingest_utils_spark.plans import llm  # noqa: E402,F401  (§2k + brief extras)
 from data_ingest_utils_spark.plans import udfs  # noqa: E402,F401  (§2l)

@@ -1,0 +1,171 @@
+"""Relational analytics extensions beyond SURVEY §2's core tables:
+pivot/unpivot reshaping, exact interpolated percentiles, distribution
+window functions, skew-salted joins, stratified sampling.
+
+All declarative DataFrame API — Catalyst keeps pushdown/pruning/AQE in
+play; float outputs are ROUND(…, 6) on both sides (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingest_utils_spark.operators.relational import salted_join
+from data_ingest_utils_spark.plans.registry import plan
+from data_ingest_utils_spark.sources.readers import load_table
+
+
+@plan(
+    "agg_pivot",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+    FROM orders GROUP BY o_year
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts to one column per status.  Pinned pivot
+    values (no discovery scan) — at 100 TB an unpinned pivot runs an
+    extra distinct over the pivot column; pinning makes it one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_year",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"{s.lower()}_cnt")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+@plan(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_returnflag, metric,
+           round(sum(v), 6) AS sum_value, count(*) AS n
+    FROM (
+      SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    ) GROUP BY l_returnflag, metric
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) three measure columns to long form and
+    re-aggregate.  ``unpivot`` is a zero-shuffle row expansion; the
+    single shuffle is the final group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "v",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.round(F.sum("v"), 6).alias("sum_value"), F.count("*").alias("n")
+    )
+
+
+@plan(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+           round(quantile_cont(l_quantity, 0.50), 6)      AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``).  100 TB: exact
+    percentile gathers per-group values — swap to
+    ``percentile_approx`` (t-digest sketch, mergeable map-side) when
+    groups stop fitting; same plan shape, bounded memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda col, p: F.round(F.percentile(col, F.lit(p)), 6)  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        pct(F.col("l_extendedprice"), 0.25).alias("p25"),
+        pct(F.col("l_extendedprice"), 0.50).alias("p50"),
+        pct(F.col("l_extendedprice"), 0.75).alias("p75"),
+        pct(F.col("l_extendedprice"), 0.95).alias("p95"),
+        pct(F.col("l_quantity"), 0.50).alias("median_qty"),
+    )
+
+
+@plan(
+    "win_cume_dist",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6)
+             AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 6)
+             AS cum_dist
+    FROM events
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank + cume_dist per
+    event type.  Tied ``value`` rows get identical outputs in both
+    engines, so no tiebreaker is needed for hash parity."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@plan(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(l_extendedprice), 6) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted equi-join: the fact side gets a
+    deterministic salt, the build side is replicated salt_mod times, so
+    one hot key spreads over salt_mod shuffle partitions.  The oracle
+    is the UNSALTED join — salting must be result-invariant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        salt_src=["l_linenumber"],
+        salt_mod=8,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+    )
+
+
+@plan("sel_sample_stratified")  # rows-only: sampling is RNG-dependent
+def sel_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified ~10% sample per returnflag (seeded Bernoulli per
+    stratum) — the standard dev-subset generator for a 100 TB table;
+    per-stratum counts returned for the rate invariant check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = li.sampleBy(
+        "l_returnflag", {"A": 0.1, "N": 0.1, "R": 0.1}, seed=42
+    )
+    return sampled.groupBy("l_returnflag").agg(F.count("*").alias("n_sampled"))

@@ -143,3 +143,83 @@ def evt_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.count("*").over(w).alias("n_so_far")
     )
+
+
+@plan(
+    "evt_interval_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, count(*) AS n_clicks_30m
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    GROUP BY 1, 2
+    """,
+)
+def evt_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join: clicks within 30 min before each
+    purchase, per user — the batch twin of a stream-stream join with
+    a time-range condition (watermarks bound the buffered state in
+    streaming; in batch it's an equi-join on user_id with a range
+    residual, one shuffle per side)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (p["user_id"] == c["c_user"])
+            & (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 30 MINUTES"))
+            & (c["c_ts"] <= p["p_ts"]),
+        )
+        .groupBy("user_id", "purchase_id")
+        .agg(F.count("*").alias("n_clicks_30m"))
+    )
+
+
+@plan(
+    "evt_foreach_batch_sink",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def evt_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: stream the events fixture (availableNow) and
+    append every micro-batch to a parquet sink, then aggregate the
+    read-back — proves the custom-sink plumbing end-to-end.  100 TB:
+    foreachBatch is the escape hatch for sinks without native
+    streaming writers (JDBC upserts, MERGE INTO); the batch write
+    inside inherits all batch optimizations."""
+    import os
+    import shutil
+    import tempfile
+
+    from data_ingest_utils_spark.plans.scans import SCRATCH
+
+    out = f"{SCRATCH}/fes_out"
+    shutil.rmtree(out, ignore_errors=True)
+    # The file stream source wants a DIRECTORY; stage the fixture file
+    # into a scratch source dir (read-only testdata stays untouched).
+    src = f"{SCRATCH}/fes_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _id: batch_df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fes_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -442,3 +442,228 @@ def llm_lang_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ------------------------------------------- pipeline extensions (r2)
+
+@plan(
+    "llm_doc_chunking",
+    oracle="""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           CAST(least(50, n - i * 50) AS INTEGER) AS chunk_tokens
+    FROM t, LATERAL (SELECT unnest(range(0, CAST(ceil(n / 50.0) AS BIGINT))) AS i) _l
+    """,
+)
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (50-token) document chunking for training windows:
+    one output row per chunk with its token count.  Pure row expansion
+    (explode over a sequence) — zero shuffles; at 100 TB this is the
+    map-side step right before tokenizer/packing UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = tx.token_count(F.col("text"))
+    n_chunks = F.ceil(n_tok / F.lit(50.0)).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(F.lit(50), F.col("_n") - F.col("chunk_id") * 50)
+            .cast("int")
+            .alias("chunk_tokens"),
+        )
+    )
+
+
+@plan(
+    "llm_repetition_ratio",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) _l
+    ),
+    ga AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT g2) AS dist
+      FROM g GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           round(1 - list_unique(string_split(d.text, ' '))::DOUBLE
+                     / len(string_split(d.text, ' ')), 6) AS token_rep_ratio,
+           round(coalesce(1 - ga.dist::DOUBLE / ga.total, 0), 6) AS bigram_rep_ratio
+    FROM documents d LEFT JOIN ga USING (doc_id)
+    """,
+)
+def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: fraction of duplicate
+    tokens and duplicate bigrams per document.  Pure column
+    expressions (array_distinct over in-row arrays) — no shuffle at
+    all; the filter threshold is applied downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tx.tokens(F.col("text"))
+    g2 = tx.shingles(F.col("text"), 2)
+    return docs.select(
+        "doc_id",
+        F.round(
+            1 - F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
+        ).alias("token_rep_ratio"),
+        F.when(
+            F.size(g2) > 0,
+            F.round(1 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bigram_rep_ratio"),
+    )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{4}"
+
+
+@plan(
+    "llm_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+              + len(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER) AS n_pii,
+           sha256(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                 '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_sha
+    FROM documents
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: replace email/phone patterns, count matches, emit the
+    sha256 of the redacted text (the oracle verifies the full redacted
+    payload without shipping it).  Patterns restricted to syntax with
+    identical semantics in Java regex and RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0)))
+    )
+    return docs.select(
+        "doc_id",
+        n_pii.cast("int").alias("n_pii"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+    )
+
+
+@plan(
+    "llm_contamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _l
+    ),
+    b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 20),
+    c AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20)
+    SELECT c.doc_id, count(*) AS n_shared_shingles,
+           count(DISTINCT bench_id) AS n_bench_docs
+    FROM c JOIN b USING (shingle) GROUP BY c.doc_id
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing any
+    3-gram shingle with the benchmark set (here: doc_id < 20).  The
+    benchmark shingle set is broadcast — at 100 TB the corpus side
+    streams map-side against it, no corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = tx.distinct_shingles(docs, 3)
+    bench = sh.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") >= 20)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@plan(
+    "llm_source_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT source,
+             round((1 - len(list_filter(string_split(text, ' '),
+                            x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                       / len(string_split(text, ' ')))
+                   * least(len(string_split(text, ' ')), 200)::DOUBLE / 200.0,
+                   6) AS quality
+      FROM documents
+    ), per_src AS (
+      SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+      FROM q GROUP BY source
+    ), g AS (SELECT avg(quality) AS global_avg FROM q)
+    SELECT source, n_docs, avg_quality,
+           avg_quality >= round(global_avg, 6) AS keep
+    FROM per_src, g
+    """,
+)
+def llm_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style source/domain filter: per-source doc count and mean
+    quality, kept iff >= the global mean.  Two tiny aggregates over
+    one corpus scan; the global mean is a broadcast literal join."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("source", tx.quality_score(F.col("text")).alias("quality"))
+    per_src = q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+    global_avg = q.agg(F.round(F.avg("quality"), 6).alias("global_avg"))
+    return (
+        per_src.crossJoin(F.broadcast(global_avg))
+        .withColumn("keep", F.col("avg_quality") >= F.col("global_avg"))
+        .select("source", "n_docs", "avg_quality", "keep")
+    )
+
+
+@plan(
+    "llm_knn_join",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk, cos_sim FROM (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 4) DESC, b.vec_id
+             ) AS rnk
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) WHERE rnk <= 3
+    """,
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: top-3 cosine neighbors per vector WITHIN its
+    coarse cell (label = IVF cell).  Cell-blocked equi-join + exact
+    rescoring + WindowGroupLimit top-k — the standard two-stage ANN
+    join at 100 TB (cells bound the pair space; nprobe>1 = union of
+    cell joins)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", "label", F.col("embedding").alias("_va"))
+    b = emb.select(
+        F.col("vec_id").alias("nbr_id"), "label", F.col("embedding").alias("_vb")
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nbr_id"))
+    cos = F.round(
+        sim._dot(F.col("_va"), F.col("_vb"))
+        / (sim._norm(F.col("_va")) * sim._norm(F.col("_vb"))),
+        4,
+    )
+    scored = pairs.select("vec_id", "nbr_id", cos.alias("cos_sim"))
+    return topk_per_group(
+        scored, ["vec_id"], [F.col("cos_sim").desc(), F.col("nbr_id")], 3, "rnk"
+    ).select("vec_id", "nbr_id", F.col("rnk").cast("int").alias("rnk"), "cos_sim")

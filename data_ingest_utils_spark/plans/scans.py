@@ -63,3 +63,49 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_back(spark, path).groupBy("c_mktsegment").agg(
         F.count("*").alias("n_rows")
     )
+
+
+@plan(
+    "scan_orc",
+    oracle="SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip (write + read + aggregate) — the second columnar
+    lake format; same vectorized reader/pushdown machinery as parquet."""
+    path = f"{SCRATCH}/orc_documents"
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").orc(path)
+    return spark.read.orc(path).groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+@plan(
+    "sink_bucketed_table",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sink_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink: lineitem written bucketBy(8, l_orderkey)
+    as an external table, then read back through the catalog.
+
+    100 TB: bucketing pre-shuffles ONCE at write time — every later
+    equi-join/aggregation on l_orderkey between co-bucketed tables
+    skips its Exchange entirely (asserted in tests/test_explain.py).
+    """
+    name = "dius_lineitem_bucketed"
+    path = f"{SCRATCH}/bucketed_lineitem"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(name)
+    )
+    return (
+        spark.table(name)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+    )

@@ -91,3 +91,41 @@ def test_global_agg_partial_final(spark):
     # partial HashAggregate -> Exchange -> final HashAggregate
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_knn_join_not_cartesian(spark):
+    """llm_knn_join rides the cell equi-join."""
+    plan = _plan(spark, "llm_knn_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_salted_join_spreads_key(spark):
+    """join_skew_salted joins on (key, salt) — the equi-join keys must
+    include the salt column."""
+    plan = _plan(spark, "join_skew_salted")
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_self_join_no_exchange(spark):
+    """Self-join of the bucketed table on the bucket key must read
+    bucketed (SelectedBucketsCount) and join WITHOUT any Exchange —
+    the write-once-shuffle-never payoff."""
+    import contextlib
+    import io
+
+    from data_ingest_utils_spark.plans import QUERIES
+
+    # Materialize the bucketed table (idempotent).
+    QUERIES["sink_bucketed_table"](spark, SF_T2).collect()
+    t = spark.table("dius_lineitem_bucketed")
+    joined = t.alias("a").join(t.alias("b"), "l_orderkey").groupBy().count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "SelectedBucketsCount" in plan
+    join_section = plan.split("HashAggregate")[0]
+    assert "Exchange" not in join_section, plan

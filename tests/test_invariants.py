@@ -154,3 +154,23 @@ def test_jdbc_reader_argument_construction(spark, monkeypatch):
     }
     with pytest.raises(ValueError, match="bounds"):
         read_jdbc(FakeSpark(), "jdbc:x", "t", partition_column="id")
+
+
+def test_stratified_sample_rates(spark):
+    """sel_sample_stratified draws ~10% per stratum (seeded)."""
+    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.sources.readers import load_table
+
+    sampled = {
+        r.l_returnflag: r.n_sampled
+        for r in QUERIES["sel_sample_stratified"](spark, SF_T2).collect()
+    }
+    full = {
+        r.l_returnflag: r.n
+        for r in load_table(spark, SF_T2, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for flag, n in full.items():
+        assert 0.05 * n <= sampled[flag] <= 0.15 * n, (flag, sampled[flag], n)
