@@ -117,3 +117,92 @@ def ing_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ing.latest_per_key(ev, ["user_id"], "ts", tiebreakers=["event_id"]).select(
         "user_id", "event_id", "ts", "value"
     )
+
+
+@plan(
+    "ing_scd2_history",
+    oracle="""
+    SELECT user_id, event_id, value AS attr_value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM events
+    """,
+)
+def ing_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each change event becomes a versioned
+    row with [valid_from, valid_to) derived from the NEXT change of
+    the same key (lead window); the open-ended row is current.
+
+    100 TB: one shuffle on the business key — the standard
+    change-capture → dimension-history compaction, no self-join."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@plan(
+    "ing_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+    ), updates AS (
+      SELECT c_custkey, c_name, round(c_acctbal + 100.0, 6) AS c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+           coalesce(u.c_name, b.c_name)       AS c_name,
+           round(coalesce(u.c_acctbal, b.c_acctbal), 6) AS c_acctbal,
+           CASE WHEN u.c_custkey IS NULL THEN 'kept'
+                WHEN b.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL OUTER JOIN updates u USING (c_custkey)
+    """,
+)
+def ing_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) semantics without a lakehouse table format:
+    full-outer join base vs updates on the key; updates win, unmatched
+    updates insert, unmatched base rows are kept.
+
+    100 TB: this is the copy-on-write merge shape — one shuffle of
+    each side on the key.  On Delta/Iceberg the same logic is
+    `MERGE INTO`; file-level pruning then limits the rewrite to
+    touched files."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 6).alias("c_acctbal"),
+    )
+    # base/updates share lineage (both derive from cust) — string
+    # alias paths disambiguate where attribute ids collide.
+    joined = base.alias("b").join(
+        updates.alias("u"),
+        F.col("b.c_custkey") == F.col("u.c_custkey"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.round(
+            F.coalesce(F.col("u.c_acctbal"), F.col("b.c_acctbal")), 6
+        ).alias("c_acctbal"),
+        F.when(F.col("u.c_custkey").isNull(), "kept")
+        .when(F.col("b.c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )

@@ -197,3 +197,34 @@ def test_tumbling_stream_equals_batch(spark, tmp_path):
         for r in tumbling_agg(spark.read.parquet(src)).collect()
     }
     assert streamed == batch
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """session_agg over the stream (complete mode) equals batch — gap
+    merges must work across micro-batch boundaries."""
+    from data_ingest_utils_spark.streaming.transforms import session_agg
+
+    rows = [
+        # user 1: two sessions (gap > 30min between id 2 and 3)
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 1.0),
+        (3, "2024-01-01 11:00:00", 1, "click", 1.0),
+        # user 2: one session spanning the batch split
+        (4, "2024-01-01 10:00:00", 2, "view", 1.0),
+        (5, "2024-01-01 10:20:00", 2, "view", 1.0),
+    ]
+    src = _write_batches(str(tmp_path), [rows[:3], rows[3:]])
+    stream = read_parquet_stream(spark, src).withWatermark("ts", "10 minutes")
+    run_available_now(session_agg(stream), "sess_out", output_mode="complete")
+    streamed = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.dur_sec)
+        for r in spark.table("sess_out").collect()
+    }
+    batch = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.dur_sec)
+        for r in session_agg(spark.read.parquet(src)).collect()
+    }
+    assert streamed == batch
+    assert streamed[(1, "2024-01-01 10:00:00")] == (2, 600)
+    assert streamed[(1, "2024-01-01 11:00:00")] == (1, 0)
+    assert streamed[(2, "2024-01-01 10:00:00")] == (2, 1200)
