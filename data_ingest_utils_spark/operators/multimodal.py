@@ -84,3 +84,57 @@ def extract_features(
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+#: Output schema of the frame sampler: one row per SAMPLED frame.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    every: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame-sample a media payload: split into fixed-size frames, keep
+    every ``every``-th, emit one row per sampled frame (1→N batch
+    expansion through ``mapInPandas``).
+
+    The stub treats the payload bytes as the 'video' — frame i is the
+    byte slice [i*frame_bytes, (i+1)*frame_bytes); a real decoder
+    (ffmpeg keyframe extraction) replaces the slicing only, so the
+    Spark-side shape (Arrow batches in, multi-row batches out, schema,
+    partition parallelism) is the production plumbing.  Deterministic
+    ⇒ fully oracle-checkable despite running in Python.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame decode requires ffmpeg/image libs not present "
+                    "in this container; run with decode_stub=True"
+                )
+            ids, idxs, shas = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(
+                            raw[i * frame_bytes : (i + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -667,3 +667,26 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         scored, ["vec_id"], [F.col("cos_sim").desc(), F.col("nbr_id")], 3, "rnk"
     ).select("vec_id", "nbr_id", F.col("rnk").cast("int").alias("rnk"), "cos_sim")
+
+
+@plan(
+    "llm_multimodal_frames",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           sha256(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_sha
+    FROM t, LATERAL (
+      SELECT unnest(range(0, CAST(ceil(nb / 64.0) AS BIGINT), 2)) AS i
+    ) _l
+    """,
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample media payloads (every 2nd 64-byte frame) through
+    Arrow-batched mapInPandas — the 1→N decode/extract shape of a
+    video pipeline.  The stub slices bytes deterministically, so even
+    this Python-side operator is fully oracle-checked (the fixture
+    text is ASCII ⇒ byte slices == char slices on the DuckDB side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.sample_frames(mm.pack_payload(docs), frame_bytes=64, every=2)
