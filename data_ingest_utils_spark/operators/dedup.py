@@ -197,6 +197,66 @@ def ngram_jaccard_banded(
     return _jaccard_from_inter(inter, sizes, id_col, threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (v,
+    component) with component = min vertex id in the component.
+
+    Min-label propagation PLUS pointer jumping (label ← label of
+    label) each round, so convergence is O(log diameter) rounds, not
+    O(diameter) — each round is two shuffles (neighbor min + jump
+    join).  The driver loop only orchestrates round count via a
+    convergence COUNT; all data movement is distributed.  This is the
+    cluster step of near-dedup: pairs → components → keep min doc per
+    component.  At 100 TB cap rounds (max_iter) and checkpoint the
+    label frame every few rounds to truncate lineage.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    comp = (
+        e.select(F.col("a").alias("v")).distinct().withColumn("c", F.col("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(comp.withColumnRenamed("v", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("c").alias("nc"))
+            .withColumnRenamed("a", "v")
+        )
+        stepped = (
+            comp.join(nbr_min, "v", "left")
+            .select("v", F.least(F.col("c"), F.coalesce("nc", "c")).alias("c"))
+        )
+        # pointer jumping: c <- comp[c].c
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("v").alias("_cv"), F.col("c").alias("_cc")
+                ).alias("p"),
+                F.col("s.c") == F.col("_cv"),
+                "left",
+            )
+            .select(F.col("s.v").alias("v"),
+                    F.coalesce("_cc", F.col("s.c")).alias("c"))
+        ).localCheckpoint(eager=True)
+        n_changed = (
+            jumped.alias("n")
+            .join(comp.alias("o"), "v")
+            .filter(F.col("n.c") != F.col("o.c"))
+            .count()
+        )
+        comp = jumped
+        if n_changed == 0:
+            break
+    return comp.select(F.col("v"), F.col("c").alias("component"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

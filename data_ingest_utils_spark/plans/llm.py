@@ -690,3 +690,52 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is ASCII ⇒ byte slices == char slices on the DuckDB side)."""
     docs = load_table(spark, sf_dir, "documents")
     return mm.sample_frames(mm.pack_payload(docs), frame_bytes=64, every=2)
+
+
+@plan(
+    "llm_dedup_clusters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, lang,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _l
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.1
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(v, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v
+      ) SELECT v, min(lbl) AS component FROM r GROUP BY v
+    )
+    SELECT v AS doc_id, component FROM reach
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: n-gram Jaccard pairs (>= 0.1, lang-blocked)
+    collapsed into connected components — component id = min doc_id,
+    i.e. the survivor each duplicate cluster keeps.  Iterative
+    min-label propagation with pointer jumping (O(log diameter)
+    distributed rounds); the DuckDB oracle computes the identical
+    fixpoint with a recursive CTE, so even this iterative algorithm is
+    hash-checked exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, block_col="lang", threshold=0.1)
+    return dd.connected_components(pairs).select(
+        F.col("v").alias("doc_id"), "component"
+    )

@@ -174,3 +174,18 @@ def test_stratified_sample_rates(spark):
     }
     for flag, n in full.items():
         assert 0.05 * n <= sampled[flag] <= 0.15 * n, (flag, sampled[flag], n)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 30-vertex path (worst-case diameter) plus a separate triangle
+    and an isolated pair all collapse to min-id components — pointer
+    jumping must converge well under the max_iter cap."""
+    edges = [(i, i + 1) for i in range(100, 129)]          # path, min=100
+    edges += [(500, 501), (501, 502), (500, 502)]          # triangle, min=500
+    edges += [(900, 901)]                                  # pair, min=900
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    comp = {r.v: r.component for r in dd.connected_components(df).collect()}
+    assert all(comp[v] == 100 for v in range(100, 130))
+    assert all(comp[v] == 500 for v in (500, 501, 502))
+    assert comp[900] == comp[901] == 900
+    assert len(comp) == 35
