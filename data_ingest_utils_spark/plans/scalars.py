@@ -230,3 +230,51 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return nested.select("o_orderkey", "meta.price", "meta.yr")
+
+
+@plan(
+    "fn_higher_order",
+    oracle="""
+    WITH arr AS (
+      SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qtys) AS INTEGER)                             AS n_items,
+           round(list_aggregate(list_transform(qtys, x -> x * 2.0),
+                                'sum'), 6)                        AS sum_doubled,
+           CAST(len(list_filter(qtys, x -> x > 25.0)) AS INTEGER) AS n_large,
+           round(list_aggregate(qtys, 'max'), 6)                  AS max_qty
+    FROM arr
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over per-order quantity arrays:
+    transform (x*2), filter (>25), aggregate (fold sum), array_max —
+    all JVM lambda expressions inside whole-stage codegen, the
+    idiomatic replacement for per-row Python loops.  The array is
+    built with a deterministic ORDER BY inside the aggregation so both
+    engines fold identical sequences."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("_s")
+    ).select(
+        "l_orderkey",
+        F.transform(F.col("_s"), lambda s: s["l_quantity"]).alias("qtys"),
+    )
+    return arr.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_items"),
+        F.round(
+            F.aggregate(
+                F.transform("qtys", lambda x: x * 2.0),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sum_doubled"),
+        F.size(F.filter("qtys", lambda x: x > 25.0)).alias("n_large"),
+        F.round(F.array_max("qtys"), 6).alias("max_qty"),
+    )

@@ -228,3 +228,60 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     assert streamed[(1, "2024-01-01 10:00:00")] == (2, 600)
     assert streamed[(1, "2024-01-01 11:00:00")] == (1, 0)
     assert streamed[(2, "2024-01-01 10:00:00")] == (2, 1200)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with an event-time range condition and
+    watermarks on both sides equals the batch interval join — the
+    streaming twin of evt_interval_join."""
+    from pyspark.sql import functions as F
+
+    rows0 = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 1.0),
+        (3, "2024-01-01 10:20:00", 1, "purchase", 5.0),
+    ]
+    rows1 = [
+        (4, "2024-01-01 10:50:00", 1, "click", 1.0),
+        (5, "2024-01-01 11:05:00", 1, "purchase", 5.0),
+        (6, "2024-01-01 11:00:00", 2, "purchase", 5.0),
+    ]
+    src = _write_batches(str(tmp_path), [rows0, rows1])
+
+    def join_streams(clicks, purchases):
+        c = clicks.select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        p = purchases.select(
+            "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+        )
+        return p.join(
+            c,
+            (p["user_id"] == c["c_user"])
+            & (c["c_ts"] >= p["p_ts"] - F.expr("INTERVAL 30 MINUTES"))
+            & (c["c_ts"] <= p["p_ts"]),
+        ).select("purchase_id", "user_id", "c_ts")
+
+    s = read_parquet_stream(spark, src)
+    clicks = s.filter(F.col("event_type") == "click").withWatermark("ts", "10 minutes")
+    purchases = s.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "10 minutes"
+    )
+    run_available_now(join_streams(clicks, purchases), "ssj_out", output_mode="append")
+    streamed = sorted(
+        (r.purchase_id, r.user_id, str(r.c_ts))
+        for r in spark.table("ssj_out").collect()
+    )
+
+    b = spark.read.parquet(src)
+    batch = sorted(
+        (r.purchase_id, r.user_id, str(r.c_ts))
+        for r in join_streams(
+            b.filter(F.col("event_type") == "click"),
+            b.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    )
+    assert streamed == batch
+    # purchase id 3 matched clicks 1+2; purchase 5 matched click 4
+    # (10:50 within [10:35, 11:05]); purchase 6 (user 2) matched none.
+    assert [pid for pid, _, _ in streamed] == [3, 3, 5]
