@@ -118,7 +118,13 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank + cume_dist per
     event type.  Tied ``value`` rows get identical outputs in both
-    engines, so no tiebreaker is needed for hash parity."""
+    engines, so no tiebreaker is needed for hash parity.
+
+    100 TB WARNING: the partition key (event_type) is low-cardinality,
+    so each window partition is a full sort of ~1/5 of the table on
+    one reducer.  At scale, sub-partition first (e.g. per day) or
+    replace with an approximate CDF (percentile_approx buckets +
+    broadcast lookup) — same output contract, bounded partitions."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value")
     return ev.select(
@@ -169,3 +175,25 @@ def sel_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", {"A": 0.1, "N": 0.1, "R": 0.1}, seed=42
     )
     return sampled.groupBy("l_returnflag").agg(F.count("*").alias("n_sampled"))
+
+
+@plan("agg_hll_union")  # rows-only: sketch binaries are engine-specific
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches): per-returnflag
+    sketches of l_orderkey, merged with hll_union_agg into a global
+    distinct estimate.
+
+    This is THE 100 TB distinct-count pattern: sketches aggregate
+    map-side, merge associatively across partitions/days, and persist
+    as tiny binaries for later rollup — no re-scan to recount.  Error
+    bound asserted against exact counts in tests/test_invariants.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_orders"),
+        F.sum("n_rows").alias("n_rows"),
+    )

@@ -739,3 +739,56 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs).select(
         F.col("v").alias("doc_id"), "component"
     )
+
+
+@plan(
+    "llm_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n,
+             CAST(sum(len(string_split(text, ' '))) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM documents
+    )
+    SELECT doc_id, CAST(s AS INTEGER) AS seq_id,
+           CAST(least(cum, (s + 1) * 2048) - greatest(cum - n, s * 2048)
+                AS INTEGER) AS n_tokens_in_seq
+    FROM t, LATERAL (
+      SELECT unnest(range((cum - n) // 2048, ((cum - 1) // 2048) + 1)) AS s
+    ) _l
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus token stream
+    (doc_id order) and chunk into 2048-token training sequences; docs
+    crossing a boundary are split.  One output row per (doc, sequence)
+    with the token count contributed.
+
+    Plan: a single running-sum window + a per-row explode — one
+    shuffle total.  100 TB note: the global ORDER BY doc_id window is
+    the honest contract for reproducible packing; at scale the same
+    arithmetic runs per shard (partition by date/bucket, offset by the
+    shard's token base) to keep windows bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n = tx.token_count(F.col("text")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = docs.select("doc_id", n.alias("n")).withColumn("cum", F.sum("n").over(w))
+    cap = F.lit(2048).cast("long")
+    first_seq = F.floor((F.col("cum") - F.col("n")) / cap)
+    last_seq = F.floor((F.col("cum") - 1) / cap)
+    return (
+        t.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+        .select(
+            "doc_id",
+            F.col("seq_id").cast("int").alias("seq_id"),
+            (
+                F.least(F.col("cum"), (F.col("seq_id") + 1) * cap)
+                - F.greatest(F.col("cum") - F.col("n"), F.col("seq_id") * cap)
+            )
+            .cast("int")
+            .alias("n_tokens_in_seq"),
+        )
+    )

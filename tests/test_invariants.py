@@ -189,3 +189,37 @@ def test_connected_components_chain_and_islands(spark):
     assert all(comp[v] == 500 for v in (500, 501, 502))
     assert comp[900] == comp[901] == 900
     assert len(comp) == 35
+
+
+def test_hll_union_within_error(spark):
+    """Merged HLL estimate within 5% of exact global distinct."""
+    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.sources.readers import load_table
+
+    est = QUERIES["agg_hll_union"](spark, SF_T2).head().est_distinct_orders
+    exact = (
+        load_table(spark, SF_T2, "lineitem")
+        .agg(F.countDistinct("l_orderkey").alias("n")).head().n
+    )
+    assert abs(est - exact) <= 0.05 * exact, (est, exact)
+
+
+def test_pack_sequences_conservation(spark):
+    """Packing conserves tokens: per-doc contributions sum to the doc
+    token count, and every sequence except the last holds exactly 2048
+    tokens."""
+    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.sources.readers import load_table
+    from data_ingest_utils_spark.operators import text as tx
+
+    packed = QUERIES["llm_pack_sequences"](spark, SF_T2).toPandas()
+    docs = (
+        load_table(spark, SF_T2, "documents")
+        .select("doc_id", tx.token_count(F.col("text")).alias("n"))
+        .toPandas()
+    )
+    per_doc = packed.groupby("doc_id").n_tokens_in_seq.sum()
+    assert (per_doc == docs.set_index("doc_id").n).all()
+    per_seq = packed.groupby("seq_id").n_tokens_in_seq.sum()
+    assert (per_seq.iloc[:-1] == 2048).all()
+    assert 0 < per_seq.iloc[-1] <= 2048
