@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_ingest_utils_spark.operators.text import distinct_shingles, tokens
+from data_ingest_utils_spark.operators.text import distinct_shingles, shingles, tokens
 
 
 def exact_dedup(
@@ -264,6 +264,7 @@ def minhash_lsh_pairs(
     num_hash_tables: int = 5,
     max_distance: float = 0.6,
     num_features: int = 1 << 18,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (Spark ML).
 
@@ -271,12 +272,22 @@ def minhash_lsh_pairs(
     approxSimilarityJoin on Jaccard distance.  Randomized even when
     seeded across engines ⇒ rows-only key (no SQL oracle); invariants
     asserted in unit tests.
-    """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
-    tk = Tokenizer(inputCol=text_col, outputCol="_tokens")
+    Featurization is over ``shingle_n``-gram SHINGLE sets, not raw
+    tokens: raw-token sets of natural-language docs share the common
+    vocabulary, so token-Jaccard >= (1 - max_distance) holds for a
+    quadratic number of pairs and both the LSH buckets and the OUTPUT
+    blow up with corpus size (observed: 5k docs never finished).
+    Shingle sets are near-disjoint for unrelated docs ⇒ candidate and
+    result sizes stay near-linear — the web-scale MinHash contract.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        id_col, shingles(F.col(text_col), shingle_n).alias("_tokens")
+    ).filter(F.size("_tokens") > 0)
     tf = HashingTF(inputCol="_tokens", outputCol="_features", numFeatures=num_features)
-    featurized = tf.transform(tk.transform(df.select(id_col, text_col)))
+    featurized = tf.transform(shingled)
     lsh = MinHashLSH(
         inputCol="_features", outputCol="_sig", numHashTables=num_hash_tables, seed=42
     )
