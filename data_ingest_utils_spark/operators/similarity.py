@@ -95,12 +95,24 @@ def cosine_pairs_lsh(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    bucket_length: float = 2.0,
+    bucket_length: float = 0.5,
     num_hash_tables: int = 3,
 ) -> DataFrame:
-    """All-pairs near-neighbors via random-hyperplane bucketing —
+    """All-pairs near-neighbors via random-projection bucketing —
     candidate pairs come from equal LSH buckets, then exact cosine
-    filters.  Randomized bucketing ⇒ rows-only key."""
+    filters.  Randomized bucketing ⇒ rows-only key.
+
+    Scale-critical tunings (for UNIT-NORM embeddings): the Euclidean
+    join threshold is DERIVED from the cosine threshold
+    (d² = 2·(1−cos) ⇒ d = sqrt(2·(1−t))) instead of the permissive
+    2.0 — at 2.0 every bucket collision survives (max unit-vector
+    distance IS 2.0) and the join degenerates to all-pairs.  Bucket
+    width 0.5 splits the ~N(0,1) projection of unit vectors into ~8
+    buckets per table rather than ~2, cutting per-bucket collision
+    counts ~16× with 3 tables rescuing recall.
+    """
+    import math
+
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -112,8 +124,12 @@ def cosine_pairs_lsh(
         numHashTables=num_hash_tables, seed=42,
     )
     model = lsh.fit(feats)
-    # Euclidean-distance candidates; exact cosine computed on the pair.
-    pairs = model.approxSimilarityJoin(feats, feats, 2.0, distCol="_dist")
+    # Euclidean-distance candidates at the cosine-equivalent radius;
+    # exact cosine recomputed per pair below.  The radius backs off by
+    # half a 4-dp rounding step so pairs whose ROUNDED cosine meets
+    # the threshold (the output filter) are inside it.
+    euclid_t = math.sqrt(max(0.0, 2.0 * (1.0 - (threshold - 0.00005))))
+    pairs = model.approxSimilarityJoin(feats, feats, euclid_t, distCol="_dist")
     a_vec, b_vec = F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")
     cos = _dot(a_vec, b_vec) / (_norm(a_vec) * _norm(b_vec))
     return (
