@@ -206,3 +206,35 @@ def ing_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+@plan(
+    "ing_pipeline_e2e",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders WHERE o_totalprice > 1000.0
+    ) WHERE rn = 1
+    """,
+)
+def ing_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative pipeline end-to-end: the config-driven spec (data,
+    not code) composes normalize → filter → derive → latest-per-key →
+    project into ONE Catalyst plan — the filter still reaches the
+    scan, pruning passes through every step."""
+    from data_ingest_utils_spark.pipeline import apply_pipeline
+
+    spec = [
+        {"op": "normalize_columns"},
+        {"op": "filter", "predicate": "o_totalprice > 1000.0"},
+        {"op": "with_column", "name": "o_year",
+         "expr": "CAST(year(o_orderdate) AS INT)"},
+        {"op": "latest_per_key", "keys": ["o_custkey"], "ts_col": "o_orderdate",
+         "tiebreakers": ["o_orderkey"]},
+        {"op": "select", "columns": ["o_custkey", "o_orderkey",
+                                     "o_totalprice", "o_year"]},
+    ]
+    return apply_pipeline(load_table(spark, sf_dir, "orders"), spec)
