@@ -238,3 +238,114 @@ def ing_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      "o_totalprice", "o_year"]},
     ]
     return apply_pipeline(load_table(spark, sf_dir, "orders"), spec)
+
+
+@plan(
+    "ing_dq_summary",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey)                    AS distinct_keys,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS null_custkey,
+           round(min(o_totalprice), 6)                   AS min_price,
+           round(max(o_totalprice), 6)                   AS max_price,
+           round(avg(o_totalprice), 6)                   AS avg_price,
+           min(o_orderdate)                              AS min_date,
+           max(o_orderdate)                              AS max_date
+    FROM orders
+    """,
+)
+def ing_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of a load: row/distinct/null counts and
+    value ranges in ONE aggregation pass — the post-load check an
+    ingestion utility runs before publishing a partition.  100 TB:
+    single scan, partial/final hash agg; attach per-partition via
+    groupBy(load_date) unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("distinct_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_custkey"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+@plan(
+    "ing_dq_quarantine",
+    oracle="""
+    SELECT o_orderkey,
+           concat_ws(',',
+             CASE WHEN o_totalprice <= 0 THEN 'price_nonpositive' END,
+             CASE WHEN o_orderstatus NOT IN ('F','O') THEN 'bad_status' END,
+             CASE WHEN year(o_orderdate) < 1992 THEN 'date_too_old' END
+           ) AS violations
+    FROM orders
+    WHERE o_totalprice <= 0 OR o_orderstatus NOT IN ('F','O')
+       OR year(o_orderdate) < 1992
+    """,
+)
+def ing_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-based quarantine routing: rows violating ANY rule
+    are emitted with the comma-joined list of violated rule names
+    (the quarantine sink side of a valid/quarantine split; the valid
+    side is the complement filter).  Rules are pure predicates ⇒ the
+    split is one scan, both sides pushdown-friendly."""
+    o = load_table(spark, sf_dir, "orders")
+    rules = {
+        "price_nonpositive": F.col("o_totalprice") <= 0,
+        "bad_status": ~F.col("o_orderstatus").isin("F", "O"),
+        "date_too_old": F.year("o_orderdate") < 1992,
+    }
+    tags = [F.when(pred, F.lit(name)) for name, pred in rules.items()]
+    any_violation = None
+    for pred in rules.values():
+        any_violation = pred if any_violation is None else (any_violation | pred)
+    return (
+        o.filter(any_violation)
+        .select("o_orderkey", F.concat_ws(",", *tags).alias("violations"))
+    )
+
+
+@plan(
+    "scan_merge_schema",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN region IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_region,
+           count(DISTINCT region) AS n_regions
+    FROM (
+      SELECT n_nationkey, NULL AS region FROM nation
+      UNION ALL
+      SELECT n_nationkey, CAST(n_regionkey AS VARCHAR) AS region FROM nation
+    )
+    """,
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches — the second adds
+    a ``region`` column — read back with mergeSchema=true; old rows
+    surface NULL for the added column.  The standard additive-column
+    lake upgrade, no rewrite of historical files."""
+    from data_ingest_utils_spark.plans.scans import SCRATCH
+
+    path = f"{SCRATCH}/evolving_nation"
+    nation = load_table(spark, sf_dir, "nation")
+    v1 = nation.select("n_nationkey")
+    v2 = nation.select(
+        "n_nationkey", F.col("n_regionkey").cast("string").alias("region")
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/batch=v1")
+    v2.write.mode("overwrite").parquet(f"{path}/batch=v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("region").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_region"),
+        F.countDistinct("region").alias("n_regions"),
+    )
