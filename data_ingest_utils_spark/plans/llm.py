@@ -792,3 +792,47 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens_in_seq"),
         )
     )
+
+
+@plan(
+    "llm_embed_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> round(x * 127) / 127.0) AS qv,
+             embedding::DOUBLE[] AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(sqrt(list_aggregate(
+                   list_transform(list_zip(v, qv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')), 6)
+             AS l2_err,
+           CAST(list_aggregate(list_transform(qv,
+                  x -> abs(CAST(round(x * 127) AS BIGINT))), 'sum') AS BIGINT)
+             AS abs_code_sum
+    FROM q
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings (x → round(x·127)/127):
+    per-vector L2 reconstruction error + the absolute code sum as a
+    content checksum.  Pure JVM array lambdas — the compress-before-
+    index step that cuts a 100 TB vector corpus 4× before ANN builds;
+    deterministic rounding makes even the quantizer oracle-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    qv = F.transform(v, lambda x: F.round(x * 127) / 127.0)
+    codes = F.transform(qv, lambda x: F.abs(F.round(x * 127).cast("long")))
+    err2 = F.aggregate(
+        F.zip_with(v, qv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(err2), 6).alias("l2_err"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .alias("abs_code_sum"),
+    )

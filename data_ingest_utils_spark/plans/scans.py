@@ -109,3 +109,28 @@ def sink_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
     )
+
+
+@plan(
+    "sql_view_query",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 6) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API path: register temp views, run a SQL string through
+    spark.sql() — same Catalyst plan as the DataFrame phrasing, proving
+    the two front ends are interchangeable over this engine."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 6) AS total_balance
+        FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -124,3 +124,30 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL split_tokens(d.text) t
         """
     )
+
+
+@plan(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * 1.07, 6) AS gross_price
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): batch
+    columnar transfer without the pandas_udf signature — the
+    migration path for legacy row UDFs.  Still Python: keep OFF hot
+    paths; this key exists to pin the API + its exact semantics."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="double", useArrow=True)
+    def gross(price: float, discount: float) -> float:
+        return round(price * (1 - discount) * 1.07, 6)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        gross("l_extendedprice", "l_discount").alias("gross_price"),
+    )
