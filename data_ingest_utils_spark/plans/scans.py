@@ -134,3 +134,60 @@ def sql_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@plan(
+    "scan_python_datasource",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS seq_id,
+           CAST((i * i) % 97 AS BIGINT) AS val
+    FROM range(1000) t(i)
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source end-to-end: register, plan 4 input
+    partitions, read executor-side, hash-check the rows — the
+    connector path for systems with no JVM driver (sources/
+    pydatasource.py)."""
+    from data_ingest_utils_spark.sources.pydatasource import register
+
+    register(spark)
+    return (
+        spark.read.format("synthetic_seq")
+        .option("n", "1000")
+        .option("numpartitions", "4")
+        .load()
+    )
+
+
+@plan(
+    "scan_json_corrupt",
+    oracle="SELECT 25 AS n_good, 3 AS n_corrupt",
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record containment: JSONL with 3 broken lines read
+    PERMISSIVE with an explicit schema + _corrupt_record column — bad
+    lines land in quarantine instead of failing the load (the
+    explicit-schema half of the CSV/JSON ingestion contract)."""
+    import os
+
+    path = f"{SCRATCH}/corrupt_json"
+    os.makedirs(path, exist_ok=True)
+    good = [
+        f'{{"n_nationkey": {i}, "n_name": "nation_{i}"}}' for i in range(25)
+    ]
+    bad = ['{"n_nationkey": broken', "not json at all", '{"n_nationkey": }']
+    with open(f"{path}/data.jsonl", "w") as f:
+        f.write("\n".join(good + bad))
+    df = spark.read.schema(
+        "n_nationkey int, n_name string, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    # Spark forbids queries referencing ONLY _corrupt_record
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); counting a data column
+    # alongside satisfies it and is the better signal anyway.
+    return df.agg(
+        F.count("n_name").cast("int").alias("n_good"),
+        F.count("_corrupt_record").cast("int").alias("n_corrupt"),
+    )
