@@ -69,7 +69,18 @@ def salted_join(
     skew prefer AQE skew-join splitting (enabled in session confs);
     salting is the explicit fallback for pathological keys AQE can't
     split (e.g. a single key larger than a partition).
+
+    Only fact-preserving joins are result-invariant under salting:
+    the dim side is replicated salt_mod×, so right/full joins would
+    emit duplicate / spurious null-padded rows for dim keys whose
+    replicas match no fact salt.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not result-invariant under dim "
+            "replication; use the unsalted join for right/full outer"
+        )
     fact_s = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_mod))
     )

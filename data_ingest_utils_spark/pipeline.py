@@ -53,12 +53,34 @@ _STEP_REGISTRY: dict[str, Callable[[DataFrame, Mapping], DataFrame]] = {
     "drop": lambda df, cfg: df.drop(*cfg["columns"]),
     "rename": lambda df, cfg: df.withColumnsRenamed(dict(cfg["mapping"])),
     "with_column": lambda df, cfg: df.withColumn(cfg["name"], F.expr(cfg["expr"])),
-    "repartition": lambda df, cfg: df.repartition(
-        int(cfg["num"]), *cfg.get("by", [])
-    )
-    if cfg.get("by") or cfg.get("num")
-    else df,
+    "repartition": lambda df, cfg: _repartition(df, cfg),
 }
+
+#: required config keys per op — validated BEFORE invoking the step so
+#: a KeyError inside an operator is never misread as missing config.
+_REQUIRED_KEYS: dict[str, tuple[str, ...]] = {
+    "cast_columns": ("casts",),
+    "incremental": ("ts_col", "last_ts_expr"),
+    "latest_per_key": ("keys", "ts_col"),
+    "filter": ("predicate",),
+    "select": ("columns",),
+    "drop": ("columns",),
+    "rename": ("mapping",),
+    "with_column": ("name", "expr"),
+}
+
+
+def _repartition(df: DataFrame, cfg: Mapping) -> DataFrame:
+    """num and/or by — both optional but not both absent; num=0 is an
+    error, not a silent no-op."""
+    num, by = cfg.get("num"), cfg.get("by", [])
+    if num is None and not by:
+        raise ValueError("repartition step needs 'num' and/or 'by'")
+    if num is not None:
+        if int(num) <= 0:
+            raise ValueError(f"repartition step: num must be positive, got {num}")
+        return df.repartition(int(num), *by)
+    return df.repartition(*by)
 
 
 def step_names() -> Sequence[str]:
@@ -75,10 +97,11 @@ def apply_pipeline(df: DataFrame, spec: Sequence[Mapping]) -> DataFrame:
             raise ValueError(
                 f"pipeline step {i}: unknown op {op!r}; known: {', '.join(step_names())}"
             )
-        try:
-            out = _STEP_REGISTRY[op](out, step)
-        except KeyError as e:  # missing required config key
+        missing = [k for k in _REQUIRED_KEYS.get(op, ()) if k not in step]
+        if missing:
             raise ValueError(
-                f"pipeline step {i} ({op}): missing required config key {e}"
-            ) from None
+                f"pipeline step {i} ({op}): missing required config key"
+                f" {', '.join(repr(k) for k in missing)}"
+            )
+        out = _STEP_REGISTRY[op](out, step)
     return out

@@ -217,7 +217,9 @@ def evt_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("evt_foreach_batch_sink: stream did not drain in 120s")
     return (
         spark.read.parquet(out)
         .groupBy("event_type")

@@ -13,6 +13,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_ingest_utils_spark.plans import QUERIES
 from tests.conftest import SF_T2
@@ -121,11 +122,22 @@ def test_bucketed_self_join_no_exchange(spark):
     # Materialize the bucketed table (idempotent).
     QUERIES["sink_bucketed_table"](spark, SF_T2).collect()
     t = spark.table("dius_lineitem_bucketed")
-    joined = t.alias("a").join(t.alias("b"), "l_orderkey").groupBy().count()
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        joined.explain("formatted")
-    plan = buf.getvalue()
-    assert "SelectedBucketsCount" in plan
-    join_section = plan.split("HashAggregate")[0]
-    assert "Exchange" not in join_section, plan
+    # At fixture scale the planner would BROADCAST this join (its own
+    # BroadcastExchange, bucketed read "disabled by query planner") —
+    # turn broadcast off so the plan is the large-large shape where
+    # bucketing matters, then assert the WHOLE plan is Exchange-free.
+    # (No aggregation either: a global agg adds its own exchange.)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = t.alias("a").join(t.alias("b"), "l_orderkey").select(
+            "l_orderkey", F.col("a.l_quantity")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SelectedBucketsCount" in plan, plan
+    assert "Exchange" not in plan, plan

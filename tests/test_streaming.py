@@ -26,11 +26,13 @@ from data_ingest_utils_spark.streaming.stateful import running_counter
 from data_ingest_utils_spark.streaming.transforms import watermarked_tumbling
 
 
-def _write_batches(tmpdir: str, batches: list[list[tuple]]) -> str:
+def _write_batches(tmpdir: str, batches: list[list[tuple]], start: int = 0) -> str:
     """Write each batch as one parquet file with strictly increasing
-    modification times (file-source processing order)."""
+    modification times (file-source processing order).  ``start``
+    offsets the file numbering so later calls ADD files instead of
+    clobbering already-committed ones."""
     base = time.time() - 1000
-    for i, rows in enumerate(batches):
+    for i, rows in enumerate(batches, start=start):
         df = pd.DataFrame(
             rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
         )
@@ -323,8 +325,9 @@ def test_checkpoint_resume_continues_state(spark, tmp_path):
     first = run_once()
     assert first == {1: 1, 2: 2}
 
-    # New file arrives while the query is DOWN; restart on same checkpoint.
-    _write_batches(src, [[], [(3, "2024-01-01 10:02:00", 1, "click", 1.0)]])
+    # New file arrives while the query is DOWN; restart on same
+    # checkpoint (start=1 ADDS batch_001 without touching batch_000).
+    _write_batches(src, [[(3, "2024-01-01 10:02:00", 1, "click", 1.0)]], start=1)
     second = run_once()
     # The new event's count CONTINUES from restored state (3, not 1),
     # and already-committed files are not replayed (ids 1,2 unchanged).
