@@ -57,3 +57,50 @@ def running_counter(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def running_counter_tws(events: DataFrame) -> DataFrame:
+    """Per-user running count via ``transformWithStateInPandas`` —
+    Spark 4's successor to applyInPandasWithState: typed state handles
+    (value/list/map), timers, TTL.  Semantics here are identical to
+    :func:`running_counter`; equality is asserted in
+    tests/test_streaming.py (environment-gated).
+
+    Environment requirements, both enforced by Spark at query start:
+    - RocksDB state store provider
+      (``spark.sql.streaming.stateStore.providerClass``);
+    - a working ``google.protobuf`` (the transformWithState Python
+      driver worker speaks protobuf to the JVM).  This container's
+      protobuf install is broken (``cannot import name 'descriptor'``),
+      so the API is exercised only where the import succeeds — the
+      applyInPandasWithState twin above carries the tested semantics.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CounterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for eid in pdf["event_id"]:
+                    n += 1
+                    out.append((key[0], int(eid), n))
+            self._count.update((n,))
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "n_so_far"])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CounterProcessor(),
+        outputStructType=COUNTER_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -332,3 +332,54 @@ def test_checkpoint_resume_continues_state(spark, tmp_path):
     # The new event's count CONTINUES from restored state (3, not 1),
     # and already-committed files are not replayed (ids 1,2 unchanged).
     assert second == {1: 1, 2: 2, 3: 3}
+
+
+def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
+    """transformWithStateInPandas (typed ValueState, RocksDB store)
+    computes the same running counts across micro-batches as the
+    applyInPandasWithState twin.
+
+    Environment-gated: the transformWithState Python driver worker
+    needs a working google.protobuf, broken in this container."""
+    pytest.importorskip("google.protobuf.descriptor",
+                        reason="transformWithState driver worker needs protobuf")
+    from data_ingest_utils_spark.streaming.stateful import running_counter_tws
+
+    src = _write_batches(
+        str(tmp_path),
+        [
+            [
+                (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+                (2, "2024-01-01 10:01:00", 2, "view", 1.0),
+            ],
+            [
+                (3, "2024-01-01 10:02:00", 1, "click", 1.0),
+                (4, "2024-01-01 10:03:00", 1, "click", 1.0),
+            ],
+        ],
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_available_now(
+            running_counter_tws(read_parquet_stream(spark, src)),
+            "tws_out",
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    tws = {r.event_id: r.n_so_far for r in spark.table("tws_out").collect()}
+
+    run_available_now(
+        running_counter(read_parquet_stream(spark, src)),
+        "aip_out",
+        output_mode="update",
+    )
+    aip = {r.event_id: r.n_so_far for r in spark.table("aip_out").collect()}
+    assert tws == aip == {1: 1, 2: 1, 3: 2, 4: 3}
