@@ -349,3 +349,44 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("null_region"),
         F.countDistinct("region").alias("n_regions"),
     )
+
+
+@plan(
+    "ing_compact_small_files",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ing_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented table (64 tiny files) is
+    rewritten as 4 key-sorted files, then verified identical by
+    aggregate.  The standard lake-maintenance pass — fewer files cuts
+    listing/open overhead ~16×, and sortWithinPartitions(l_orderkey)
+    tightens parquet row-group min/max stats so later key-range
+    filters skip whole row groups.  100 TB: run per partition, target
+    file size = spark.sql.files.maxPartitionBytes."""
+    from data_ingest_utils_spark.plans.scans import SCRATCH
+
+    fragmented = f"{SCRATCH}/fragmented_lineitem"
+    compacted = f"{SCRATCH}/compacted_lineitem"
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(fragmented)
+    (
+        spark.read.parquet(fragmented)
+        .repartition(4)
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            # 2 dp, not 6: the compaction rewrite changes accumulation
+            # order, so the raw double sums differ ~1e-5 at 1e9
+            # magnitude — a 6dp round can flip, 2dp has 500x margin.
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

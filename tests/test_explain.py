@@ -141,3 +141,32 @@ def test_bucketed_self_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SelectedBucketsCount" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """A filter on the partition column of the partitioned sink must
+    become a PartitionFilter (directory pruning), not a data filter."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    QUERIES["sink_parquet_partitioned"](spark, SF_T2).collect()
+    df = spark.read.parquet("/tmp/data_ingest_utils_spark/sink_customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "c_mktsegment" in pf[0], plan
+
+
+def test_compacted_files_count(spark):
+    """ing_compact_small_files actually reduces 64 files to 4."""
+    import glob
+
+    from data_ingest_utils_spark.plans import QUERIES
+
+    QUERIES["ing_compact_small_files"](spark, SF_T2).collect()
+    frag = glob.glob("/tmp/data_ingest_utils_spark/fragmented_lineitem/part-*")
+    comp = glob.glob("/tmp/data_ingest_utils_spark/compacted_lineitem/part-*")
+    assert len(frag) == 64 and len(comp) == 4, (len(frag), len(comp))
