@@ -278,3 +278,28 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("qtys", lambda x: x > 25.0)).alias("n_large"),
         F.round(F.array_max("qtys"), 6).alias("max_qty"),
     )
+
+
+@plan(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS missing
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType for semi-structured data: parse_json into a
+    variant, path-extract typed values (try_variant_get -> NULL on
+    absent paths).  Variant keeps the parsed binary form columnar —
+    at 100 TB it replaces per-query JSON string re-parsing.  For dirty
+    feeds swap parse_json -> try_parse_json (malformed -> NULL row
+    instead of a failed job; verified)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing"),
+    )
