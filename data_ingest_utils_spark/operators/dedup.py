@@ -31,17 +31,12 @@ def exact_dedup(
     per hash.  Pure hash-groupBy: one shuffle on the digest, no
     comparisons — the only exact-dedup shape that works at 100 TB.
     """
-    h = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
-    from pyspark.sql import Window
+    from data_ingest_utils_spark.operators.relational import distinct_on
 
-    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
-    return (
-        df.withColumn("content_hash", h)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        .select(id_col, "content_hash", *keep_cols)
-    )
+    h = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    return distinct_on(
+        df.withColumn("content_hash", h), ["content_hash"], [F.col(id_col)]
+    ).select(id_col, "content_hash", *keep_cols)
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -122,10 +117,14 @@ def ngram_jaccard_pairs(
     :func:`ngram_jaccard_banded`, which blocks on SimHash bands so the
     candidate count stays near-linear.
     """
-    base = df.select(id_col, block_col, "text")
+    # block_col is functionally dependent on id_col, so carrying it
+    # through the explode+distinct costs nothing — and saves the
+    # shuffle join that re-attaching it to the exploded frame (the
+    # job's largest intermediate) would take.
     shingle_rows = (
-        distinct_shingles(base, n, id_col)
-        .join(base.select(id_col, block_col), id_col)
+        df.select(
+            id_col, block_col, F.explode(shingles(F.col("text"), n)).alias("shingle")
+        ).distinct()
     )
     sizes = shingle_rows.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingle_rows.select(

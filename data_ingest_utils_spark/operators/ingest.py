@@ -14,7 +14,7 @@ from __future__ import annotations
 import re
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: String cells with these exact values are standardized to NULL.
@@ -34,15 +34,17 @@ def normalize_columns(df: DataFrame, trim_strings: bool = True) -> DataFrame:
     Duplicate post-normalization names get positional suffixes so the
     result is always a valid schema.
     """
-    seen: dict[str, int] = {}
+    taken: set[str] = set()
     new_names = []
     for c in df.columns:
-        n = normalize_name(c)
-        if n in seen:
-            seen[n] += 1
-            n = f"{n}_{seen[n]}"
-        else:
-            seen[n] = 0
+        n = base = normalize_name(c)
+        # Suffix until globally unique — the generated name itself is
+        # registered, so 'a','a','a_1' can't emit 'a_1' twice.
+        i = 0
+        while n in taken:
+            i += 1
+            n = f"{base}_{i}"
+        taken.add(n)
         new_names.append(n)
     out = df.toDF(*new_names)
     if trim_strings:
@@ -123,13 +125,10 @@ def latest_per_key(
     100 TB, pre-bucketing the lake table by the same keys removes the
     shuffle entirely.
     """
+    from data_ingest_utils_spark.operators.relational import distinct_on
+
     order = [F.col(ts_col).desc()] + [F.col(t).desc() for t in tiebreakers]
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return distinct_on(df, list(keys), order)
 
 
 def null_safe_div(num: Column, den: Column) -> Column:

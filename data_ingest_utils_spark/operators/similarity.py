@@ -44,11 +44,21 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with a NULLIF denominator: a zero-norm vector
+    yields NULL instead of raising ANSI DIVIDE_BY_ZERO (Spark 4
+    default) — callers filter/ignore NULL rows."""
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
 def cosine_to_query(df: DataFrame, vec_col: str, query: Sequence[float]) -> Column:
-    """Cosine similarity of each row's vector to a literal query vector."""
+    """Cosine similarity of each row's vector to a literal query vector
+    (NULL for zero-norm rows — see :func:`_cosine`)."""
     q = F.array(*[F.lit(float(v)) for v in query])
     qnorm = math.sqrt(sum(float(v) * float(v) for v in query))
-    return _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return _dot(F.col(vec_col), q) / F.nullif(
+        _norm(F.col(vec_col)) * F.lit(qnorm), F.lit(0.0)
+    )
 
 
 def cosine_topk(
@@ -61,10 +71,13 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast query literal, O(n·dim) scan,
     TakeOrderedAndProject finish.  Deterministic: rounded sim desc,
-    then id asc."""
+    then id asc.  Zero-norm rows (padding / failed-encoder vectors)
+    produce NaN cosine, which Spark sorts ABOVE every real value in a
+    descending order — they are dropped, not ranked first."""
     sim = F.round(cosine_to_query(df, vec_col, query), round_dp)
     return (
         df.select(id_col, sim.alias("sim"))
+        .filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -111,8 +124,6 @@ def cosine_pairs_lsh(
     buckets per table rather than ~2, cutting per-bucket collision
     counts ~16× with 3 tables rescuing recall.
     """
-    import math
-
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -131,7 +142,7 @@ def cosine_pairs_lsh(
     euclid_t = math.sqrt(max(0.0, 2.0 * (1.0 - (threshold - 0.00005))))
     pairs = model.approxSimilarityJoin(feats, feats, euclid_t, distCol="_dist")
     a_vec, b_vec = F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")
-    cos = _dot(a_vec, b_vec) / (_norm(a_vec) * _norm(b_vec))
+    cos = _cosine(a_vec, b_vec)
     return (
         pairs.select(
             F.col(f"datasetA.{id_col}").alias("vec_a"),
@@ -161,7 +172,7 @@ def embedding_near_dup_pairs(
     joined = (
         a.join(b, "_blk") if block_col else a.crossJoin(b)
     ).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    cos = _cosine(F.col("_va"), F.col("_vb"))
     return (
         joined.withColumn("cos_sim", F.round(cos, 4))
         .filter(F.col("cos_sim") >= threshold)

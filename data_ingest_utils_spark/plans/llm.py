@@ -23,7 +23,9 @@ from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 from data_ingest_utils_spark.sources.writers import read_back, write_partitioned
 
-_STOP_SQL = "['the','a','of','to','and','in','is','on','for','with']"
+# Derived from the single source the Spark side uses — editing
+# text.STOPWORDS keeps the oracles in lockstep automatically.
+_STOP_SQL = "[" + ",".join(f"'{s}'" for s in tx.STOPWORDS) + "]"
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
@@ -658,11 +660,7 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("nbr_id"), "label", F.col("embedding").alias("_vb")
     )
     pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nbr_id"))
-    cos = F.round(
-        sim._dot(F.col("_va"), F.col("_vb"))
-        / (sim._norm(F.col("_va")) * sim._norm(F.col("_vb"))),
-        4,
-    )
+    cos = F.round(sim._cosine(F.col("_va"), F.col("_vb")), 4)
     scored = pairs.select("vec_id", "nbr_id", cos.alias("cos_sim"))
     return topk_per_group(
         scored, ["vec_id"], [F.col("cos_sim").desc(), F.col("nbr_id")], 3, "rnk"

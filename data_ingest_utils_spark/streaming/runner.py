@@ -17,12 +17,19 @@ real checkpoint dir).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 #: Explicit stream schema for crafted event micro-batches (µs
 #: timestamps — no nanos leniency needed on the streaming path).
+#: ts MUST be tz-sensitive TIMESTAMP: Spark (4.1) rejects
+#: TIMESTAMP_NTZ event time for watermarks
+#: (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — verified).  The batch twin
+#: reads NTZ, so batch==stream value equality relies on the UTC
+#: session pin in session.py (spark.sql.session.timeZone=UTC); a
+#: non-UTC session shifts streaming window starts by the tz offset.
 EVENTS_STREAM_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double"
 )
@@ -79,4 +86,10 @@ def run_available_now(
     finally:
         if query.isActive:  # pragma: no cover - timeout path
             query.stop()
-    return [p.asDict() if hasattr(p, "asDict") else p for p in query.recentProgress]
+    progress = [p.asDict() if hasattr(p, "asDict") else p for p in query.recentProgress]
+    # One-shot drains never resume — drop the checkpoint so repeated
+    # runs don't accumulate state dirs under /tmp.  (Resume tests
+    # manage their OWN checkpoint and don't go through this helper's
+    # cleanup path.)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return progress
