@@ -214,12 +214,15 @@ def connected_components(
     component.  At 100 TB cap rounds (max_iter) and checkpoint the
     label frame every few rounds to truncate lineage.
     """
+    import warnings
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.localCheckpoint(eager=True)
     comp = (
         e.select(F.col("a").alias("v")).distinct().withColumn("c", F.col("v"))
     ).localCheckpoint(eager=True)
+    n_changed = 0
     for _ in range(max_iter):
         nbr_min = (
             e.join(comp.withColumnRenamed("v", "b"), "b")
@@ -253,6 +256,18 @@ def connected_components(
         comp = jumped
         if n_changed == 0:
             break
+    else:
+        if n_changed:
+            # Exhausted max_iter without a zero-change round: labels may
+            # be non-converged (split components).  Surface it — silent
+            # wrong components are worse than a loud warning.
+            warnings.warn(
+                f"connected_components: max_iter={max_iter} exhausted before "
+                f"convergence ({n_changed} labels still changing); returned "
+                "components may be split — raise max_iter.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return comp.select(F.col("v"), F.col("c").alias("component"))
 
 
@@ -279,11 +294,21 @@ def minhash_lsh_pairs(
     blow up with corpus size (observed: 5k docs never finished).
     Shingle sets are near-disjoint for unrelated docs ⇒ candidate and
     result sizes stay near-linear — the web-scale MinHash contract.
+
+    Docs shorter than ``shingle_n`` tokens have an empty shingle set;
+    they FALL BACK to their distinct-token set so identical very-short
+    duplicates are still reported (a short doc can only pair with
+    another short doc — shingle and token feature spaces are disjoint
+    under the same HashingTF, which is the intended blocking).  Docs
+    with no tokens at all are dropped (MinHashLSH requires ≥1 nonzero
+    feature).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    sh = shingles(F.col(text_col), shingle_n)
+    tok = F.array_distinct(tokens(F.col(text_col)))
     shingled = df.select(
-        id_col, shingles(F.col(text_col), shingle_n).alias("_tokens")
+        id_col, F.when(F.size(sh) > 0, sh).otherwise(tok).alias("_tokens")
     ).filter(F.size("_tokens") > 0)
     tf = HashingTF(inputCol="_tokens", outputCol="_features", numFeatures=num_features)
     featurized = tf.transform(shingled)

@@ -115,20 +115,26 @@ def cosine_pairs_lsh(
     candidate pairs come from equal LSH buckets, then exact cosine
     filters.  Randomized bucketing ⇒ rows-only key.
 
-    Scale-critical tunings (for UNIT-NORM embeddings): the Euclidean
-    join threshold is DERIVED from the cosine threshold
-    (d² = 2·(1−cos) ⇒ d = sqrt(2·(1−t))) instead of the permissive
-    2.0 — at 2.0 every bucket collision survives (max unit-vector
-    distance IS 2.0) and the join degenerates to all-pairs.  Bucket
-    width 0.5 splits the ~N(0,1) projection of unit vectors into ~8
-    buckets per table rather than ~2, cutting per-bucket collision
-    counts ~16× with 3 tables rescuing recall.
+    Scale-critical tunings: vectors are L2-NORMALIZED before the LSH
+    fit/join (zero-norm rows dropped — cosine is undefined for them),
+    which makes the derived Euclidean join threshold valid for ANY
+    input norm, not just pre-normalized embeddings: on the unit sphere
+    d² = 2·(1−cos) ⇒ d = sqrt(2·(1−t)).  Using that radius instead of
+    the permissive 2.0 matters — at 2.0 every bucket collision
+    survives (max unit-vector distance IS 2.0) and the join
+    degenerates to all-pairs.  Bucket width 0.5 splits the ~N(0,1)
+    projection of unit vectors into ~8 buckets per table rather than
+    ~2, cutting per-bucket collision counts ~16× with 3 tables
+    rescuing recall.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(
-        id_col, F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+    norm = _norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    feats = (
+        df.filter(norm > 0)
+        .select(id_col, F.col(vec_col), array_to_vector(unit).alias("_v"))
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="_v", outputCol="_h", bucketLength=bucket_length,

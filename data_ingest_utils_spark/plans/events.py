@@ -209,17 +209,24 @@ def evt_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         "event_id long, user_id long, event_type string, value double"
     ).parquet(src)
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch_df, _id: batch_df.write.mode("append").parquet(out)
+    # One-shot drain: the checkpoint is never resumed, so drop it in a
+    # finally (repeated grading runs would otherwise accumulate state
+    # dirs under /tmp).
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_fes_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _id: batch_df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fes_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("evt_foreach_batch_sink: stream did not drain in 120s")
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("evt_foreach_batch_sink: stream did not drain in 120s")
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return (
         spark.read.parquet(out)
         .groupBy("event_type")

@@ -465,11 +465,18 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_tok = tx.token_count(F.col("text"))
     n_chunks = F.ceil(n_tok / F.lit(50.0)).cast("int")
+    # Empty-range guard: a 0-token doc would make sequence(0, -1)
+    # DESCEND (spurious negative chunk ids) instead of being empty like
+    # the oracle's range(0, 0).  Latent today (tokens('') == ['']), but
+    # explode over an empty array is the correct empty-range semantics.
+    chunk_ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
         docs.select(
             "doc_id",
             n_tok.alias("_n"),
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            F.explode(chunk_ids).alias("chunk_id"),
         )
         .select(
             "doc_id",
@@ -777,8 +784,15 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = F.lit(2048).cast("long")
     first_seq = F.floor((F.col("cum") - F.col("n")) / cap)
     last_seq = F.floor((F.col("cum") - 1) / cap)
+    # Empty-range guard: a 0-token doc at a 2048 boundary would make
+    # sequence(first, last) DESCEND (first > last) and emit spurious
+    # rows; the oracle's half-open range() is empty there.  Latent
+    # today (tokens('') == ['']), guarded anyway.
+    seq_ids = F.when(
+        first_seq <= last_seq, F.sequence(first_seq, last_seq)
+    ).otherwise(F.array().cast("array<long>"))
     return (
-        t.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+        t.withColumn("seq_id", F.explode(seq_ids))
         .select(
             "doc_id",
             F.col("seq_id").cast("int").alias("seq_id"),

@@ -86,10 +86,10 @@ def run_available_now(
     finally:
         if query.isActive:  # pragma: no cover - timeout path
             query.stop()
+        # One-shot drains never resume — drop the checkpoint (also on
+        # the timeout path) so repeated runs don't accumulate state
+        # dirs under /tmp.  (Resume tests manage their OWN checkpoint
+        # and don't go through this helper's cleanup path.)
+        shutil.rmtree(checkpoint, ignore_errors=True)
     progress = [p.asDict() if hasattr(p, "asDict") else p for p in query.recentProgress]
-    # One-shot drains never resume — drop the checkpoint so repeated
-    # runs don't accumulate state dirs under /tmp.  (Resume tests
-    # manage their OWN checkpoint and don't go through this helper's
-    # cleanup path.)
-    shutil.rmtree(checkpoint, ignore_errors=True)
     return progress
