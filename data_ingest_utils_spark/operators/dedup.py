@@ -103,7 +103,7 @@ def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, id_col: str,
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
-    block_col: str = "lang",
+    block_cols: str | Sequence[str] = ("lang",),
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
@@ -111,31 +111,90 @@ def ngram_jaccard_pairs(
 
     |A∩B| via a self-join on distinct (block, shingle); |A|,|B| from
     per-doc shingle counts; J = inter / (|A|+|B|-inter), rounded to
-    4 dp (contract).  The block key caps the pair space.  NOTE: a
-    low-cardinality block (lang) is quadratic WITHIN the block — fine
-    at fixture scale and oracle-exact, but the 100 TB path is
-    :func:`ngram_jaccard_banded`, which blocks on SimHash bands so the
-    candidate count stays near-linear.
+    4 dp (contract).  The block key caps the pair space: pairs are
+    scored iff they agree on EVERY block column.  Compose a
+    low-cardinality key (lang) with a bounded one (length bucket,
+    e.g. ``n_chars // 256``) — lang alone is quadratic WITHIN the
+    block, which a single-language 100 TB corpus turns into all-pairs.
+    For unbounded-cardinality blocking the scale path is
+    :func:`ngram_jaccard_banded` (SimHash bands keep candidates
+    near-linear regardless of corpus shape).
     """
-    # block_col is functionally dependent on id_col, so carrying it
+    blocks = [block_cols] if isinstance(block_cols, str) else list(block_cols)
+    # block cols are functionally dependent on id_col, so carrying them
     # through the explode+distinct costs nothing — and saves the
-    # shuffle join that re-attaching it to the exploded frame (the
+    # shuffle join that re-attaching them to the exploded frame (the
     # job's largest intermediate) would take.
     shingle_rows = (
         df.select(
-            id_col, block_col, F.explode(shingles(F.col("text"), n)).alias("shingle")
+            id_col, *blocks, F.explode(shingles(F.col("text"), n)).alias("shingle")
         ).distinct()
     )
     sizes = shingle_rows.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    blk_names = [f"blk{i}" for i in range(len(blocks))]
     a = shingle_rows.select(
-        F.col(id_col).alias("doc_a"), F.col(block_col).alias("blk"), "shingle"
+        F.col(id_col).alias("doc_a"),
+        *[F.col(c).alias(bn) for c, bn in zip(blocks, blk_names)],
+        "shingle",
     )
     b = shingle_rows.select(
-        F.col(id_col).alias("doc_b"), F.col(block_col).alias("blk"), "shingle"
+        F.col(id_col).alias("doc_b"),
+        *[F.col(c).alias(bn) for c, bn in zip(blocks, blk_names)],
+        "shingle",
     )
     inter = (
-        a.join(b, ["blk", "shingle"])
+        a.join(b, [*blk_names, "shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, id_col, threshold)
+
+
+def ngram_jaccard_length_blocked(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    bucket_chars: int = 256,
+    len_col: str = "n_chars",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Exact n-gram Jaccard over (lang × length-band) candidate pairs
+    with NEIGHBOR-BUCKET membership: each doc lands in buckets
+    ``{len//w, len//w + 1}``, so any pair within ``bucket_chars`` of
+    each other shares a bucket — no boundary stragglers, unlike naive
+    same-bucket blocking.  Candidates are DISTINCT doc pairs (a pair
+    can share two buckets), then scored with the candidate-bounded
+    two-equi-join intersection (same shape as
+    :func:`ngram_jaccard_banded`), which cannot double-count.
+
+    Deterministic and oracle-exact (pure SQL arithmetic — no hashing),
+    while bounding the pair space to lang × length-band occupancy:
+    the fix for lang-only blocking being all-pairs on a
+    single-language corpus.  True 100 TB path remains
+    :func:`ngram_jaccard_banded` (hash bands bound candidates
+    near-linearly regardless of the corpus length profile).
+    """
+    lb = F.floor(F.col(len_col).cast("long") / bucket_chars).cast("long")
+    member = df.select(
+        id_col,
+        lang_col,
+        F.explode(F.array(lb, lb + 1)).alias("blk"),
+    )
+    a = member.select(F.col(id_col).alias("doc_a"), lang_col, "blk")
+    b = member.select(F.col(id_col).alias("doc_b"), lang_col, "blk")
+    cands = (
+        a.join(b, [lang_col, "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = distinct_shingles(df.select(id_col, "text"), n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), "shingle"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -75,18 +75,27 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan(
     "llm_dedup_ngram_jaccard",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    WITH m AS (
+      SELECT doc_id, lang,
+             unnest([n_chars // 256, n_chars // 256 + 1]) AS blk
+      FROM documents
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM m a JOIN m b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), sh AS (
-      SELECT DISTINCT doc_id, lang,
+      SELECT DISTINCT doc_id,
              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _l
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b
-        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT doc_a, doc_b, count(*) AS n_inter
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -98,11 +107,14 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard over lang-blocked candidate pairs
-    (oracle-exact fixture shape; the scale path is
-    llm_dedup_ngram_banded)."""
+    """Exact 3-gram Jaccard over lang × length-band candidate pairs
+    with neighbor-bucket membership (docs within 256 chars always
+    share a bucket — no boundary stragglers).  Bounds the pair space
+    that lang-only blocking leaves quadratic, stays deterministic and
+    hash-exact vs the oracle; llm_dedup_ngram_banded is the
+    hash-banded 100 TB path."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, n=3, block_col="lang", threshold=0.1)
+    return dd.ngram_jaccard_length_blocked(docs, n=3, threshold=0.1)
 
 
 @plan("llm_dedup_ngram_banded")  # rows-only: xxhash64 bands have no DuckDB twin
@@ -700,18 +712,27 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan(
     "llm_dedup_clusters",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    WITH m AS (
+      SELECT doc_id, lang,
+             unnest([n_chars // 256, n_chars // 256 + 1]) AS blk
+      FROM documents
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM m a JOIN m b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), sh AS (
-      SELECT DISTINCT doc_id, lang,
+      SELECT DISTINCT doc_id,
              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _l
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b
-        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT doc_a, doc_b, count(*) AS n_inter
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
       GROUP BY 1, 2
     ), pairs AS (
       SELECT doc_a, doc_b FROM inter
@@ -732,15 +753,15 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERING: n-gram Jaccard pairs (>= 0.1, lang-blocked)
-    collapsed into connected components — component id = min doc_id,
-    i.e. the survivor each duplicate cluster keeps.  Iterative
-    min-label propagation with pointer jumping (O(log diameter)
-    distributed rounds); the DuckDB oracle computes the identical
-    fixpoint with a recursive CTE, so even this iterative algorithm is
-    hash-checked exactly."""
+    """Near-dup CLUSTERING: n-gram Jaccard pairs (>= 0.1, lang ×
+    neighbor length-band candidates) collapsed into connected
+    components — component id = min doc_id, i.e. the survivor each
+    duplicate cluster keeps.  Iterative min-label propagation with
+    pointer jumping (O(log diameter) distributed rounds); the DuckDB
+    oracle computes the identical fixpoint with a recursive CTE, so
+    even this iterative algorithm is hash-checked exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, n=3, block_col="lang", threshold=0.1)
+    pairs = dd.ngram_jaccard_length_blocked(docs, n=3, threshold=0.1)
     return dd.connected_components(pairs).select(
         F.col("v").alias("doc_id"), "component"
     )

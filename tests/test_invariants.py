@@ -61,7 +61,7 @@ def test_banded_jaccard_matches_exact_survivors(spark, planted_docs):
         (r.doc_a, r.doc_b, r.jaccard)
         for r in dd.ngram_jaccard_pairs(
             planted_docs.withColumn("lang", F.lit("xx")),
-            block_col="lang",
+            block_cols=("lang",),
             threshold=0.5,
         ).collect()
     }
