@@ -27,23 +27,49 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@plan("scan_csv_infer")  # rows-only: file paths/ordering env-dependent
+@plan(
+    "scan_csv_infer",
+    oracle="""
+    SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
+    FROM region
+    """,
+)
 def scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingestion with header + schema inference (round-tripped from
-    the region fixture so the sandbox needs no external CSV)."""
+    the region fixture so the sandbox needs no external CSV).  The
+    oracle reads the fixture directly: a lossless text round trip —
+    quoting, header, type re-inference — must hash-match the source,
+    which is exactly the property worth checking.  Inferred numerics
+    are pinned with explicit casts so the check doesn't float on
+    inference heuristics."""
     path = f"{SCRATCH}/csv_region"
     load_table(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").option(
         "header", "true"
     ).csv(path)
-    return read_csv(spark, path)
+    return read_csv(spark, path).select(
+        F.col("r_regionkey").cast("int").alias("r_regionkey"),
+        "r_name",
+    )
 
 
-@plan("scan_json")  # rows-only
+@plan(
+    "scan_json",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
 def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines ingestion (round-tripped from the nation fixture)."""
+    """JSON-lines ingestion (round-tripped from the nation fixture);
+    hash-checked against the fixture source — see scan_csv_infer."""
     path = f"{SCRATCH}/json_nation"
     load_table(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").json(path)
-    return read_jsonl(spark, path)
+    return read_jsonl(spark, path).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
 
 
 @plan(
