@@ -25,7 +25,7 @@ import time
 
 # Queries chosen to mirror BASELINE.md's measured rows, one per shape
 # family (agg / join+topk / star join / window / distinct / event-time
-# window / vector search).
+# window / vector search / dedup shuffle / session window).
 HEADLINE = [
     "agg_hash_group",
     "sort_limit_topk",
@@ -34,6 +34,8 @@ HEADLINE = [
     "agg_count_distinct",
     "evt_tumbling",
     "llm_sim_topk",
+    "llm_dedup_exact",
+    "evt_session",
 ]
 
 REPEATS = 3

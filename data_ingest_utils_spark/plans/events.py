@@ -85,8 +85,26 @@ def evt_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute gap (gap >= 30min ⇒
     new session, matching session_window's strict-overlap merge); the
-    oracle is the classic gaps-and-islands rewrite."""
-    return session_agg(load_table(spark, sf_dir, "events"))
+    oracle is the classic gaps-and-islands rewrite.
+
+    When the source has fewer splits than the cluster has cores (one
+    small file ⇒ one partition), shuffle the raw rows onto user_id
+    FIRST: the exchange satisfies the session aggregation's required
+    clustering (still exactly ONE shuffle — verified in the plan), and
+    the per-row session-struct/timestamp work runs on every core
+    instead of one.  With ample input splits (the 100 TB case) we
+    skip it: map-side partial session merge before the single required
+    exchange shuffles merged spans, not raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    # inputFiles() is a file-listing probe (no job, no RDD plan
+    # conversion) — a fine under-parallelism signal for single-file
+    # fixtures and far cheaper than rdd.getNumPartitions().
+    if len(ev.inputFiles()) < spark.sparkContext.defaultParallelism:
+        # Explicit width: AQE would coalesce a byte-small exchange to
+        # one partition, re-serializing the per-row work this shuffle
+        # exists to parallelize (CPU-bound, not byte-bound).
+        ev = ev.repartition(spark.sparkContext.defaultParallelism, F.col("user_id"))
+    return session_agg(ev)
 
 
 @plan("evt_watermark_late")  # rows-only: watermark is a no-op in batch
