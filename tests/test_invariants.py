@@ -84,6 +84,49 @@ def test_cosine_pairs_lsh_invariants(spark):
         assert r.cos_sim >= 0.3
 
 
+def test_minhash_lsh_recall_vs_exact(spark):
+    """llm_dedup_near's operator must recover >=90% of the pairs its
+    exact twin (all-pairs shingle Jaccard) finds at the matching
+    similarity on the real documents fixture — the recall contract a
+    rows-only key owes in place of a SQL oracle."""
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    # max_distance 0.6 ⇒ the LSH net is cast at Jaccard >= 0.4; demand
+    # recall on exact pairs comfortably inside it (>= 0.5).
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_pairs(
+            docs.withColumn("_one", F.lit("x")),
+            block_cols=("_one",),  # constant block = true all-pairs
+            threshold=0.5,
+        ).collect()
+    }
+    assert exact, "fixture has no near-dup pairs at J>=0.5; test is vacuous"
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(docs, max_distance=0.6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))
+
+
+def test_cosine_lsh_recall_vs_exact(spark):
+    """llm_sim_pairs_lsh's operator must recover >=90% of the pairs the
+    exact all-pairs cosine scorer finds at the same threshold on the
+    real embeddings fixture."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in sim.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert exact, "fixture has no cosine pairs at >=0.4; test is vacuous"
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in sim.cosine_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))
+
+
 def test_approx_count_distinct_within_rsd(spark):
     """approx_count_distinct(rsd=0.05) within 3*rsd of exact."""
     li = spark.read.parquet(f"{SF_T2}/lineitem.parquet")
