@@ -390,3 +390,122 @@ def ing_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@plan(
+    "ing_schema_report",
+    oracle="""
+    WITH cols AS (
+      SELECT 'lineitem' AS table_name, column_name, column_type
+      FROM (DESCRIBE SELECT * FROM lineitem)
+      UNION ALL SELECT 'events', column_name, column_type
+      FROM (DESCRIBE SELECT * FROM events)
+      UNION ALL SELECT 'documents', column_name, column_type
+      FROM (DESCRIBE SELECT * FROM documents)
+      UNION ALL SELECT 'embeddings', column_name, column_type
+      FROM (DESCRIBE SELECT * FROM embeddings)
+    )
+    SELECT table_name, column_name,
+           CASE column_type
+             WHEN 'BIGINT' THEN 'int64'
+             WHEN 'INTEGER' THEN 'int32'
+             WHEN 'DOUBLE' THEN 'float64'
+             WHEN 'VARCHAR' THEN 'string'
+             WHEN 'TIMESTAMP' THEN 'timestamp'
+             WHEN 'FLOAT[]' THEN 'array<float>'
+             ELSE lower(column_type)
+           END AS col_type
+    FROM cols
+    """,
+)
+def ing_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema report over the lake tables — the ingest-utility
+    "describe source / generate DDL" surface: one row per column with
+    an engine-neutral type name (both engines map their native names
+    onto the same vocabulary).  Metadata-only: reads parquet footers,
+    never data, so it costs the same at 100 TB as at 1 MB."""
+    neutral = {
+        "bigint": "int64",
+        "int": "int32",
+        "double": "float64",
+        "string": "string",
+        # parquet timestamps carry no zone -> Spark surfaces NTZ; both
+        # engines' wall-clock semantics agree, so one neutral name.
+        "timestamp": "timestamp",
+        "timestamp_ntz": "timestamp",
+        "array<float>": "array<float>",
+    }
+    rows = []
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        for field in load_table(spark, sf_dir, t).schema.fields:
+            s = field.dataType.simpleString()
+            rows.append((t, field.name, neutral.get(s, s)))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, col_type string"
+    )
+
+
+@plan(
+    "ing_type_infer_report",
+    oracle="""
+    WITH samples AS (
+      SELECT 'l_orderkey' AS col, CAST(l_orderkey AS VARCHAR) AS s FROM lineitem
+      UNION ALL SELECT 'l_quantity', CAST(l_quantity AS VARCHAR) FROM lineitem
+      UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+      UNION ALL SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR) FROM lineitem
+    )
+    SELECT col, count(*) AS n_rows,
+           count(*) FILTER (WHERE regexp_matches(s, '^-?[0-9]+$')) AS n_int,
+           count(TRY_CAST(s AS DOUBLE)) AS n_double,
+           count(*) FILTER (WHERE TRY_CAST(s AS TIMESTAMP) IS NOT NULL
+                            AND TRY_CAST(s AS DOUBLE) IS NULL) AS n_ts,
+           CASE
+             WHEN count(*) = count(*) FILTER (WHERE regexp_matches(s, '^-?[0-9]+$'))
+               THEN 'int64'
+             WHEN count(*) = count(TRY_CAST(s AS DOUBLE)) THEN 'float64'
+             WHEN count(*) = count(*) FILTER (WHERE TRY_CAST(s AS TIMESTAMP) IS NOT NULL
+                                              AND TRY_CAST(s AS DOUBLE) IS NULL)
+               THEN 'timestamp'
+             ELSE 'string'
+           END AS inferred
+    FROM samples GROUP BY col
+    """,
+)
+def ing_type_infer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type inference over string-typed source data — the ingest
+    utility's "type cleaning" core: per column, how many values parse
+    as int / double / timestamp, and the inferred target type
+    (preference int64 > float64 > timestamp > string, all-rows-parse
+    rule).  Int-likeness is a regexp on BOTH sides because the engines'
+    TRY_CAST disagree on decimal strings (DuckDB rounds '5.5'->6,
+    Spark yields NULL); ts-likeness is "casts as timestamp AND NOT as
+    a number" because Spark parses bare-year digits ('5979') as
+    timestamps while DuckDB does not; double TRY_CAST agrees as-is.
+    One union-scan + one hash agg: a single pass at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sample = None
+    for col in ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"):
+        part = li.select(
+            F.lit(col).alias("col"), F.col(col).cast("string").alias("s")
+        )
+        sample = part if sample is None else sample.unionByName(part)
+    int_like = F.col("s").rlike("^-?[0-9]+$")
+    ts_like = (
+        F.col("s").try_cast("timestamp").isNotNull()
+        & F.col("s").try_cast("double").isNull()
+    )
+    n_rows = F.count("*")
+    n_int = F.sum(int_like.cast("long"))
+    n_double = F.count(F.col("s").try_cast("double"))
+    n_ts = F.sum(ts_like.cast("long"))
+    return sample.groupBy("col").agg(
+        n_rows.alias("n_rows"),
+        n_int.alias("n_int"),
+        n_double.alias("n_double"),
+        n_ts.alias("n_ts"),
+        F.when(n_rows == n_int, "int64")
+        .when(n_rows == n_double, "float64")
+        .when(n_rows == n_ts, "timestamp")
+        .otherwise("string")
+        .alias("inferred"),
+    )

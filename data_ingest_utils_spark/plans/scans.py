@@ -217,3 +217,51 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_name").cast("int").alias("n_good"),
         F.count("_corrupt_record").cast("int").alias("n_corrupt"),
     )
+
+
+@plan(
+    "scan_binaryfile",
+    oracle="""
+    SELECT p_partkey, CAST(length(p_name) AS BIGINT) AS n_bytes,
+           sha256(p_name) AS sha
+    FROM part WHERE p_partkey < 64
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-object ingestion — the multimodal pointer path (SURVEY
+    §2k, BASELINE.json:6): one small object per part row on disk, read
+    back through Spark's ``binaryFile`` source (path, length, content),
+    the key parsed from the filename and the payload sha-verified
+    against the fixture source.
+
+    The 64-row driver loop below is FIXTURE GENERATION (writing the
+    .bin objects the sandbox lacks), not the operator path; the
+    measured operator is the distributed binaryFile scan.  100 TB:
+    executors list + read objects in parallel; pair with
+    ``pathGlobFilter``/partitioned prefixes for pruning, and keep
+    payloads as pointers past ~1 MB (llm_multimodal_pack)."""
+    import shutil
+
+    path = f"{SCRATCH}/bin_part"
+    rows = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 64)
+        .select("p_partkey", "p_name")
+        .collect()
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    for r in rows:
+        with open(f"{path}/part_{r.p_partkey}.bin", "wb") as fh:
+            fh.write(r.p_name.encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"part_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("p_partkey"),
+            F.col("length").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha"),
+        )
+    )
