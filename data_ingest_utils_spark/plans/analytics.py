@@ -197,3 +197,62 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_orders"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+@plan(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(avg(l_discount), 6) AS avg_discount
+    FROM lineitem GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice (5000-wide buckets)
+    with a per-bucket companion stat.  The bucket id is derived
+    arithmetic (floor(x/width) — exact in both engines, unlike the
+    engine-specific width_bucket functions), so the whole histogram is
+    ONE map-side-combinable hash aggregation: the 100 TB shape for any
+    distribution profile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.floor(F.col("l_extendedprice") / 5000).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        )
+    )
+
+
+@plan(
+    "agg_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_s,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: correlation, sample covariance,
+    and the OLS regression family (slope/intercept/r2/count) — all
+    single-pass streaming aggregates (Welford-style moment updates)
+    that combine map-side and merge associatively across partitions:
+    the same plan shape as a sum at 100 TB.  Bounded stats ([-1,1])
+    round 6 dp; unbounded moments 4 dp (their accumulation-order error
+    scales with magnitude — SURVEY §7 float rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(y, x), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp(y, x), 4).alias("covar_s"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )

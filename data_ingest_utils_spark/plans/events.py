@@ -250,3 +250,62 @@ def evt_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@plan(
+    "evt_funnel_conversion",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts,
+             max(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_signup_ts
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           count(*) FILTER (WHERE last_signup_ts IS NOT NULL
+                            AND ts - last_signup_ts <= INTERVAL 30 MINUTE)
+             AS n_converted
+    FROM flagged
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (funnel): per user, how many
+    purchases follow a signup within 30 minutes.  The CEP-ish "A then
+    B within t" pattern is expressed set-based — a running
+    max-of-ts-where-A window (rows-preceding frame, deterministic
+    (ts, event_id) order) then an interval comparison on the B rows —
+    so it is one shuffle on user_id + one window pass, never a
+    self-join.  The same transform runs incrementally under Structured
+    Streaming as the interval-join/state pattern (evt_interval_join is
+    the stream-stream twin).  Timestamp arithmetic stays in native
+    interval types on both sides (no epoch truncation at the 30-min
+    boundary)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.max(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .over(w)
+        .alias("last_signup_ts"),
+    )
+    purchases = flagged.filter(F.col("event_type") == "purchase")
+    converted = F.col("last_signup_ts").isNotNull() & (
+        (F.col("ts") - F.col("last_signup_ts")) <= F.expr("INTERVAL 30 MINUTES")
+    )
+    return purchases.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(converted.cast("long")).alias("n_converted"),
+    )

@@ -303,3 +303,59 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "int").alias("k"),
         F.try_variant_get(v, "$.missing", "int").alias("missing"),
     )
+
+
+@plan(
+    "fn_hash",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           sha256(concat_ws('|', p_name, p_brand)) AS composite_sha
+    FROM part
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash functions (md5 / sha-256) plus a composite
+    row hash over concat_ws — the stable-row-fingerprint primitive
+    behind ing_add_audit_cols and llm_dedup_exact.  Pure JVM-side
+    codegen'd expressions: one narrow scan, no shuffle, and the hex
+    encodings agree across engines byte-for-byte."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
+        F.sha2(F.concat_ws("|", "p_name", "p_brand"), 256).alias("composite_sha"),
+    )
+
+
+@plan(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           event_id | 4096 AS set_bit,
+           xor(event_id, user_id) AS xored,
+           user_id << 3 AS shl,
+           event_id >> 4 AS shr,
+           CAST(bit_count(event_id) AS INTEGER) AS popcount
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (and/or/xor, shifts, popcount) on the
+    int64 key columns — the building blocks for bit-packed feature
+    flags, bloom-filter addressing, and hash mixing.  All narrow
+    codegen'd expressions; DuckDB's TINYINT bit_count is cast up to
+    Spark's INTEGER on the oracle side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("lo_byte"),
+        F.expr("event_id | 4096").alias("set_bit"),
+        F.expr("event_id ^ user_id").alias("xored"),
+        F.shiftleft(F.col("user_id"), 3).alias("shl"),
+        F.shiftright(F.col("event_id"), 4).alias("shr"),
+        F.bit_count(F.col("event_id")).alias("popcount"),
+    )
