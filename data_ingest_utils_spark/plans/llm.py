@@ -869,3 +869,147 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: acc + x)
         .alias("abs_code_sum"),
     )
+
+
+@plan(
+    "llm_ngram_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, string_split(text, ' ') AS t FROM documents
+    ), bigrams AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ), counted AS (
+      SELECT lang, bigram, count(*) AS n FROM bigrams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+      FROM counted
+    ) WHERE rk <= 20
+    """,
+)
+def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: top-20 bigrams per language by count
+    (ties broken by bigram text) — the n-gram frequency table behind
+    tokenizer training, contamination indices, and LM smoothing.
+
+    Scale shape: bigram generation is a narrow per-row array transform
+    (no shuffle), counting is one map-side-combinable hash agg on
+    (lang, bigram), and the top-20 runs through topk_per_group's
+    WindowGroupLimit phrasing — count + rank, two shuffles total,
+    both on hash-sized keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    return topk_per_group(
+        counted, ["lang"], [F.desc("n"), F.asc("bigram")], 20, out_name="rk"
+    )
+
+
+@plan(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+      SELECT sum(c) AS s FROM vocab
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(c / s)), 6) AS avg_nll
+    FROM toks JOIN vocab USING (tok) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM pseudo-perplexity (CCNet-style quality signal): build
+    the corpus unigram distribution, then score each document by the
+    average negative log-probability of its tokens.  Low avg_nll =
+    repetitive/common text, high = rare-token soup; both tails are
+    filter candidates.
+
+    Scale shape: token counting is one hash agg; the corpus total is a
+    broadcast singleton (scalar cross join, never a shuffle); the
+    tokens->vocab join is an equi-join on the token string that AQE
+    broadcasts while the vocab fits (at 100 TB vocab it becomes a
+    sort-merge on a well-distributed key); per-doc scoring is one
+    final agg on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("s"))
+    scored = toks.join(vocab, "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(-F.log(F.col("c") / F.col("s"))), 6).alias("avg_nll"),
+    )
+
+
+@plan(
+    "llm_embed_centroid",
+    oracle="""
+    WITH exploded AS (
+      SELECT vec_id, label, unnest(embedding) AS e,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, avg(e) AS c FROM exploded GROUP BY label, pos
+    )
+    SELECT vec_id, label, round(sum((e - c) * (e - c)), 6) AS dist_sq
+    FROM exploded JOIN cent USING (label, pos)
+    GROUP BY vec_id, label
+    """,
+)
+def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + per-vector squared distance to
+    its centroid — simultaneously the IVF coarse-quantizer training
+    step (llm_sim_ivf's cells are exactly these centroids) and an
+    embedding-outlier quality signal.
+
+    Scale shape: centroids aggregate via posexplode + hash agg on
+    (label, pos) — map-side partial sums make this one small shuffle —
+    then collapse to 10 centroid arrays that BROADCAST back onto the
+    un-exploded table; the distance is a zip_with/aggregate lambda
+    over the native arrays (no 64x row expansion on the big side, no
+    second shuffle).  The oracle mirrors the math through DuckDB's
+    zipped-unnest instead."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    expl = emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+    cent_long = expl.groupBy("label", "pos").agg(F.avg("e").alias("c"))
+    cent = (
+        cent_long.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+    return emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(embedding, centroid,"
+                " (a, b) -> (a - b) * (a - b)),"
+                " 0D, (acc, x) -> acc + x)"
+            ),
+            6,
+        ).alias("dist_sq"),
+    )

@@ -170,3 +170,32 @@ def test_compacted_files_count(spark):
     frag = glob.glob("/tmp/data_ingest_utils_spark/fragmented_lineitem/part-*")
     comp = glob.glob("/tmp/data_ingest_utils_spark/compacted_lineitem/part-*")
     assert len(frag) == 64 and len(comp) == 4, (len(frag), len(comp))
+
+
+def test_embed_centroid_broadcasts_no_expansion_join(spark):
+    """llm_embed_centroid must attach the 10 centroid arrays via a
+    BroadcastHashJoin on label — never a shuffle of the exploded
+    (n x 64)-row table back onto the vectors, and never a cartesian."""
+    plan = _plan(spark, "llm_embed_centroid")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_topk_uses_window_group_limit(spark):
+    """llm_ngram_counts' per-lang top-20 must ride WindowGroupLimit
+    (per-partition k-limit before the full window sort)."""
+    plan = _plan(spark, "llm_ngram_counts")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_window_no_self_join(spark):
+    """evt_funnel_conversion is a window + filter + agg — the A-then-B
+    pattern must not plan as a self-join (no second events scan joined
+    back, no cartesian)."""
+    plan = _plan(spark, "evt_funnel_conversion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") == 0
+    assert "RunningWindowFunction" in plan or "Window" in plan
