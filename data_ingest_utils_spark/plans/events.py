@@ -309,3 +309,64 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         F.sum(converted.cast("long")).alias("n_converted"),
     )
+
+
+@plan(
+    "evt_retention_cohort",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             time_bucket(INTERVAL '7 days', min(ts),
+                         TIMESTAMP '1970-01-01 00:00:00') AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            time_bucket(INTERVAL '7 days', e.ts,
+                                        TIMESTAMP '1970-01-01 00:00:00')) / 7
+                  AS INTEGER) AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def evt_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, then
+    per (cohort, week-offset) distinct active-user counts — the
+    standard growth-analytics triangle.
+
+    Both engines bucket weeks with the SAME epoch-aligned 7-day
+    tumbling window: Spark's F.window aligns to the epoch natively,
+    and the oracle pins time_bucket's origin to 1970-01-01 (DuckDB's
+    default day-bucket origin is 2000-01-03, 4 days off the epoch
+    grid).  No week-of-year dialect drift.  Scale shape: first-seen is one min-agg on user_id;
+    the activity join is an equi-join on user_id (AQE broadcasts the
+    cohort side while it fits); the per-(user, cohort, offset)
+    distinct collapses BEFORE the final count agg — three shuffles,
+    all on well-distributed keys, no windows over unbounded
+    partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.window(c, "7 days").start  # noqa: E731  epoch-aligned
+    first_seen = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", week(F.col("first_ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.select("user_id", week(F.col("ts")).alias("active_week"))
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
