@@ -228,3 +228,55 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@plan(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END
+               AS status_key
+      FROM orders
+    ), r AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END
+               AS status_key,
+             count(*) AS n_right
+      FROM orders GROUP BY status_key
+    )
+    SELECT coalesce(l.status_key, '<null>') AS status_key,
+           count(*) AS n_left, min(n_right) AS n_right
+    FROM l JOIN r ON l.status_key IS NOT DISTINCT FROM r.status_key
+    GROUP BY l.status_key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (Spark ``<=>`` == SQL ``IS NOT DISTINCT
+    FROM``): NULL keys match each other instead of vanishing — the
+    semantics ingestion pipelines need when joining on nullable
+    business keys after ing_standardize_nulls.  Nulls are injected
+    in-plan (fixtures have none).  Null-safe equality remains a HASH
+    join key in Spark (NULL hashes to a bucket like any value), so the
+    plan is a plain shuffled/broadcast hash join — no fallback to a
+    nested-loop."""
+    orders = load_table(spark, sf_dir, "orders")
+    status_key = F.when(
+        F.col("o_orderstatus") == "P", F.lit(None)
+    ).otherwise(F.col("o_orderstatus"))
+    left = orders.select("o_orderkey", status_key.alias("status_key"))
+    right = (
+        orders.select(status_key.alias("status_key"))
+        .groupBy("status_key")
+        .agg(F.count("*").alias("n_right"))
+    )
+    joined = left.join(
+        right.withColumnRenamed("status_key", "r_status_key"),
+        F.col("status_key").eqNullSafe(F.col("r_status_key")),
+    )
+    return joined.groupBy("status_key").agg(
+        F.count("*").alias("n_left"), F.min("n_right").alias("n_right")
+    ).select(
+        F.coalesce(F.col("status_key"), F.lit("<null>")).alias("status_key"),
+        "n_left",
+        "n_right",
+    )
