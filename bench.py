@@ -38,7 +38,10 @@ HEADLINE = [
     "evt_session",
 ]
 
-REPEATS = 3
+REPEATS = 5  # best-of-5: local[32] run-to-run variance is ~±20% at
+# these sub-second latencies; 3 reps let one noisy run distort the
+# recorded best (observed r3: join_multiway_star 0.76s vs 1.05s
+# across two back-to-back bench invocations).
 
 
 def _sf_from_dir(sf_dir: str) -> float:
