@@ -1013,3 +1013,129 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dist_sq"),
     )
+
+
+@plan(
+    "llm_token_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           round(-sum((c / n) * ln(c / n)), 6) AS token_entropy
+    FROM tf JOIN dl USING (doc_id)
+    GROUP BY doc_id, n
+    """,
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy (Shannon, nats) — the
+    Gopher-family repetition/diversity signal: near-zero entropy means
+    one token dominates (boilerplate, keyword stuffing), high entropy
+    approaching ln(n_tokens) means no repetition at all.
+
+    Scale shape: term frequencies are one hash agg on (doc_id, tok);
+    doc lengths reduce from the TF table (not a rescan); the join back
+    is an equi-join on doc_id co-partitioned with the final agg, so
+    AQE plans tf->dl->join->agg with a single doc_id exchange reused
+    across stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"))
+        .select("doc_id", F.col("n").alias("n_tokens"), "token_entropy")
+    )
+
+
+@plan(
+    "llm_mixture_sample",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             1 + (CAST(substr(source, 4) AS INTEGER) % 4) AS keep_every,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, CAST(min(keep_every) AS INTEGER) AS keep_every,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE rn % keep_every = 0) AS n_kept
+    FROM weighted GROUP BY source
+    """,
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture downsampling — the training-data
+    mixing step: each source gets a keep-every-k rate (k derived here
+    from the source id; in production a broadcast weight table) and
+    keeps exactly every k-th document in stable doc_id order.
+    Systematic sampling, unlike Bernoulli, is reproducible across
+    engines and runs — which is why this key can be hash-checked while
+    sel_sample_stratified is rows-only.
+
+    Scale shape: one window rank per source (WindowGroupLimit doesn't
+    apply — full enumeration — but the partition key is the shuffle
+    key, one exchange) + one hash agg."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep_every = 1 + (F.substring("source", 4, 10).cast("int") % 4)
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    weighted = docs.select(
+        "doc_id", "source", keep_every.alias("keep_every"), rn.alias("rn")
+    )
+    return weighted.groupBy("source").agg(
+        F.min("keep_every").alias("keep_every"),
+        F.count("*").alias("n_total"),
+        F.sum((F.col("rn") % F.col("keep_every") == 0).cast("long")).alias(
+            "n_kept"
+        ),
+    )
+
+
+@plan(
+    "llm_shard_assignment",
+    oracle="""
+    WITH shards AS (
+      SELECT doc_id % 16 AS shard, count(*) AS n_docs,
+             sum(n_chars) AS sum_chars
+      FROM documents GROUP BY shard
+    )
+    SELECT shard, n_docs, CAST(sum_chars AS BIGINT) AS sum_chars,
+           round(sum_chars / (sum(sum_chars) OVER ()), 6) AS share
+    FROM shards
+    """,
+)
+def llm_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard assignment: route documents to 16 output
+    shards by key mod (xxhash64(doc_id) at scale — plain mod here so
+    both engines agree bit-for-bit), with per-shard byte accounting
+    and each shard's share of total bytes — the balance check that
+    decides whether a salt/re-hash pass is needed before writing.
+
+    Scale shape: one hash agg to 16 rows, then a window over those 16
+    rows (driver-sized, cost-free); the real writer pairs this with
+    repartition(16, shard).write — a single full shuffle, which is
+    the irreducible cost of materializing shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    shards = docs.groupBy((F.col("doc_id") % 16).alias("shard")).agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("sum_chars").over(Window.partitionBy())
+    return shards.select(
+        "shard",
+        "n_docs",
+        "sum_chars",
+        F.round(F.col("sum_chars") / total, 6).alias("share"),
+    )
