@@ -265,3 +265,41 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sha2(F.col("content"), 256).alias("sha"),
         )
     )
+
+
+@plan(
+    "scan_xml",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 built-in source) round-tripped from the
+    nation fixture and hash-checked against the fixture source — the
+    third text-format leg of the ingestion surface after CSV/JSON.
+    rowTag framing + schema inference; inferred numerics pinned with
+    explicit casts (scan_csv_infer's rule).  100 TB: the XML reader
+    splits files and infers in parallel like JSON; for deep documents
+    prefer an explicit schema to skip the inference scan."""
+    path = f"{SCRATCH}/xml_nation"
+    (
+        load_table(spark, sf_dir, "nation")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+        .select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+    )
