@@ -104,3 +104,58 @@ def running_counter_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+#: Funnel output: running per-user totals (update mode — totals are
+#: monotonic, so the latest row per user is the answer).
+FUNNEL_OUTPUT_SCHEMA = "user_id long, n_purchases long, n_converted long"
+#: Per-user state: last signup event time (µs; -1 = none seen) and the
+#: running purchase/conversion totals.
+FUNNEL_STATE_SCHEMA = "last_signup_us long, n_purchases long, n_converted long"
+
+#: 30-minute conversion window, in microseconds.
+_FUNNEL_GAP_US = 30 * 60 * 1_000_000
+
+
+def _funnel_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_signup_us, n_p, n_c = (
+        state.get if state.exists else (-1, 0, 0)
+    )
+    for pdf in pdfs:
+        # In-batch order mirrors the batch plan's ORDER BY ts,
+        # event_id; cross-batch order is the stream's arrival order
+        # (event-time ordered micro-batches in the tests).
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            ts_us = ts.value // 1_000
+            if etype == "signup":
+                last_signup_us = ts_us
+            elif etype == "purchase":
+                n_p += 1
+                if last_signup_us >= 0 and ts_us - last_signup_us <= _FUNNEL_GAP_US:
+                    n_c += 1
+    state.update((last_signup_us, n_p, n_c))
+    yield pd.DataFrame(
+        [(key[0], n_p, n_c)],
+        columns=["user_id", "n_purchases", "n_converted"],
+    )
+
+
+def funnel_detector(events: DataFrame) -> DataFrame:
+    """Streaming signup->purchase-within-30-min funnel — the stateful
+    CEP twin of the batch ``evt_funnel_conversion`` plan: one long of
+    state per user (the last signup time) instead of the batch
+    window's unbounded-preceding frame.  State shuffles on user_id
+    only; pair with a timeout in production to expire users whose
+    signup can no longer convert (bounded state at 100 TB/day)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        FUNNEL_OUTPUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

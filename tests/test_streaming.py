@@ -383,3 +383,78 @@ def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
     )
     aip = {r.event_id: r.n_so_far for r in spark.table("aip_out").collect()}
     assert tws == aip == {1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """applyInPandasWithState funnel across micro-batches equals the
+    batch evt_funnel_conversion window phrasing on the same rows — the
+    signup state must survive the batch boundary (user 1 signs up in
+    batch 1 and converts in batch 2)."""
+    from pyspark.sql import functions as F
+
+    from data_ingest_utils_spark.streaming.stateful import funnel_detector
+
+    src = _write_batches(
+        str(tmp_path),
+        [
+            [
+                (1, "2024-01-01 10:00:00", 1, "signup", 1.0),
+                (2, "2024-01-01 10:05:00", 2, "purchase", 1.0),  # no signup
+                (3, "2024-01-01 10:06:00", 1, "click", 1.0),
+            ],
+            [
+                (4, "2024-01-01 10:20:00", 1, "purchase", 1.0),  # converted
+                (5, "2024-01-01 10:29:59", 1, "purchase", 1.0),  # converted (edge)
+                (6, "2024-01-01 10:30:01", 2, "purchase", 1.0),  # still none
+            ],
+            [
+                (7, "2024-01-01 11:30:00", 1, "purchase", 1.0),  # > 30 min
+            ],
+        ],
+    )
+    stream = read_parquet_stream(spark, src)
+    run_available_now(funnel_detector(stream), "funnel_out", output_mode="update")
+    # Running totals are monotonic: the max per user is the final state.
+    streamed = {
+        r.user_id: (r.n_purchases, r.n_converted)
+        for r in spark.table("funnel_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_purchases").alias("n_purchases"),
+            F.max("n_converted").alias("n_converted"),
+        )
+        .collect()
+    }
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = (
+        spark.read.parquet(src)
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.max(F.when(F.col("event_type") == "signup", F.col("ts")))
+            .over(w)
+            .alias("last_signup_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    converted = F.col("last_signup_ts").isNotNull() & (
+        (F.col("ts") - F.col("last_signup_ts")) <= F.expr("INTERVAL 30 MINUTES")
+    )
+    batch = {
+        r.user_id: (r.n_purchases, r.n_converted)
+        for r in flagged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(converted.cast("long")).alias("n_converted"),
+        )
+        .collect()
+    }
+    assert streamed == batch == {1: (3, 2), 2: (2, 0)}
