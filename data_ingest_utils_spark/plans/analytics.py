@@ -256,3 +256,44 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@plan(
+    "agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT l_returnflag, l_quantity, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+    FROM (
+      SELECT l_returnflag, l_quantity, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity) AS rk
+      FROM counted
+    ) WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per group.  Spark has
+    F.mode() but its tie-break is unspecified, so the engine uses the
+    count + rank phrasing with an explicit smallest-value tie-break —
+    hash-reproducible on both engines.  Scale shape: one hash agg on
+    (group, value) then WindowGroupLimit rank-1 per group; never a
+    per-group collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+    )

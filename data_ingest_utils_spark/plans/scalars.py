@@ -359,3 +359,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("event_id"), 4).alias("shr"),
         F.bit_count(F.col("event_id")).alias("popcount"),
     )
+
+
+@plan(
+    "fn_format",
+    oracle="""
+    SELECT p_partkey,
+           printf('%s#%04d', p_brand, p_size) AS brand_code,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           rpad(p_brand, 12, '.') AS padded_brand,
+           repeat('*', p_size % 5) AS stars,
+           reverse(p_name) AS rev_name
+    FROM part
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting surface: C-style format (format_string /
+    printf), pad, repeat, reverse.  Integer/string conversions only —
+    float printf rounding modes differ across engines, so numeric
+    rendering goes through explicit round+cast instead (SURVEY §7
+    float rule).  All codegen'd JVM expressions, one narrow scan."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.format_string("%s#%04d", F.col("p_brand"), F.col("p_size")).alias(
+            "brand_code"
+        ),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.rpad("p_brand", 12, ".").alias("padded_brand"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.reverse("p_name").alias("rev_name"),
+    )
