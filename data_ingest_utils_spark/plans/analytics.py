@@ -297,3 +297,67 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@plan(
+    "agg_arg_minmax",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+             row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN rb = 1 THEN o_orderkey END) AS best_key,
+           round(max(CASE WHEN rb = 1 THEN o_totalprice END), 6) AS best_price,
+           max(CASE WHEN rw = 1 THEN o_orderkey END) AS worst_key,
+           round(max(CASE WHEN rw = 1 THEN o_totalprice END), 6) AS worst_price
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin per group.  Spark's max_by/min_by leave ties
+    unspecified, so the engine orders a struct — max(struct(price, key))
+    is lexicographic and therefore a deterministic (price, key) argmax.
+    One map-side-combinable hash agg, no window, no second shuffle (the
+    oracle's window phrasing is for DuckDB only)."""
+    o = load_table(spark, sf_dir, "orders")
+    best = F.max(F.struct("o_totalprice", "o_orderkey")).alias("b")
+    worst = F.min(F.struct("o_totalprice", "o_orderkey")).alias("w")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(best, worst)
+        .select(
+            "o_orderpriority",
+            F.col("b.o_orderkey").alias("best_key"),
+            F.round("b.o_totalprice", 6).alias("best_price"),
+            F.col("w.o_orderkey").alias("worst_key"),
+            F.round("w.o_totalprice", 6).alias("worst_price"),
+        )
+    )
+
+
+@plan(
+    "agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 1)   AS all_multi,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(count_if(l_tax = 0) AS BIGINT) AS zero_tax_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or / count_if) — short-
+    circuitable predicates pushed into a map-side-combinable hash agg.
+    DuckDB's count_if returns HUGEINT, cast to BIGINT to match Spark's
+    long."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("zero_tax_rows"),
+    )

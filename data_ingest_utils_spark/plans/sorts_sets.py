@@ -147,3 +147,41 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.subtract(s)
+
+
+@plan(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity < 10
+    INTERSECT ALL
+    SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): each (suppkey, flag) row
+    survives min(count_left, count_right) times.  Spark plans this as a
+    single hash aggregate per side + one shuffle on the full row key —
+    no distinct collapse, unlike ``set_intersect``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    left = li.filter(F.col("l_quantity") < 10).select("l_suppkey", "l_returnflag")
+    right = li.filter(F.col("l_discount") > 0.05).select("l_suppkey", "l_returnflag")
+    return left.intersectAll(right)
+
+
+@plan(
+    "set_except_all",
+    oracle="""
+    SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity < 10
+    EXCEPT ALL
+    SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): keeps max(count_left -
+    count_right, 0) copies per row value — the bag-semantics sibling of
+    ``set_except``.  Same single-shuffle hash-agg shape as
+    ``set_intersect_all``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    left = li.filter(F.col("l_quantity") < 10).select("l_suppkey", "l_returnflag")
+    right = li.filter(F.col("l_discount") > 0.05).select("l_suppkey", "l_returnflag")
+    return left.exceptAll(right)

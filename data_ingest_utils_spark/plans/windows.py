@@ -204,3 +204,35 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         ev, ["user_id"], [F.col("value").desc(), F.col("event_id")], 3, "rn"
     ).select("user_id", "event_id", "value", "rn")
+
+
+@plan(
+    "win_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_order,
+           round(percent_rank() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6)
+             AS pr
+    FROM orders
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over an explicit unbounded ROWS frame (both engines
+    default nth_value to a growing frame, which would leave the first
+    row NULL) plus percent_rank.  One shuffle on o_custkey serves both
+    window specs."""
+    o = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full_w = order_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(full_w).alias("second_order"),
+        F.round(F.percent_rank().over(order_w), 6).alias("pr"),
+    )
