@@ -390,3 +390,125 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
         F.reverse("p_name").alias("rev_name"),
     )
+
+
+@plan(
+    "fn_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]*o[a-z]*'),
+                                    ','), '') AS o_words,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(len(regexp_extract_all(p_name, 'a')) AS INTEGER) AS a_count,
+           regexp_matches(p_name, 'o.*o') AS double_o
+    FROM part
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract / extract_all / replace / count / rlike.
+    Dialect notes: DuckDB regexp_replace is first-match unless the 'g'
+    flag is passed (Spark is always global); DuckDB has no regexp_count
+    (len(extract_all) instead, HUGEINT→INTEGER cast); arrays are
+    stringified per the registry rule.  All JVM codegen'd — no UDF."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit("[a-z]*o[a-z]*"), 0), ","
+        ).alias("o_words"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_count("p_name", F.lit("a")).alias("a_count"),
+        F.col("p_name").rlike("o.*o").alias("double_o"),
+    )
+
+
+@plan(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.Example.COM/docs/' || doc_id
+               || '?lang=' || lang || '&v=2#sec' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM urls
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing via Spark's parse_url (HOST/PATH/QUERY-key/REF)
+    with lowercased host — the canonicalization step every web-corpus
+    pipeline needs.  URLs are built deterministically from the
+    documents table; DuckDB has no parse_url, so the oracle uses
+    equivalent RFC-3986-ish regexes."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".Example.COM/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v=2#sec"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )
+
+
+@plan(
+    "fn_null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_returnflag, 'N') AS flag_or_null,
+           coalesce(nullif(l_returnflag, 'N'), l_linestatus, '?') AS first_set,
+           CASE WHEN nullif(l_returnflag, 'N') IS NOT NULL
+                THEN 'returned' ELSE 'kept' END AS nvl2_label,
+           nullif(l_returnflag, 'N') IS NULL AS is_n
+    FROM lineitem
+    """,
+)
+def fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL combinators: nullif / coalesce / nvl2 / isNull.  Spark's
+    nvl2 has no DuckDB twin, so the oracle spells it as CASE — same
+    three-valued logic.  Nulls are synthesized with nullif since the
+    fixtures are null-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        flag.alias("flag_or_null"),
+        F.coalesce(flag, F.col("l_linestatus"), F.lit("?")).alias("first_set"),
+        F.nvl2(flag, F.lit("returned"), F.lit("kept")).alias("nvl2_label"),
+        flag.isNull().alias("is_n"),
+    )
+
+
+@plan(
+    "fn_edit_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, left(p_type, 8)) AS lev,
+           CASE WHEN levenshtein(p_brand, p_name) > 10 THEN -1
+                ELSE levenshtein(p_brand, p_name) END AS lev_capped
+    FROM part
+    """,
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Levenshtein distance, plus Spark's thresholded form
+    (levenshtein(l, r, k) short-circuits to -1 past k — the cheap path
+    for fuzzy-match filters at scale; DuckDB spells the cap as CASE)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.substring("p_type", 1, 8)).alias("lev"),
+        F.levenshtein("p_brand", "p_name", 10).alias("lev_capped"),
+    )
