@@ -370,3 +370,49 @@ def evt_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+@plan(
+    "evt_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             count(*) AS n
+      FROM events GROUP BY event_type, day
+    ), scored AS (
+      SELECT event_type, day, n,
+             avg(n)         OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+      FROM daily
+    )
+    SELECT event_type, day, n,
+           round(CASE WHEN sd > 0 THEN (n - mu) / sd END, 6) AS z,
+           CASE WHEN sd > 0 THEN abs(round((n - mu) / sd, 6)) > 2 END
+             AS is_anomaly
+    FROM scored
+    """,
+)
+def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: daily event counts z-scored against
+    that event_type's own mean/stddev, |z| > 2 flagged.  One hash agg
+    to days, then one window shuffle on event_type over the ~days-sized
+    aggregate — the raw events are reduced before any window state.
+    The flag compares the ROUNDED z so the boundary is identical on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    z = F.round((F.col("n") - mu) / sd, 6)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(sd > 0, z).alias("z"),
+        F.when(sd > 0, F.abs(z) > 2).alias("is_anomaly"),
+    )

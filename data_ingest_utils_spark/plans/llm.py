@@ -1139,3 +1139,100 @@ def llm_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_chars",
         F.round(F.col("sum_chars") / total, 6).alias("share"),
     )
+
+
+@plan(
+    "llm_url_dedup",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || upper(source) || '.Example.COM/docs/'
+               || (doc_id % 500) || '/?utm=x&lang=' || lang AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))
+               || rtrim(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                        '/') AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url, min(doc_id) AS keep_doc_id,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first pass of every web-crawl
+    corpus: lowercase the host, drop query/fragment, strip the trailing
+    slash, keep the smallest doc_id per canonical URL.  One hash agg on
+    the canonical key; at 100 TB the agg is map-side-combinable because
+    crawl dumps are already clustered by host.  URLs are synthesized
+    deterministically (doc_id % 500 forces real collisions)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.upper("source"), F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 500).cast("string"), F.lit("/?utm=x&lang="),
+        F.col("lang"),
+    )
+    canon = F.concat(
+        F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/+$", ""),
+    )
+    return d.select("doc_id", canon.alias("canonical_url")).groupBy(
+        "canonical_url"
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
+
+
+@plan(
+    "llm_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+        FROM tok GROUP BY tok
+      ) WHERE rk <= 100
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tok,
+           count(v.tok) AS in_vocab,
+           round(CAST(count(v.tok) AS DOUBLE) / count(*), 6) AS coverage
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary coverage (1 − OOV rate) against the
+    corpus top-100 unigram vocab — the filter LLM pipelines use to
+    drop gibberish.  Two passes over tokens: hash-agg to the vocab
+    (tiny, top-K after full reduction), then a BROADCAST left join back
+    onto the token stream — no shuffle of the corpus-sized side."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+    vocab = (
+        tok.groupBy("tok").agg(F.count("*").alias("c"))
+        .withColumn("rk", rk).filter(F.col("rk") <= 100)
+        .select("tok", F.lit(1).alias("inv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count("inv").alias("in_vocab"),
+            F.round(
+                F.count("inv").cast("double") / F.count("*"), 6
+            ).alias("coverage"),
+        )
+    )
