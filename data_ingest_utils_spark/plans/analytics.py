@@ -361,3 +361,35 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
         F.count_if(F.col("l_tax") == 0).alias("zero_tax_rows"),
     )
+
+
+@plan(
+    "agg_skew_kurt",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, avg(l_extendedprice) AS mu,
+             stddev_pop(l_extendedprice) AS sdp,
+             var_pop(l_extendedprice) AS vp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(avg((l_extendedprice - mu) ^ 3) / any_value(sdp ^ 3), 6)
+             AS skew,
+           round(avg((l_extendedprice - mu) ^ 4) / any_value(vp ^ 2) - 3, 6)
+             AS kurt
+    FROM lineitem l JOIN s USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates.  Spark's skewness/kurtosis are the
+    POPULATION (biased) estimators m3/m2^1.5 and m4/m2^2−3; DuckDB's
+    built-ins are the sample-corrected ones, so the oracle spells out
+    the raw-moment formulas instead of naming the functions.  Spark
+    side stays one single-pass hash agg (moment sketches merge
+    map-side); the oracle's two-pass join is DuckDB-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt"),
+    )

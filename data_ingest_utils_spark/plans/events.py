@@ -416,3 +416,45 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(sd > 0, z).alias("z"),
         F.when(sd > 0, F.abs(z) > 2).alias("is_anomaly"),
     )
+
+
+@plan(
+    "evt_top_per_window",
+    oracle="""
+    SELECT bucket_start, event_id, event_type, round(value, 6) AS value
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+             event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY value DESC, event_id) AS rk
+      FROM events
+    ) WHERE rk = 1
+    """,
+)
+def evt_top_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event per tumbling hour — the 'trending item per window'
+    shape.  rank-1 per window plans as WindowGroupLimit: each shuffle
+    partition keeps only its best row per window before the final
+    window sort, so the post-shuffle volume is one row per (window,
+    partition), not the raw stream."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    bucket = F.window("ts", "1 hour").getField("start")
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.select(
+            bucket.alias("bucket_start"), "event_id", "event_type", "value"
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "bucket_start",
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+    )

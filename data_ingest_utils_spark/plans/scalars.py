@@ -512,3 +512,38 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_brand", F.substring("p_type", 1, 8)).alias("lev"),
         F.levenshtein("p_brand", "p_name", 10).alias("lev_capped"),
     )
+
+
+@plan(
+    "fn_epoch",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           TIMESTAMP '1970-01-01 00:00:00'
+             + CAST(floor(epoch(ts)) AS BIGINT) * INTERVAL '1 second' AS ts_roundtrip,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS epoch_days,
+           CAST(hour(ts) * 60 + minute(ts) AS INTEGER) AS minute_of_day
+    FROM events
+    """,
+)
+def fn_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/timestamp conversions on TIMESTAMP_NTZ: seconds-since-
+    epoch (timestampdiff — tz-independent, unlike unix_timestamp which
+    shifts by session tz), the inverse via timestampadd, days-since-
+    epoch (unix_date), and minute-of-day.  DuckDB spells the inverse as
+    epoch × INTERVAL because to_timestamp() returns TIMESTAMPTZ."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    return ev.select(
+        "event_id",
+        epoch_s.alias("epoch_s"),
+        F.expr(
+            "timestampadd(SECOND, timestampdiff(SECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts),"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("ts_roundtrip"),
+        F.unix_date(F.to_date("ts")).alias("epoch_days"),
+        (F.hour("ts") * 60 + F.minute("ts")).alias("minute_of_day"),
+    )

@@ -303,3 +303,93 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey").cast("long").alias("n_regionkey"),
         )
     )
+
+
+@plan(
+    "scan_text",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+    FROM region
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line-oriented text ingestion (spark.read.text) — the format
+    log/corpus dumps arrive in.  The region fixture is serialized to
+    pipe-delimited lines, read back as a single `value` column, and
+    re-parsed with split(); hash-checked against the fixture source,
+    proving the text round trip is lossless."""
+    path = f"{SCRATCH}/text_region"
+    load_table(spark, sf_dir, "region").select(
+        F.concat_ws("|", F.col("r_regionkey").cast("string"), "r_name").alias(
+            "value"
+        )
+    ).coalesce(1).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parts = F.split("value", r"\|")
+    return lines.select(
+        parts.getItem(0).cast("long").alias("r_regionkey"),
+        parts.getItem(1).alias("r_name"),
+    )
+
+
+@plan(
+    "scan_partition_prune",
+    oracle="""
+    SELECT CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           count(*) AS n_orders, round(sum(o_totalprice), 6) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY order_month
+    """,
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partition pruning end-to-end: orders written
+    partitionBy(order_year), read back with an equality filter on the
+    partition column.  The filter is resolved against the directory
+    listing — PartitionFilters in the scan node, zero bytes read from
+    other years (asserted in tests/test_explain.py).  At 100 TB this
+    is the difference between scanning one year and scanning thirty."""
+    path = f"{SCRATCH}/orders_by_year"
+    o = load_table(spark, sf_dir, "orders")
+    o.withColumn("order_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("order_year").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("order_year") == 1997)
+        .groupBy(F.month("o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+    )
+
+
+@plan(
+    "sql_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    )
+    """,
+)
+def sql_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + scalar subquery through the SQL front end.
+    Catalyst decorrelates the EXISTS into a LeftSemi hash join and
+    evaluates the scalar subquery once as a broadcast value — no
+    per-row re-execution (the naive interpretation would be O(n·m))."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM v_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM v_orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > (SELECT avg(o_totalprice) FROM v_orders)
+        )
+        """
+    )

@@ -236,3 +236,45 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(full_w).alias("second_order"),
         F.round(F.percent_rank().over(order_w), 6).alias("pr"),
     )
+
+
+@plan(
+    "win_session_id",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(sum(new_session) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS session_id
+    FROM gaps
+    """,
+)
+def win_session_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as pure window algebra (lag → gap flag
+    → running sum), the batch twin of evt_session's session_window.
+    Both windows share one shuffle on user_id; state is O(1) per row —
+    this is the formulation that scales to 100 TB event logs because
+    it never materializes per-session buffers.  The first row of each
+    user flags new_session=1 (NULL gap ⇒ ELSE branch), so ids start
+    at 1 on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_s = F.expr(_EPOCH_SECONDS.format(col="ts"))
+    gap_ok = (epoch_s - F.lag(epoch_s).over(w)) <= 1800
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_session"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(w).alias("session_id"),
+    )

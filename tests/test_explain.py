@@ -199,3 +199,29 @@ def test_funnel_single_window_no_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("SortMergeJoin") == 0
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_partition_prune_reads_one_year(spark):
+    """scan_partition_prune's year filter must resolve against the
+    hive directory layout (PartitionFilters on order_year), so other
+    years are never scanned."""
+    plan = _plan(spark, "scan_partition_prune")
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "order_year" in pf, f"no partition filter in:\n{plan}"
+
+
+def test_subquery_exists_decorrelates_to_semi_join(spark):
+    """sql_subquery_exists must plan as a semi join (Catalyst
+    decorrelation), never a per-row subquery or cartesian."""
+    plan = _plan(spark, "sql_subquery_exists")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_per_window_uses_window_group_limit(spark):
+    """evt_top_per_window's rank-1 filter must push a WindowGroupLimit
+    below the shuffle so only one row per (window, map partition)
+    survives."""
+    plan = _plan(spark, "evt_top_per_window")
+    assert "WindowGroupLimit" in plan
