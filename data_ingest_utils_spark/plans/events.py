@@ -458,3 +458,54 @@ def evt_top_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("value"),
         )
     )
+
+
+@plan(
+    "evt_gap_fill",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+             count(*) AS n
+      FROM events GROUP BY event_type, b
+    ), s AS (
+      SELECT event_type, min(b) AS lo, max(b) AS hi FROM c
+      GROUP BY event_type
+    ), h AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS b
+      FROM s
+    )
+    SELECT h.event_type, h.b AS bucket_start,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM h LEFT JOIN c ON h.event_type = c.event_type AND h.b = c.b
+    """,
+)
+def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap fill): hourly counts per
+    event_type with MISSING hours materialized as 0 over each type's
+    own [first, last] span — downstream window/forecast ops need a
+    dense grid.  The dense axis is generated from the tiny span table
+    (sequence + explode, rows = hours×types, independent of event
+    volume) and the raw stream is reduced BEFORE the left join, so at
+    100 TB the join touches aggregates only."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.window("ts", "1 hour").getField("start").alias("b")
+    ).agg(F.count("*").alias("n"))
+    spans = counts.groupBy("event_type").agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    )
+    hours = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("b"),
+    )
+    return (
+        hours.join(counts, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            F.col("b").alias("bucket_start"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )

@@ -280,3 +280,60 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_left",
         "n_right",
     )
+
+
+@plan(
+    "join_range_banded",
+    oracle="""
+    WITH bands AS (
+      SELECT CAST(i AS INTEGER) AS band_id,
+             i * i * 140.0 AS lo, (i + 1) * (i + 1) * 140.0 AS hi
+      FROM range(60) t(i)
+    )
+    SELECT o_orderkey, band_id
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join executed as an EQUI join: each
+    (irregular-width) band is exploded into the fixed 10k-wide buckets
+    it overlaps, the fact side computes its bucket with one floor(), and
+    the exact lo<=p<hi predicate filters after the hash join.  This is
+    the standard rewrite that turns a O(n·m) theta/BNLJ range join
+    (the oracle's phrasing) into a shuffle-free broadcast hash join —
+    at 100 TB the BNLJ is not runnable.  Bucket fan-out is bounded by
+    ceil(band_width/10k)+1 rows per band on the TINY side only."""
+    bucket_w = 10_000.0
+    bands = (
+        spark.range(60)
+        .select(
+            F.col("id").cast("int").alias("band_id"),
+            (F.col("id") * F.col("id") * 140.0).alias("lo"),
+            ((F.col("id") + 1) * (F.col("id") + 1) * 140.0).alias("hi"),
+        )
+        .select(
+            "band_id",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / bucket_w),
+                    F.floor((F.col("hi") - 1e-9) / bucket_w),
+                )
+            ).alias("bucket"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / bucket_w).alias("bucket"),
+    )
+    return (
+        o.join(F.broadcast(bands), "bucket")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .select("o_orderkey", "band_id")
+    )

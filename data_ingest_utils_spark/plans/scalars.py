@@ -547,3 +547,59 @@ def fn_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("ts")).alias("epoch_days"),
         (F.hour("ts") * 60 + F.minute("ts")).alias("minute_of_day"),
     )
+
+
+@plan(
+    "fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_discount), 6) AS sin_d,
+           round(cos(l_discount), 6) AS cos_d,
+           round(atan(l_discount), 6) AS atan_d,
+           round(atan2(l_discount, 0.05), 6) AS atan2_d,
+           round(degrees(l_discount), 6) AS deg,
+           round(sqrt(l_quantity), 6) AS sqrt_q
+    FROM lineitem
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / transcendental surface.  JVM and DuckDB libm
+    agree to well under 1e-6 on [0, 0.1]-range inputs, so ROUND(…,6)
+    pins the hash on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 6).alias("sin_d"),
+        F.round(F.cos("l_discount"), 6).alias("cos_d"),
+        F.round(F.atan("l_discount"), 6).alias("atan_d"),
+        F.round(F.atan2(F.col("l_discount"), F.lit(0.05)), 6).alias("atan2_d"),
+        F.round(F.degrees("l_discount"), 6).alias("deg"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_q"),
+    )
+
+
+@plan(
+    "fn_greatest_least",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_tax, l_discount, 0.02) AS g,
+           least(l_tax, l_discount, 0.02) AS l,
+           greatest(nullif(l_tax, 0), l_discount) AS g_nullskip
+    FROM lineitem
+    """,
+)
+def fn_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """greatest/least across columns, including the NULL-skipping rule
+    both engines share (NULL args are ignored; result is NULL only if
+    ALL args are NULL) — checked via a synthesized NULL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest("l_tax", "l_discount", F.lit(0.02)).alias("g"),
+        F.least("l_tax", "l_discount", F.lit(0.02)).alias("l"),
+        F.greatest(
+            F.nullif(F.col("l_tax"), F.lit(0.0)), F.col("l_discount")
+        ).alias("g_nullskip"),
+    )

@@ -12,6 +12,8 @@ callables (the driver builds the session, not this module).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -150,4 +152,31 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         gross("l_extendedprice", "l_discount").alias("gross_price"),
+    )
+
+
+def _iter_scale(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # "Expensive init" done ONCE per executor task, then streamed over
+    # Arrow batches — the iterator form's whole point at scale.
+    scale, shift = 2.0, 1.0
+    for batch in batches:
+        yield batch * scale + shift
+
+
+@plan(
+    "udf_iterator_scalar",
+    oracle="""
+    SELECT event_id, round(value * 2.0 + 1.0, 6) AS scaled
+    FROM events
+    """,
+)
+def udf_iterator_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF: per-task init is amortized across
+    all Arrow batches of a partition (model-loading pattern — at 100 TB
+    the init would otherwise run once per batch, not once per task).
+    Same IEEE association as the oracle expression."""
+    scaled_udf = pandas_udf(_iter_scale, "double")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(scaled_udf(F.col("value")), 6).alias("scaled")
     )

@@ -225,3 +225,11 @@ def test_top_per_window_uses_window_group_limit(spark):
     survives."""
     plan = _plan(spark, "evt_top_per_window")
     assert "WindowGroupLimit" in plan
+
+
+def test_range_banded_join_is_hash_not_bnlj(spark):
+    """join_range_banded's bucket rewrite must plan a broadcast HASH
+    join — the whole point is avoiding BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "join_range_banded")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
