@@ -509,3 +509,25 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@plan(
+    "evt_window_distinct",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+           count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY bucket_start
+    """,
+)
+def evt_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per tumbling hour.  Spark expands
+    count(DISTINCT) into a two-phase agg (dedup on (window, user) then
+    count) — both phases map-side-combinable; the approximate twin for
+    100 TB cardinalities is agg_approx_count_distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("bucket_start")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )

@@ -509,3 +509,94 @@ def ing_type_infer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("string")
         .alias("inferred"),
     )
+
+
+@plan(
+    "ing_row_hash_cdc",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderkey, o_orderpriority,
+                 CAST(round(o_totalprice, 2) * 100 AS BIGINT))) AS h
+      FROM orders
+    ), new AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderkey, o_orderpriority,
+                 CAST(round(CASE WHEN o_orderkey % 13 = 0
+                                 THEN o_totalprice * 1.1
+                                 ELSE o_totalprice END, 2) * 100 AS BIGINT)))
+               AS h
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS k,
+             md5(concat_ws('|', o_orderkey + 10000000, o_orderpriority,
+                 CAST(round(o_totalprice, 2) * 100 AS BIGINT))) AS h
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT coalesce(old.k, new.k) AS o_orderkey,
+           CASE WHEN old.k IS NULL THEN 'INSERT'
+                WHEN new.k IS NULL THEN 'DELETE'
+                ELSE 'UPDATE' END AS change_type
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+    WHERE old.k IS NULL OR new.k IS NULL OR old.h <> new.h
+    """,
+)
+def ing_row_hash_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff change data capture: hash every row once, full
+    outer join old vs new on the key, classify INSERT / DELETE /
+    UPDATE (hash mismatch), emit changed rows only.  The hash collapses
+    arbitrary row width to one comparison, so the join shuffles keys +
+    32-byte digests, not full rows — the standard warehouse CDC shape
+    when no transaction log exists.  Floats enter the hash as
+    round×100 BIGINTs (float→string rendering differs across engines).
+    The 'new' snapshot is derived deterministically: ~1% deletes
+    (k%97=0), ~7% price updates (k%13=0), ~1% inserts (k%101=0)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("k"),
+                    F.col("o_orderpriority"),
+                    (F.round(F.col("price"), 2) * 100).cast("long"),
+                )
+            ).alias("h"),
+        )
+
+    old = hashed(
+        o.select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderpriority",
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    kept = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    inserted = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("k"),
+        "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+    )
+    new = hashed(kept.unionByName(inserted))
+    j = old.withColumnRenamed("k", "ok").withColumnRenamed("h", "oh").join(
+        new.withColumnRenamed("k", "nk").withColumnRenamed("h", "nh"),
+        F.col("ok") == F.col("nk"),
+        "full_outer",
+    )
+    return j.filter(
+        F.col("ok").isNull() | F.col("nk").isNull() | (F.col("oh") != F.col("nh"))
+    ).select(
+        F.coalesce("ok", "nk").alias("o_orderkey"),
+        F.when(F.col("ok").isNull(), "INSERT")
+        .when(F.col("nk").isNull(), "DELETE")
+        .otherwise("UPDATE")
+        .alias("change_type"),
+    )

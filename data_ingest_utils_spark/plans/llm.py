@@ -1236,3 +1236,41 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@plan(
+    "llm_train_val_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-stable
+    hash (md5 of the doc key, NOT random()): the same doc lands in the
+    same split on every run and every engine, which is the leakage
+    guarantee eval pipelines need.  Pure map-side expression + one
+    3-group agg; Spark's conv(hex,16,10) and DuckDB's 0x-cast agree on
+    the 32-bit prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return d.select(split.alias("split"), "n_chars").groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

@@ -603,3 +603,33 @@ def fn_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("l_tax"), F.lit(0.0)), F.col("l_discount")
         ).alias("g_nullskip"),
     )
+
+
+@plan(
+    "fn_arrays_zip",
+    oracle="""
+    SELECT vec_id,
+           CAST(unnest(range(1, len(embedding) + 1)) AS INTEGER) AS pos,
+           unnest(embedding)::DOUBLE AS fwd,
+           unnest(list_reverse(embedding))::DOUBLE AS rev
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def fn_arrays_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrays_zip + posexplode: two aligned arrays unrolled to
+    (pos, a, b) rows — the lockstep-iteration primitive.  DuckDB zips
+    positionally via parallel unnest (Postgres-style); positions are
+    1-based on both sides."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    zipped = F.arrays_zip(
+        F.col("embedding").alias("fwd"), F.reverse("embedding").alias("rev")
+    )
+    return (
+        e.select("vec_id", F.posexplode(zipped))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            F.col("col.fwd").cast("double").alias("fwd"),
+            F.col("col.rev").cast("double").alias("rev"),
+        )
+    )

@@ -185,3 +185,31 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = li.filter(F.col("l_quantity") < 10).select("l_suppkey", "l_returnflag")
     right = li.filter(F.col("l_discount") > 0.05).select("l_suppkey", "l_returnflag")
     return left.exceptAll(right)
+
+
+@plan(
+    "sort_range_distributed",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, round(o_totalprice, 6) AS price
+    FROM orders
+    """,
+)
+def sort_range_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed total ordering the way a 100 TB write wants it:
+    repartitionByRange (sampled range boundaries, one Exchange) +
+    sortWithinPartitions (local sort, global=false) — partition i is
+    entirely ≤ partition i+1, so concatenating output files in
+    partition order IS the total order, with no single-node merge step
+    (orderBy's global=true Sort).  Content is hash-checked; the plan
+    shape (RangePartitioning + non-global Sort) is asserted in
+    tests/test_explain.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.repartitionByRange(8, "o_orderdate", "o_orderkey")
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 6).alias("price"),
+        )
+    )

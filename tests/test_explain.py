@@ -233,3 +233,14 @@ def test_range_banded_join_is_hash_not_bnlj(spark):
     plan = _plan(spark, "join_range_banded")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_sort_has_no_global_sort(spark):
+    """sort_range_distributed must plan RangePartitioning + a LOCAL
+    sort (global=false) — the distributed total-order shape — never a
+    global merge Sort."""
+    plan = _plan(spark, "sort_range_distributed")
+    assert "rangepartitioning" in plan.lower()
+    # formatted-mode Sort prints "Arguments: [keys...], <global>, 0"
+    assert "], false, 0" in plan, f"no local sort in:\n{plan}"
+    assert "], true, 0" not in plan, f"global sort found in:\n{plan}"
