@@ -25,7 +25,8 @@ import time
 
 # Queries chosen to mirror BASELINE.md's measured rows, one per shape
 # family (agg / join+topk / star join / window / distinct / event-time
-# window / vector search / dedup shuffle / session window).
+# window / vector search / dedup shuffle / session window /
+# banded-range-join rewrite / broadcast vocab coverage).
 HEADLINE = [
     "agg_hash_group",
     "sort_limit_topk",
@@ -36,6 +37,8 @@ HEADLINE = [
     "llm_sim_topk",
     "llm_dedup_exact",
     "evt_session",
+    "join_range_banded",
+    "llm_vocab_coverage",
 ]
 
 REPEATS = 5  # best-of-5: local[32] run-to-run variance is ~±20% at
