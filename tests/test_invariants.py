@@ -266,3 +266,56 @@ def test_pack_sequences_conservation(spark):
     per_seq = packed.groupby("seq_id").n_tokens_in_seq.sum()
     assert (per_seq.iloc[:-1] == 2048).all()
     assert 0 < per_seq.iloc[-1] <= 2048
+
+
+def test_window_sessionize_agrees_with_session_window(spark):
+    """win_session_id (lag+cumsum, 30-min gap) and evt_session
+    (session_window, 30-min gap) are two formulations of the SAME
+    semantics — their per-user session counts must be identical."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    by_window = (
+        QUERIES["win_session_id"](spark, SF_T2)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+    )
+    by_session_window = (
+        QUERIES["evt_session"](spark, SF_T2)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    diff = by_window.join(
+        by_session_window, "user_id", "full_outer"
+    ).filter(
+        by_window["n_sessions"].eqNullSafe(by_session_window["n_sessions"])
+        == False  # noqa: E712
+    )
+    assert diff.count() == 0
+
+
+def test_gap_fill_preserves_totals_and_density(spark):
+    """evt_gap_fill must (a) conserve the total event count and (b)
+    emit a DENSE hourly axis: rows per type == span hours, with zero
+    rows where no events fell."""
+    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.sources.readers import load_table
+
+    filled = QUERIES["evt_gap_fill"](spark, SF_T2).cache()
+    try:
+        total_filled = filled.agg(F.sum("n_events")).collect()[0][0]
+        total_raw = load_table(spark, SF_T2, "events").count()
+        assert total_filled == total_raw
+
+        spans = filled.groupBy("event_type").agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.expr(
+                    "timestampdiff(HOUR, min(bucket_start), max(bucket_start))"
+                )
+                + 1
+            ).cast("long").alias("span_hours"),
+        )
+        bad = spans.filter(F.col("n_rows") != F.col("span_hours"))
+        assert bad.count() == 0
+    finally:
+        filled.unpersist()
