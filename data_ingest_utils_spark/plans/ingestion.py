@@ -600,3 +600,44 @@ def ing_row_hash_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("UPDATE")
         .alias("change_type"),
     )
+
+
+@plan(
+    "ing_fixed_width",
+    oracle="""
+    SELECT CAST(trim(substr(line, 1, 10)) AS BIGINT) AS c_custkey,
+           trim(substr(line, 11, 25)) AS c_name,
+           trim(substr(line, 36, 12)) AS c_mktsegment
+    FROM (
+      SELECT rpad(CAST(c_custkey AS VARCHAR), 10, ' ')
+             || rpad(c_name, 25, ' ')
+             || rpad(c_mktsegment, 12, ' ') AS line
+      FROM customer
+    )
+    """,
+)
+def ing_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (COBOL/mainframe-export) file ingestion: serialize
+    customer to 47-char fixed layout, read back as raw text, slice
+    columns by byte position and trim — the classic ingest-utility
+    shape for files with no delimiter at all.  Round-trips through a
+    real text file; all slicing is codegen'd substring, no UDF."""
+    import os
+
+    path = os.environ.get(
+        "SPARK_GRAFT_SCRATCH", "/tmp/data_ingest_utils_spark"
+    ) + "/fixed_width_customer"
+    c = load_table(spark, sf_dir, "customer")
+    c.select(
+        F.concat(
+            F.rpad(F.col("c_custkey").cast("string"), 10, " "),
+            F.rpad("c_name", 25, " "),
+            F.rpad("c_mktsegment", 12, " "),
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.select(
+        F.trim(F.substring("value", 1, 10)).cast("long").alias("c_custkey"),
+        F.trim(F.substring("value", 11, 25)).alias("c_name"),
+        F.trim(F.substring("value", 36, 12)).alias("c_mktsegment"),
+    )

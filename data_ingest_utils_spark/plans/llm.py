@@ -1274,3 +1274,34 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@plan(
+    "llm_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT sha256(lower(trim(text))) AS h FROM documents
+      WHERE doc_id % 7 <> 0
+    ), batch AS (
+      SELECT doc_id, lang, sha256(lower(trim(text))) AS h
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id, lang FROM batch
+    WHERE h NOT IN (SELECT h FROM corpus)
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a new batch (doc_id%7=0 stands in
+    for today's crawl) is admitted only where its normalized-text
+    sha256 does NOT already exist in the corpus — a LEFT ANTI join on
+    32-byte digests, so the shuffle carries hashes, never text.  At
+    100 TB the corpus side is a bucketed hash index written once and
+    reused every batch; recompute here because the fixture corpus is
+    small."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    corpus = d.filter(F.col("doc_id") % 7 != 0).select(h.alias("h"))
+    batch = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", h.alias("h")
+    )
+    return batch.join(corpus, "h", "left_anti").select("doc_id", "lang")

@@ -633,3 +633,30 @@ def fn_arrays_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("col.rev").cast("double").alias("rev"),
         )
     )
+
+
+@plan(
+    "fn_base64_hex",
+    oracle="""
+    SELECT p_partkey,
+           base64(p_name::BLOB) AS name_b64,
+           (from_base64(base64(p_name::BLOB)))::VARCHAR AS name_roundtrip,
+           to_hex(p_partkey) AS key_hex,
+           to_hex(p_size) AS size_hex
+    FROM part
+    """,
+)
+def fn_base64_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary text codecs: base64 encode/decode round trip and integer
+    hex rendering.  Spark hex(BIGINT) and DuckDB to_hex agree exactly
+    (uppercase, no zero padding); base64 is RFC 4648 on both."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.base64(F.col("p_name").cast("binary")).alias("name_b64"),
+        F.unbase64(F.base64(F.col("p_name").cast("binary")))
+        .cast("string")
+        .alias("name_roundtrip"),
+        F.hex(F.col("p_partkey")).alias("key_hex"),
+        F.hex(F.col("p_size")).alias("size_hex"),
+    )

@@ -393,3 +393,44 @@ def sql_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@plan(
+    "scan_csv_corrupt",
+    oracle="""
+    SELECT n_name,
+           CAST(CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                     ELSE n_nationkey END AS INTEGER) AS n_key,
+           n_nationkey % 5 = 0 AS is_corrupt
+    FROM nation
+    """,
+)
+def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with malformed-row containment: every
+    5th row gets a non-numeric key, the typed read NULLs the bad field
+    and captures the raw line in columnNameOfCorruptRecord instead of
+    failing the job — the contract that keeps a 100 TB load alive when
+    0.01%% of rows are dirty.  The CSV twin of scan_json_corrupt; the
+    oracle reconstructs the expected parse from the fixture."""
+    path = f"{SCRATCH}/csv_corrupt_nation"
+    load_table(spark, sf_dir, "nation").select(
+        F.concat_ws(
+            ",",
+            "n_name",
+            F.when(
+                F.col("n_nationkey") % 5 == 0,
+                F.concat(F.lit("X"), F.col("n_nationkey").cast("string")),
+            ).otherwise(F.col("n_nationkey").cast("string")),
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema("n_name STRING, n_key INT, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return parsed.select(
+        "n_name",
+        "n_key",
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+    )
