@@ -180,3 +180,50 @@ def udf_iterator_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.round(scaled_udf(F.col("value")), 6).alias("scaled")
     )
+
+
+def _cogroup_profile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    # One output row per customer present on the LEFT side (customers
+    # are the spine; orphan order groups produce no row, matching the
+    # oracle's LEFT JOIN).
+    if left.empty:
+        return pd.DataFrame(
+            columns=["c_custkey", "c_acctbal", "n_orders", "total_spend"]
+        )
+    total = float(right["o_totalprice"].sum()) if not right.empty else 0.0
+    return pd.DataFrame(
+        {
+            "c_custkey": [int(left["c_custkey"].iloc[0])],
+            "c_acctbal": [float(left["c_acctbal"].iloc[0])],
+            "n_orders": [int(len(right))],
+            "total_spend": [round(total, 6)],
+        }
+    )
+
+
+@plan(
+    "udf_cogrouped_map",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 6) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: customers and orders are co-shuffled
+    on the key and each (customer-group, order-group) pair lands in
+    ONE pandas call — the two-sided custom-merge surface (asof joins,
+    reconciliation, per-entity model scoring) that a plain join can't
+    express.  Arrow moves both sides; one shuffle each."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.groupby("c_custkey")
+        .cogroup(o.groupby("o_custkey"))
+        .applyInPandas(
+            _cogroup_profile,
+            "c_custkey BIGINT, c_acctbal DOUBLE, n_orders BIGINT, total_spend DOUBLE",
+        )
+    )
