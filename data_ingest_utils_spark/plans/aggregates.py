@@ -212,3 +212,30 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_list("o_orderstatus"))).alias("statuses"),
         F.count("*").alias("n_orders"),
     )
+
+
+@plan(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via bitmaps: bucket each key with
+    bitmap_bucket_number, OR the per-bucket bitmaps map-side
+    (bitmap_construct_agg is a partial agg), then sum popcounts.
+    Versus COUNT(DISTINCT) — which shuffles every distinct (group,
+    key) pair — this shuffles one ≤4 KB bitmap per (group, 32768-key
+    bucket): at 100 TB with dense int keys that is orders of
+    magnitude less shuffle for the same exact answer."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bits")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bits)")).alias("n_users")
+    )

@@ -660,3 +660,110 @@ def fn_base64_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("p_partkey")).alias("key_hex"),
         F.hex(F.col("p_size")).alias("size_hex"),
     )
+
+
+@plan(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / (l_linenumber % 3), 6) AS safe_div,
+           CASE WHEN l_linenumber % 2 = 1 THEN NULL
+                ELSE CAST(9223372036854775807 AS BIGINT) END AS safe_add,
+           TRY_CAST(l_returnflag AS DOUBLE) AS flag_num,
+           [l_returnflag, l_linestatus][l_linenumber] AS flag_at
+    FROM lineitem
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide / try_add / try_cast /
+    try_element_at return NULL instead of raising on div-by-zero,
+    BIGINT overflow, bad casts, and out-of-bounds access.  At 100 TB
+    this is the difference between one poisoned row killing a stage
+    (ANSI mode throws) and a NULL you can quarantine downstream —
+    the dirty-data posture every large ingest needs.  All four stay
+    inside whole-stage codegen; no UDF fallback."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") % 3), 6
+        ).alias("safe_div"),
+        F.try_add(
+            F.lit(9223372036854775807),
+            (F.col("l_linenumber") % 2).cast("long") * F.lit(1),
+        ).alias("safe_add"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9.9"))
+        .cast("double")
+        .alias("flag_num"),
+        F.try_element_at(
+            F.array("l_returnflag", "l_linestatus"), F.col("l_linenumber")
+        ).alias("flag_at"),
+    )
+
+
+@plan(
+    "fn_xpath",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus   AS xml_status,
+           o_orderpriority AS xml_priority,
+           CAST(2 AS INTEGER) AS n_children
+    FROM orders
+    """,
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML field extraction: render a row as XML, pull fields back out
+    with xpath_string and count children with xpath().  The xpath
+    functions are JVM-side (no Python round trip); the oracle checks
+    extraction is lossless against the source columns.  For feed
+    ingestion (sitemaps, RSS, legacy SOAP) this is the scan path."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p></o>"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.xpath_string(xml, F.lit("o/s")).alias("xml_status"),
+        F.xpath_string(xml, F.lit("o/p")).alias("xml_priority"),
+        F.size(F.xpath(xml, F.lit("o/*"))).alias("n_children"),
+    )
+
+
+@plan(
+    "fn_inline",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'base' AS kind,
+           round(l_extendedprice, 6) AS amount
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discounted' AS kind,
+           round(l_extendedprice * (1 - l_discount), 6) AS amount
+    FROM lineitem
+    """,
+)
+def fn_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline() explodes an inline-built array<struct> into rows —
+    the wide-to-long pivot for computed measures.  One narrow scan
+    (generator runs inside the same stage, no shuffle, no join);
+    the oracle is the equivalent UNION ALL which would scan twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = F.array(
+        F.struct(
+            F.lit("base").alias("kind"),
+            F.round(F.col("l_extendedprice"), 6).alias("amount"),
+        ),
+        F.struct(
+            F.lit("discounted").alias("kind"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "amount"
+            ),
+        ),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", F.inline(pairs)
+    ).select("l_orderkey", "l_linenumber", "kind", "amount")

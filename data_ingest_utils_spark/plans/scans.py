@@ -434,3 +434,52 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_key",
         F.col("_corrupt").isNotNull().alias("is_corrupt"),
     )
+
+
+@plan(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
+      FROM orders),
+    months(m) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months CROSS JOIN bounds WHERE m < hi)
+    SELECT m AS month_start,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 6) AS revenue
+    FROM months LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+    GROUP BY m
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.x) building a dense month spine from
+    the data's own bounds, then LEFT JOIN so zero-order months still
+    appear — the gap-free calendar backbone reports need.  The
+    recursion is driver-cheap (one row per month, ~100 iterations cap)
+    while the join/agg stays fully distributed; contrast evt_gap_fill
+    which builds its spine via sequence()+explode.  Bounded by
+    spark.sql.cteRecursionLevelLimit, so runaway recursion fails fast
+    rather than spinning."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
+                 CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
+          FROM v_rc_orders),
+        months(m) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months CROSS JOIN bounds WHERE m < hi)
+        SELECT m AS month_start,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 6) AS revenue
+        FROM months LEFT JOIN v_rc_orders
+          ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+        GROUP BY m
+        """
+    )
