@@ -134,3 +134,31 @@ def latest_per_key(
 def null_safe_div(num: Column, den: Column) -> Column:
     """x / NULLIF(y, 0) — the ingestion-safe division."""
     return num / F.nullif(den, F.lit(0))
+
+
+def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively expand every StructType column into scalar columns
+    named ``parent<sep>child<sep>...`` (schema-driven, purely
+    declarative — each leaf becomes one ``col("a.b.c").alias("a_b_c")``
+    projection, so Catalyst prunes unreferenced leaves at the parquet
+    scan and no data is materialized for dropped subtrees).  The
+    standard landing-zone step for deeply nested JSON/protobuf feeds:
+    downstream SQL gets flat columns without a UDF or a schema
+    hand-map."""
+    from pyspark.sql import types as T
+
+    cols = []
+
+    def rec(path: str, flat: str, dtype) -> None:
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                rec(f"{path}.`{f.name}`", f"{flat}{sep}{f.name}", f.dataType)
+        else:
+            cols.append(F.col(path).alias(flat.lstrip(sep)))
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            rec(f"`{f.name}`", f.name, f.dataType)
+        else:
+            cols.append(F.col(f"`{f.name}`"))
+    return df.select(cols)

@@ -239,3 +239,32 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bits)")).alias("n_users")
     )
+
+
+@plan(
+    "agg_approx_topk",
+    oracle="""
+    SELECT event_type AS item, count(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via approx_top_k (frequent-items sketch).  The
+    sketch is a fixed-size partial aggregate: each task tracks <=
+    maxItemsTracked counters and merges map-side, so finding the top
+    K of a 100 TB stream never shuffles per-key rows — contrast exact
+    GROUP BY + ORDER BY which shuffles the full key space.  Counts
+    are exact whenever distinct items fit the tracked capacity (the
+    fixture's 5 event types vs 10 000 tracked), which is what lets
+    the oracle assert exact equality here; the approximation-regime
+    guarantee (no false positives, never-undercounting estimates,
+    heavy hitters always surfaced) is asserted in
+    tests/test_invariants.py."""
+    ev = load_table(spark, sf_dir, "events")
+    sketched = ev.agg(
+        F.expr("approx_top_k(event_type, 5)").alias("topk")
+    )
+    return sketched.select(F.explode("topk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("cnt"),
+    )

@@ -531,3 +531,79 @@ def evt_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@plan(
+    "evt_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id
+    FROM events p JOIN events v ON p.user_id = v.user_id
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, actually executed as a streaming
+    query: purchases joined to the views that preceded them by <= 1 h
+    for the same user, both sides watermarked so the join state is
+    GC-able (Spark evicts a buffered view once the watermark passes
+    v_ts + 1 h — without the time bound + watermarks, state grows
+    unboundedly at 100 TB/day).  availableNow drains the staged
+    fixture in one micro-batch, so the streamed result is exactly the
+    batch interval join the oracle states (evt_interval_join is the
+    batch twin; multi-batch watermark behavior is exercised in
+    tests/test_streaming.py)."""
+    import os
+    import shutil
+
+    from data_ingest_utils_spark.plans.scans import SCRATCH
+    from data_ingest_utils_spark.streaming.runner import run_available_now
+
+    src = f"{SCRATCH}/ssj_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).parquet(src)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "user_id",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("user_id").alias("v_user_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    run_available_now(
+        joined.select("purchase_id", "view_id", "user_id"), "ssj_out"
+    )
+    return spark.table("ssj_out")

@@ -641,3 +641,39 @@ def ing_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.substring("value", 11, 25)).alias("c_name"),
         F.trim(F.substring("value", 36, 12)).alias("c_mktsegment"),
     )
+
+
+@plan(
+    "ing_json_flatten",
+    oracle="""
+    SELECT event_id,
+           event_type                                   AS payload_event_type,
+           user_id                                      AS payload_metrics_user_id,
+           round(value, 6)                              AS payload_metrics_value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_props_k
+    FROM events
+    """,
+)
+def ing_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-payload flattening: parse the JSON props column, nest it
+    under a struct alongside typed metrics, then auto-flatten every
+    struct leaf to a top-level column via operators.ingest.
+    flatten_structs (schema-driven — works unchanged when the feed
+    adds fields).  All leaves are simple projections, so column
+    pruning still reaches the scan; from_json is the only parse cost
+    and runs JVM-side."""
+    from data_ingest_utils_spark.operators.ingest import flatten_structs
+
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("event_type"),
+            F.struct(
+                F.col("user_id").alias("user_id"),
+                F.round("value", 6).alias("value"),
+            ).alias("metrics"),
+            F.from_json("props", "k long").alias("props"),
+        ).alias("payload"),
+    )
+    return flatten_structs(nested)

@@ -483,3 +483,38 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@plan(
+    "scan_glob_recursive",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive directory discovery with a glob filter: two copies of
+    region staged at different nesting depths plus a non-parquet decoy;
+    recursiveFileLookup walks the tree, pathGlobFilter keeps only
+    *.parquet.  This is the data-lake landing pattern (feeds drop files
+    under date/source subdirs); the glob is evaluated at file-listing
+    time, so excluded files are never opened — at 100 TB the listing,
+    not the read, is the cost to control."""
+    import os
+    import shutil
+
+    src = f"{SCRATCH}/glob_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(f"{src}/d1")
+    os.makedirs(f"{src}/d2/deep")
+    shutil.copyfile(f"{sf_dir}/region.parquet", f"{src}/d1/region.parquet")
+    shutil.copyfile(f"{sf_dir}/region.parquet", f"{src}/d2/deep/region.parquet")
+    with open(f"{src}/d1/decoy.txt", "w") as fh:
+        fh.write("not parquet\n")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+        .select("r_regionkey", "r_name")
+    )

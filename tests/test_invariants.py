@@ -319,3 +319,47 @@ def test_gap_fill_preserves_totals_and_density(spark):
         assert bad.count() == 0
     finally:
         filled.unpersist()
+
+
+def test_approx_topk_sketch_regime(spark):
+    """approx_top_k in the APPROXIMATION regime (capacity 64 << 2001
+    distinct): Spark surfaces only provably-frequent items (datasketches
+    no-false-positives policy — a near-uniform tail returns nothing,
+    verified), estimates never undercount, and the planted heavy hitter
+    is always present."""
+    base = spark.range(20000).select(
+        F.concat(F.lit("t"), F.col("id") % 2000).alias("tok")
+    )
+    heavy = spark.range(3000).select(F.lit("heavy").alias("tok"))
+    toks = base.union(heavy)
+    exact = {
+        r["tok"]: r["cnt"]
+        for r in toks.groupBy("tok").agg(F.count("*").alias("cnt")).collect()
+    }
+    sketched = toks.agg(
+        F.expr("approx_top_k(tok, 5, 64)").alias("topk")
+    ).collect()[0]["topk"]
+    est = {e["item"]: e["count"] for e in sketched}
+    assert 1 <= len(est) <= 5
+    assert "heavy" in est, "planted heavy hitter missing from sketch top-k"
+    for item, cnt in est.items():
+        assert cnt >= exact[item], f"sketch undercounts {item}"
+
+
+def test_flatten_structs_deep_and_mixed(spark):
+    """flatten_structs: 3-level nesting flattens to leaf columns, flat
+    columns and arrays pass through untouched, order preserved."""
+    from data_ingest_utils_spark.operators.ingest import flatten_structs
+
+    df = spark.sql(
+        """SELECT 1 AS id,
+                  named_struct('a', 2,
+                               'b', named_struct('c', 3,
+                                                 'd', named_struct('e', 4))) AS s,
+                  array(5, 6) AS arr"""
+    )
+    out = flatten_structs(df)
+    assert out.columns == ["id", "s_a", "s_b_c", "s_b_d_e", "arr"]
+    row = out.collect()[0]
+    assert (row["id"], row["s_a"], row["s_b_c"], row["s_b_d_e"]) == (1, 2, 3, 4)
+    assert list(row["arr"]) == [5, 6]
