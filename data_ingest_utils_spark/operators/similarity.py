@@ -184,3 +184,51 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+def quantized_rerank_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    coarse_k: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank: a cheap int8-quantized dot
+    product prunes to ``coarse_k`` candidates, then exact float cosine
+    ranks those to the final ``k``.
+
+    Scale rationale: at 100 TB the coarse pass is the only full scan —
+    int8 symmetric quantization (per-vector scale = 127/max|x|) cuts
+    the score arithmetic and, in a real deployment, the stored-vector
+    bytes 4×; the exact rerank touches only ``coarse_k`` rows.  Both
+    stages are built-in higher-order functions (transform/aggregate)
+    — JVM-side, no UDF.  Deterministic for a fixed input: quantization
+    is round-half-up, ties broken by id.  Recall-vs-exact is asserted
+    in tests/test_invariants.py (int8 on unit-ish vectors keeps the
+    top-1 region intact; coarse_k >> k absorbs quantization rank
+    noise)."""
+    q = [float(v) for v in query]
+    qscale = 127.0 / max(abs(v) for v in q) if any(q) else 1.0
+    qq = [float(round(v * qscale)) for v in q]
+    qlit = F.array(*[F.lit(v) for v in qq])
+
+    vmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    vscale = F.lit(127.0) / F.nullif(vmax, F.lit(0.0))
+    qvec = F.transform(F.col(vec_col), lambda x: F.round(x * vscale))
+    coarse_score = _dot(qvec, qlit) / (vscale * F.lit(qscale))
+
+    candidates = (
+        df.select(id_col, vec_col, coarse_score.alias("coarse"))
+        .filter(F.col("coarse").isNotNull() & ~F.isnan("coarse"))
+        .orderBy(F.col("coarse").desc(), F.col(id_col))
+        .limit(coarse_k)
+    )
+    sim = F.round(cosine_to_query(candidates, vec_col, query), round_dp)
+    return (
+        candidates.select(id_col, sim.alias("sim"))
+        .filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

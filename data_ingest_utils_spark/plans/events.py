@@ -607,3 +607,57 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("purchase_id", "view_id", "user_id"), "ssj_out"
     )
     return spark.table("ssj_out")
+
+
+@plan(
+    "evt_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS event_seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_seq,
+           CAST(length(regexp_extract_all(event_seq, 's[^p]*p'))
+                AS INTEGER) AS n_signup_to_purchase,
+           length(regexp_extract_all(event_seq, 's[^p]*p')) > 0
+             AS has_pattern
+    FROM seq
+    """,
+)
+def evt_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence matching, set-based: each user's ordered
+    event history is folded into a compact symbol string (one char per
+    event, deterministic (ts, event_id) order via array_sort on
+    structs), then the pattern 'signup … eventually purchase' is a
+    regex over that string — leftmost non-overlapping semantics agree
+    between Java regex and RE2.  One shuffle on user_id; per-user
+    state is O(events-per-user) bytes, not rows, which is what makes
+    arbitrary lookahead patterns (MATCH_RECOGNIZE territory) tractable
+    at 100 TB without a per-pattern join chain."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1))
+                )
+            ),
+            lambda x: x["col3"],
+        ),
+        "",
+    )
+    pat = "s[^p]*p"
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("event_seq"))
+        .select(
+            "user_id",
+            "event_seq",
+            F.regexp_count("event_seq", F.lit(pat)).alias(
+                "n_signup_to_purchase"
+            ),
+            (F.regexp_count("event_seq", F.lit(pat)) > 0).alias("has_pattern"),
+        )
+    )

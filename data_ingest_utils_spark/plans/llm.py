@@ -1305,3 +1305,15 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", h.alias("h")
     )
     return batch.join(corpus, "h", "left_anti").select("doc_id", "lang")
+
+
+@plan("llm_sim_rerank")  # rows-only: int8 coarse stage is lossy by design
+def llm_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8-quantized dot-product retrieve (top-50),
+    exact cosine rerank (top-5).  The production shape for vector
+    search over a 100 TB corpus — full-precision scoring never sees
+    the full table.  Recall vs llm_sim_topk's exact answer is pinned
+    by tests/test_invariants.py::test_rerank_recall_vs_exact."""
+    q, _ = _query_vec(spark, sf_dir, 0)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return sim.quantized_rerank_topk(emb, q, k=5, coarse_k=50)

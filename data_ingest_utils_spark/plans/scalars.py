@@ -767,3 +767,35 @@ def fn_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber", F.inline(pairs)
     ).select("l_orderkey", "l_linenumber", "kind", "amount")
+
+
+@plan(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT p_partkey,
+           p_name AS name_roundtrip,
+           CAST(16 * (length(p_name) // 16 + 1) AS INTEGER) AS cipher_len,
+           true AS cipher_differs
+    FROM part
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption: aes_encrypt/aes_decrypt round trip
+    (AES-128-ECB so the ciphertext is deterministic — the oracle pins
+    the exact PKCS#7-padded length; production would use the default
+    GCM whose random IV breaks value-hash determinism, not security).
+    Both directions are JVM intrinsics — encrypt-at-rest for PII
+    columns without a UDF or a separate pass.  The key would come from
+    a KMS; a literal stands in here."""
+    key = F.lit("0123456789abcdef")
+    part = load_table(spark, sf_dir, "part")
+    cipher = F.expr("aes_encrypt(p_name, '0123456789abcdef', 'ECB')")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "cast(aes_decrypt(aes_encrypt(p_name, '0123456789abcdef', 'ECB'),"
+            " '0123456789abcdef', 'ECB') as string)"
+        ).alias("name_roundtrip"),
+        F.length(cipher).alias("cipher_len"),
+        (F.base64(cipher) != F.col("p_name")).alias("cipher_differs"),
+    )

@@ -227,3 +227,49 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey BIGINT, c_acctbal DOUBLE, n_orders BIGINT, total_spend DOUBLE",
         )
     )
+
+
+def _arrow_net_price(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        net = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("l_orderkey"), batch.column("l_linenumber"), net],
+            names=["l_orderkey", "l_linenumber", "net_price"],
+        )
+
+
+@plan(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 6) AS net_price
+    FROM lineitem
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch escape hatch — the generator
+    receives pyarrow RecordBatches straight off the wire (no pandas
+    materialization, no per-row pickling) and yields batches back.
+    The right surface when the Python step wraps an Arrow-native
+    library (tokenizers, image codecs, DataFusion kernels): one Arrow
+    buffer per batch each way.  Partitioning is untouched — the map
+    runs inside the scan stage."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    mapped = li.mapInArrow(
+        _arrow_net_price,
+        "l_orderkey bigint, l_linenumber int, net_price double",
+    )
+    # Final ROUND happens JVM-side: pyarrow's round is IEEE
+    # nearest-representable, Spark/DuckDB round via decimal — they
+    # disagree at ~1e-11, enough to break value-hash parity.
+    return mapped.select(
+        "l_orderkey", "l_linenumber", F.round("net_price", 6).alias("net_price")
+    )

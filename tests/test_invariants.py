@@ -363,3 +363,17 @@ def test_flatten_structs_deep_and_mixed(spark):
     row = out.collect()[0]
     assert (row["id"], row["s_a"], row["s_b_c"], row["s_b_d_e"]) == (1, 2, 3, 4)
     assert list(row["arr"]) == [5, 6]
+
+
+def test_rerank_recall_vs_exact(spark):
+    """Two-stage int8 rerank: recall@5 vs exact brute-force cosine >=
+    4/5 (coarse_k=50 absorbs quantization rank noise; observed 5/5 on
+    the fixture), and returned sims are non-increasing."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    exact = [r.vec_id for r in QUERIES["llm_sim_topk"](spark, SF_T2).collect()]
+    rows = QUERIES["llm_sim_rerank"](spark, SF_T2).collect()
+    rerank = [r.vec_id for r in rows]
+    assert len(set(exact) & set(rerank)) >= 4
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
