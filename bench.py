@@ -26,7 +26,9 @@ import time
 # Queries chosen to mirror BASELINE.md's measured rows, one per shape
 # family (agg / join+topk / star join / window / distinct / event-time
 # window / vector search / dedup shuffle / session window /
-# banded-range-join rewrite / broadcast vocab coverage).
+# banded-range-join rewrite / broadcast vocab coverage / bitmap
+# distinct-count — the last pairs with agg_count_distinct to show the
+# sketch-shuffle alternative at the same answer).
 HEADLINE = [
     "agg_hash_group",
     "sort_limit_topk",
@@ -39,6 +41,7 @@ HEADLINE = [
     "evt_session",
     "join_range_banded",
     "llm_vocab_coverage",
+    "agg_bitmap_distinct",
 ]
 
 REPEATS = 5  # best-of-5: local[32] run-to-run variance is ~±20% at

@@ -244,3 +244,50 @@ def test_range_sort_has_no_global_sort(spark):
     # formatted-mode Sort prints "Arguments: [keys...], <global>, 0"
     assert "], false, 0" in plan, f"no local sort in:\n{plan}"
     assert "], true, 0" not in plan, f"global sort found in:\n{plan}"
+
+
+def test_bitmap_distinct_two_level_shuffle(spark):
+    """agg_bitmap_distinct shuffles bitmaps, not rows: the
+    (group, bucket) partial bitmap-OR runs map-side (partial agg
+    before the first Exchange), and the whole plan has exactly the
+    two exchanges the two-level rollup implies — never a per-distinct-
+    key shuffle like COUNT(DISTINCT)'s expand."""
+    import re
+
+    plan = _plan(spark, "agg_bitmap_distinct")
+    assert "bitmap_construct_agg" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "Expand" not in plan, "bitmap path must not use COUNT DISTINCT expand"
+
+
+def test_inline_generator_no_shuffle(spark):
+    """fn_inline's wide-to-long explode is a Generate fused into the
+    scan stage — zero exchanges, versus the UNION ALL oracle's two
+    scans."""
+    import re
+
+    plan = _plan(spark, "fn_inline")
+    assert "Generate" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_map_in_arrow_stays_in_scan_stage(spark):
+    """udf_map_in_arrow runs inside the scan stage: MapInArrow with no
+    exchange — repartitioning around a batch UDF would be a silent
+    extra shuffle at 100 TB."""
+    import re
+
+    plan = _plan(spark, "udf_map_in_arrow")
+    assert "MapInArrow" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_sequence_pattern_single_shuffle(spark):
+    """evt_sequence_pattern folds each user's history with ONE shuffle
+    on user_id (partial collect_list map-side via ObjectHashAggregate);
+    a join- or window-based CEP formulation would take two+."""
+    import re
+
+    plan = _plan(spark, "evt_sequence_pattern")
+    assert "ObjectHashAggregate" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
