@@ -232,3 +232,84 @@ def quantized_rerank_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd's k-means over an embedding column, pure
+    DataFrame ops — the cell-builder for IVF-style vector search
+    (ivf_topk's coarse cells) and cluster-then-dedup pipelines.
+
+    Per iteration: (1) assignment — centroids are a driver-side model
+    (k·dim floats, like a broadcast query vector), so the nearest-
+    centroid argmin is a literal expression evaluated in the scan
+    stage, zero shuffle, ties to the lower centroid id via struct
+    array_min; (2) update — one groupBy(cell) with per-dimension avg
+    aggregates (dim columns, JVM-side), reducing to k·dim values.
+    Exactly one shuffle per iteration whose payload is k·dim doubles
+    per partition — at 100 TB the cost is the scans, not the reduce.
+    Deterministic: seeds are the k lowest-id vectors, every step is
+    argmin/avg with pinned tie-breaks.
+
+    Returns (assignments DataFrame [id, cell], centroids list,
+    sse_history list — one SSE per assignment pass, non-increasing,
+    asserted in tests/test_invariants.py).
+    """
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in seeds]
+
+    def sq_dist_to(c: list[float]):
+        clit = F.array(*[F.lit(v) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(sq_dist_to(c).alias("d"), F.lit(ci).alias("c"))
+                    for ci, c in enumerate(cents)
+                ]
+            )
+        )
+        return df.select(
+            id_col,
+            vec_col,
+            best["c"].alias("cell"),
+            best["d"].alias("sq_dist"),
+        )
+
+    dim = len(centroids[0])
+    sse_history: list[float] = []
+    assigned = assign(centroids)
+    for _ in range(iters):
+        stats = assigned.groupBy("cell").agg(
+            F.sum("sq_dist").alias("sse"),
+            *[
+                F.avg(F.col(vec_col)[i]).alias(f"m{i}")
+                for i in range(dim)
+            ],
+        ).collect()
+        sse_history.append(float(sum(r["sse"] for r in stats)))
+        new_cents = list(centroids)
+        for r in stats:  # empty cells keep their previous centroid
+            new_cents[r["cell"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        centroids = new_cents
+        assigned = assign(centroids)
+    sse_history.append(
+        float(assigned.agg(F.sum("sq_dist")).collect()[0][0])
+    )
+    return assigned.select(id_col, "cell"), centroids, sse_history

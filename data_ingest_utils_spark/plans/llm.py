@@ -1317,3 +1317,17 @@ def llm_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, _ = _query_vec(spark, sf_dir, 0)
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return sim.quantized_rerank_topk(emb, q, k=5, coarse_k=50)
+
+
+@plan("llm_kmeans_cells")  # rows-only: iterative refinement, no SQL twin
+def llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means cell assignment over the embeddings table (k=8, 3 Lloyd
+    iterations) — builds REAL coarse cells for IVF vector search
+    (llm_sim_ivf's label column stands in for exactly this) and for
+    cluster-then-dedup (SemDeDup-style) pipelines.  Monotone-SSE and
+    determinism invariants in tests/test_invariants.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _, _ = sim.kmeans_fit_predict(emb, k=8, iters=3)
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+    ).orderBy("cell")

@@ -518,3 +518,36 @@ def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
         .select("r_regionkey", "r_name")
     )
+
+
+@plan(
+    "sql_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey AS top_orderkey,
+           round(t.o_totalprice, 6) AS top_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    """,
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — 'top order
+    per customer' phrased the way analysts write it.  Catalyst
+    decorrelates the lateral into a ranked window join rather than
+    re-running the subquery per outer row (the nested-loop reading
+    would be O(customers × orders) at 100 TB); same result shape as
+    win_topk_per_group's explicit window formulation, from the SQL
+    front end."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey AS top_orderkey,
+               round(t.o_totalprice, 6) AS top_totalprice
+        FROM v_lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        """
+    )

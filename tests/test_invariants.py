@@ -377,3 +377,19 @@ def test_rerank_recall_vs_exact(spark):
     assert len(set(exact) & set(rerank)) >= 4
     sims = [r.sim for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_kmeans_sse_monotone_and_deterministic(spark):
+    """Lloyd's algorithm: SSE non-increasing across iterations, all k
+    cells used on the fixture, and two runs agree exactly (seeded by
+    lowest ids — no RNG anywhere)."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    a1, cents, sse = sim.kmeans_fit_predict(emb, k=8, iters=3)
+    assert len(sse) == 4
+    for earlier, later in zip(sse, sse[1:]):
+        assert later <= earlier * (1 + 1e-9), f"SSE rose: {sse}"
+    cells1 = {r.vec_id: r.cell for r in a1.collect()}
+    assert len(set(cells1.values())) == 8, "degenerate clustering"
+    a2, _, sse2 = sim.kmeans_fit_predict(emb, k=8, iters=3)
+    assert sse == sse2
+    assert {r.vec_id: r.cell for r in a2.collect()} == cells1
