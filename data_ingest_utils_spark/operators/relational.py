@@ -190,3 +190,26 @@ def distinct_on(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def as_of_attach_forward(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    value_col: Column,
+    out_name: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Forward as-of: attach the NEXT non-null ``value_col`` at or
+    after each row's ``ts`` within its partition (first(..., ignore
+    nulls) over a current-row→unbounded-following frame).  Same
+    one-shuffle property as :func:`as_of_attach`; backward + forward
+    together bracket each row between its neighbors — the
+    nearest-event primitive."""
+    order = [F.col(ts_col)] + [F.col(t) for t in tiebreakers]
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return df.withColumn(out_name, F.first(value_col, ignorenulls=True).over(w))

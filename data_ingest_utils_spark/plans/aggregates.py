@@ -268,3 +268,51 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.count").alias("cnt"),
     )
+
+
+@plan(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS flags_and,
+           CAST(bit_or(l_linenumber)  AS BIGINT) AS flags_or,
+           CAST(bit_xor(l_linenumber) AS BIGINT) AS flags_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates — permission-mask folding,
+    feature-flag unions, parity checks.  Fully associative +
+    commutative ⇒ Spark runs them as partial aggregates (map-side
+    combine to one word per group per partition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").cast("long").alias("flags_and"),
+        F.bit_or("l_linenumber").cast("long").alias("flags_or"),
+        F.bit_xor("l_linenumber").cast("long").alias("flags_xor"),
+    )
+
+
+@plan(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+             AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id(): the bitmask that tells subtotal
+    levels apart (0=leaf, 1=per-status, 3=grand total) — what report
+    writers key legends off, and what disambiguates a real NULL key
+    from a subtotal NULL.  Bit order (first listed key = MSB) agrees
+    between Spark grouping_id and DuckDB GROUPING — verified by this
+    oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n")

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingest_utils_spark.operators.relational import as_of_attach, join_dim, join_facts
+from data_ingest_utils_spark.operators.relational import (
+    as_of_attach,
+    as_of_attach_forward,
+    join_dim,
+    join_facts,
+)
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 
@@ -337,3 +342,31 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "band_id")
     )
+
+
+@plan(
+    "join_asof_forward",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                       IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS next_purchase_ts
+    FROM events
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: attach the NEXT purchase at-or-after each
+    event, per user — time-to-conversion's building block.  Same
+    single-shuffle window formulation as join_asof (backward); Spark
+    evaluates the following-frame first(ignoreNulls) in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return as_of_attach_forward(
+        ev,
+        ["user_id"],
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+        "next_purchase_ts",
+        tiebreakers=["event_id"],
+    ).select("event_id", "user_id", "ts", "next_purchase_ts")

@@ -551,3 +551,85 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
         """
     )
+
+
+@plan(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 6) AS o_totalprice
+    FROM orders WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 6) AS o_totalprice
+    FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: a second write in
+    partitionOverwriteMode=dynamic replaces ONLY the partitions it
+    contains rows for (here: status 'F' rewritten with a filtered
+    subset) — untouched partitions survive byte-for-byte.  This is
+    the idempotent-backfill primitive: re-running a day's pipeline
+    replaces that day, never truncating the table (static mode — the
+    default — would drop ALL partitions first).  Verified by reading
+    the table back and hash-matching the expected post-state."""
+    import shutil
+
+    out = f"{SCRATCH}/dyn_overwrite"
+    shutil.rmtree(out, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    replacement = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000)
+    )
+    (
+        replacement.write.partitionBy("o_orderstatus")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(
+        "o_orderkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+
+
+@plan(
+    "scan_csv_quoted",
+    oracle="""
+    SELECT n_nationkey,
+           n_name || ' | ' || chr(10) || '"' || n_name || '"' AS tricky
+    FROM nation
+    """,
+)
+def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quoting torture round trip: values containing the
+    delimiter, embedded NEWLINES, and double quotes, written with
+    Spark's RFC-4180 quoting and read back with multiLine=true.
+    Caveat encoded here: multiLine CSV files are NOT splittable (a
+    record can straddle any byte offset), so at 100 TB quoted-newline
+    feeds should be converted to parquet at the landing zone — this
+    scan is the landing step, not the steady state."""
+    import shutil
+
+    path = f"{SCRATCH}/csv_quoted"
+    shutil.rmtree(path, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    tricky = F.concat(
+        F.col("n_name"), F.lit(" | \n\""), F.col("n_name"), F.lit("\"")
+    )
+    (
+        nation.select("n_nationkey", tricky.alias("tricky"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    return (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("n_nationkey int, tricky string")
+        .csv(path)
+    )
