@@ -313,3 +313,85 @@ def kmeans_fit_predict(
         float(assigned.agg(F.sum("sq_dist")).collect()[0][0])
     )
     return assigned.select(id_col, "cell"), centroids, sse_history
+
+
+def ivf_topk_kmeans(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search over LEARNED cells: fit k-means, score only the
+    ``nprobe`` cells whose centroids are nearest the query, exact
+    cosine within them.  The real-deployment version of
+    :func:`ivf_topk` (which trusts a pre-existing cell column): at
+    100 TB the fit runs once offline, assignments are persisted as
+    the table's partition column, and this probe is partition pruning
+    + a scan of nprobe/n_cells of the data.  Recall vs brute force is
+    pinned in tests/test_invariants.py."""
+    assigned, centroids, _ = kmeans_fit_predict(
+        df, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    q = [float(v) for v in query]
+
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(q, c))
+
+    probe = sorted(range(len(centroids)), key=lambda ci: (sq(centroids[ci]), ci))[
+        :nprobe
+    ]
+    cells = df.join(assigned, id_col).filter(F.col("cell").isin(probe))
+    return cosine_topk(cells, query, k, vec_col, id_col)
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public):
+    cluster embeddings with k-means, then drop any vector with an
+    earlier (lower-id) neighbor at cosine >= threshold IN THE SAME
+    cell.  Clustering bounds the candidate pair generation to
+    within-cell — O(Σ|cell|²) instead of O(n²); at 100 TB cells are
+    partition keys, so the pair join is partition-local with no
+    global shuffle.  Cross-cell near-dups are missed by design (the
+    k-means boundary is the recall/cost knob — raise n_cells for
+    cost, lower for recall).  Returns (id, cell, is_kept);
+    deterministic: keep-lowest-id, k-means is seeded."""
+    assigned, _, _ = kmeans_fit_predict(
+        df, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    vecs = df.select(id_col, vec_col).join(assigned, id_col)
+    a = vecs.select(
+        F.col(id_col).alias("_a_id"),
+        F.col(vec_col).alias("_a_vec"),
+        F.col("cell").alias("_a_cell"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_vec"),
+        F.col("cell").alias("_b_cell"),
+    )
+    dup_ids = (
+        a.join(b, (F.col("_a_cell") == F.col("_b_cell")) & (F.col("_a_id") < F.col("_b_id")))
+        .filter(
+            _dot(F.col("_a_vec"), F.col("_b_vec"))
+            / F.nullif(_norm(F.col("_a_vec")) * _norm(F.col("_b_vec")), F.lit(0.0))
+            >= threshold
+        )
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+    return vecs.join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left").select(
+        id_col,
+        "cell",
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+    )

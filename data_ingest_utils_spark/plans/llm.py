@@ -1331,3 +1331,28 @@ def llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cell").agg(
         F.count("*").alias("n_vectors"),
     ).orderBy("cell")
+
+
+@plan("llm_sim_ivf_kmeans")  # rows-only: learned-cell probe is lossy by design
+def llm_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over LEARNED k-means cells (nprobe=2 of 8): the
+    production ANN shape where cell assignments are the table's
+    partition column and a probe is partition pruning.  Recall vs
+    brute force pinned in tests/test_invariants.py."""
+    q, _ = _query_vec(spark, sf_dir, 0)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return sim.ivf_topk_kmeans(emb, q, k=5, n_cells=8, nprobe=2)
+
+
+@plan("llm_semdedup")  # rows-only: cluster-bounded dedup is lossy by design
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cells bound the O(n²) cosine pair search to
+    within-cell; drop later-id members of any pair at cos >= 0.95.
+    Planted-duplicate and keep-lowest-id invariants in
+    tests/test_invariants.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.semdedup(emb, threshold=0.95, n_cells=8, iters=2)
+    return out.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+    ).orderBy("cell")

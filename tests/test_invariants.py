@@ -393,3 +393,42 @@ def test_kmeans_sse_monotone_and_deterministic(spark):
     a2, _, sse2 = sim.kmeans_fit_predict(emb, k=8, iters=3)
     assert sse == sse2
     assert {r.vec_id: r.cell for r in a2.collect()} == cells1
+
+
+def test_ivf_kmeans_recall_and_full_probe_exact(spark):
+    """Learned-cell IVF: nprobe=2/8 keeps majority recall vs brute
+    force on the fixture (observed 3/5), and probing ALL cells must
+    reproduce the exact brute-force top-k — the lossiness comes only
+    from skipped cells, never from the mechanism."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    q = list(qrow.embedding)
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in sim.cosine_topk(rest, q, k=5).collect()]
+    probed = [
+        r.vec_id
+        for r in sim.ivf_topk_kmeans(rest, q, k=5, n_cells=8, nprobe=2).collect()
+    ]
+    assert len(set(exact) & set(probed)) >= 3
+    full = [
+        r.vec_id
+        for r in sim.ivf_topk_kmeans(rest, q, k=5, n_cells=8, nprobe=8).collect()
+    ]
+    assert full == exact
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    """SemDeDup: exact-copy vectors planted at higher ids are dropped
+    (cos=1 to their original, and identical vectors always land in the
+    same k-means cell); originals and non-duplicates survive."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    originals = emb.filter(F.col("vec_id") < 20)
+    copies = originals.withColumn("vec_id", F.col("vec_id") + 100000)
+    planted = emb.unionByName(copies)
+    out = sim.semdedup(planted, threshold=0.95, n_cells=8, iters=2).collect()
+    kept = {r.vec_id for r in out if r.is_kept}
+    dropped = {r.vec_id for r in out if not r.is_kept}
+    for i in range(20):
+        assert 100000 + i in dropped, f"planted copy of {i} survived"
+        assert i in kept, f"original {i} was dropped"
+    assert len(kept) + len(dropped) == planted.count()
