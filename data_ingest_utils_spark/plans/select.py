@@ -71,3 +71,30 @@ def sel_filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_linenumber", "l_shipdate")
     )
+
+
+@plan(
+    "sel_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < 10
+    """,
+)
+def sel_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by key hash — the reproducible
+    alternative to rand()-based sampling: the same rows are drawn on
+    every run, every engine, and every retry of a failed task (rand()
+    sampling is NOT replay-stable under task retries — a recomputed
+    partition redraws).  Pure map-side predicate, no shuffle; at
+    100 TB this is also join-consistent: sampling two fact tables by
+    the same key hash keeps their join intact on the sample."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return o.filter(bucket < 10).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice")
+    )
