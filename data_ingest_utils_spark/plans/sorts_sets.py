@@ -213,3 +213,34 @@ def sort_range_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 6).alias("price"),
         )
     )
+
+
+_ZVAL_EXPR = (
+    "((((l_orderkey & 255) >> 0) & 1) << 0) + ((((l_partkey  & 255) >> 0) & 1) << 1) + ((((l_orderkey & 255) >> 1) & 1) << 2) + ((((l_partkey  & 255) >> 1) & 1) << 3) + ((((l_orderkey & 255) >> 2) & 1) << 4) + ((((l_partkey  & 255) >> 2) & 1) << 5) + ((((l_orderkey & 255) >> 3) & 1) << 6) + ((((l_partkey  & 255) >> 3) & 1) << 7) + ((((l_orderkey & 255) >> 4) & 1) << 8) + ((((l_partkey  & 255) >> 4) & 1) << 9) + ((((l_orderkey & 255) >> 5) & 1) << 10) + ((((l_partkey  & 255) >> 5) & 1) << 11) + ((((l_orderkey & 255) >> 6) & 1) << 12) + ((((l_partkey  & 255) >> 6) & 1) << 13) + ((((l_orderkey & 255) >> 7) & 1) << 14) + ((((l_partkey  & 255) >> 7) & 1) << 15)"
+)
+
+
+@plan(
+    "sort_zorder_layout",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           CAST(((((l_orderkey & 255) >> 0) & 1) << 0) + ((((l_partkey  & 255) >> 0) & 1) << 1) + ((((l_orderkey & 255) >> 1) & 1) << 2) + ((((l_partkey  & 255) >> 1) & 1) << 3) + ((((l_orderkey & 255) >> 2) & 1) << 4) + ((((l_partkey  & 255) >> 2) & 1) << 5) + ((((l_orderkey & 255) >> 3) & 1) << 6) + ((((l_partkey  & 255) >> 3) & 1) << 7) + ((((l_orderkey & 255) >> 4) & 1) << 8) + ((((l_partkey  & 255) >> 4) & 1) << 9) + ((((l_orderkey & 255) >> 5) & 1) << 10) + ((((l_partkey  & 255) >> 5) & 1) << 11) + ((((l_orderkey & 255) >> 6) & 1) << 12) + ((((l_partkey  & 255) >> 6) & 1) << 13) + ((((l_orderkey & 255) >> 7) & 1) << 14) + ((((l_partkey  & 255) >> 7) & 1) << 15) AS BIGINT) AS zval
+    FROM lineitem
+    """,
+)
+def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout: interleave the low 8 bits of two join/
+    filter dimensions into one sort key, then repartitionByRange +
+    sortWithinPartitions on it.  Files written in this order are
+    clustered in BOTH dimensions at once, so min/max footer stats
+    prune scans for predicates on either column — the multi-dimension
+    data-layout trick (Delta/Iceberg OPTIMIZE ZORDER) expressed with
+    stock Spark.  The z-value is a pure integer expression (shifts/
+    masks, whole-stage codegen); the range partitioner samples it, so
+    there is no global sort.  The oracle checks the interleave math
+    cell-for-cell."""
+    li = load_table(spark, sf_dir, "lineitem")
+    with_z = li.select(
+        "l_orderkey", "l_partkey", F.expr(_ZVAL_EXPR).cast("long").alias("zval")
+    )
+    return with_z.repartitionByRange(8, "zval").sortWithinPartitions("zval")

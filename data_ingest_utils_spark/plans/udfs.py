@@ -273,3 +273,38 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.select(
         "l_orderkey", "l_linenumber", F.round("net_price", 6).alias("net_price")
     )
+
+
+@plan(
+    "udf_pandas_window",
+    oracle="""
+    SELECT event_id, user_id,
+           round(exp(avg(ln(value)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)), 6) AS rolling_gm
+    FROM events
+    """,
+)
+def udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF evaluated OVER A WINDOW FRAME — the
+    custom-rolling-metric surface (rolling geometric mean per user,
+    4-row frame).  Spark slices each frame into a pandas Series and
+    Arrow-batches the transfer; the window shuffle/sort is identical
+    to a built-in agg's, so swapping a builtin for a pandas UDAF
+    changes per-frame CPU only, not the plan shape.  Use for metrics
+    SQL can't express (model scores, robust stats); here the oracle
+    CAN express it (exp∘avg∘ln) precisely so parity is checkable."""
+    from pyspark.sql import Window
+
+    gm_udf = F.pandas_udf(_geomean_series, "double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(gm_udf(F.col("value")).over(w), 6).alias("rolling_gm"),
+    )

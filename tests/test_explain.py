@@ -291,3 +291,13 @@ def test_sequence_pattern_single_shuffle(spark):
     plan = _plan(spark, "evt_sequence_pattern")
     assert "ObjectHashAggregate" in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_zorder_layout_range_partition_local_sort(spark):
+    """sort_zorder_layout: z-value computed in codegen, laid out via
+    RangePartitioning + LOCAL sort only — the clustering write path
+    must never pay a global merge sort."""
+    plan = _plan(spark, "sort_zorder_layout")
+    assert "rangepartitioning" in plan.lower()
+    assert "], false, 0" in plan
+    assert "], true, 0" not in plan
