@@ -316,3 +316,29 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().alias("gid"),
         F.count("*").alias("n"),
     ).select("o_orderstatus", "o_orderpriority", "gid", "n")
+
+
+@plan(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+             AS wavg_price,
+           round(avg(l_extendedprice), 6) AS plain_avg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average as two partial-aggregable sums — the
+    distributed-safe formulation (a naive avg-of-ratios is both wrong
+    and not combinable across partitions).  Plain avg alongside shows
+    the skew the weighting corrects."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            6,
+        ).alias("wavg_price"),
+        F.round(F.avg("l_extendedprice"), 6).alias("plain_avg"),
+    )

@@ -370,3 +370,58 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_purchase_ts",
         tiebreakers=["event_id"],
     ).select("event_id", "user_id", "ts", "next_purchase_ts")
+
+
+@plan(
+    "join_asof_nearest",
+    oracle="""
+    WITH bracketed AS (
+      SELECT event_id, user_id, ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_ts,
+             first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN prev_ts IS NULL THEN next_ts
+                WHEN next_ts IS NULL THEN prev_ts
+                WHEN (ts - prev_ts) <= (next_ts - ts) THEN prev_ts
+                ELSE next_ts END AS nearest_purchase_ts
+    FROM bracketed
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: bracket each event between its previous and next
+    purchase (the two one-shuffle window passes share ONE partitioning
+    on user_id — Spark reuses the exchange) and pick the closer side,
+    ties to the earlier.  Completes the as-of family
+    (backward/forward/nearest) without ever writing a range join."""
+    ev = load_table(spark, sf_dir, "events")
+    val = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    both = as_of_attach_forward(
+        as_of_attach(ev, ["user_id"], "ts", val, "prev_ts", ["event_id"]),
+        ["user_id"],
+        "ts",
+        val,
+        "next_ts",
+        ["event_id"],
+    )
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(
+            (F.col("ts") - F.col("prev_ts")) <= (F.col("next_ts") - F.col("ts")),
+            F.col("prev_ts"),
+        )
+        .otherwise(F.col("next_ts"))
+    )
+    return both.select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_purchase_ts")
+    )

@@ -244,3 +244,31 @@ def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", F.expr(_ZVAL_EXPR).cast("long").alias("zval")
     )
     return with_z.repartitionByRange(8, "zval").sortWithinPartitions("zval")
+
+
+@plan(
+    "set_union_evolved",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(NULL AS VARCHAR) AS o_orderpriority, 'v1' AS schema_ver
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, 'v2' AS schema_ver
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def set_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: unionByName(allowMissingColumns=True)
+    aligns by NAME and null-fills columns one side lacks — the append
+    path when a feed adds fields mid-stream.  Positional UNION would
+    silently misalign or fail; byName is the only safe way to stack
+    v1/v2 extracts, and it costs nothing (a projection, no shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", F.lit("v1").alias("schema_ver")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.lit("v2").alias("schema_ver"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -158,3 +158,55 @@ def test_prop_string_exprs(spark, rows):
         " concat_ws('-', s, s) AS cc FROM t",
     )
     assert _norm(got) == _norm(want)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_prop_zorder_interleave_bijective(spark, pairs):
+    """Morton interleave (sort_zorder_layout's _ZVAL_EXPR shape): the
+    z-value round-trips — de-interleaving even/odd bits recovers (a, b)
+    exactly for the full 8-bit × 8-bit domain, so range-clustering on
+    zval never conflates two distinct key pairs."""
+    from data_ingest_utils_spark.plans.sorts_sets import _ZVAL_EXPR
+
+    df = spark.createDataFrame(pairs, "l_orderkey long, l_partkey long")
+    out = df.select(
+        "l_orderkey", "l_partkey", F.expr(_ZVAL_EXPR).alias("z")
+    ).collect()
+    for r in out:
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (a, b) == (r.l_orderkey, r.l_partkey)
+    zs = [r.z for r in out]
+    assert len(set(zs)) == len(zs)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-100, 100), st.one_of(st.none(), st.integers(-100, 100))),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_prop_flatten_structs_lossless(spark, vals):
+    """flatten_structs: rebuilding the nested struct from the flattened
+    leaves reproduces the original rows, including NULL leaves."""
+    from data_ingest_utils_spark.operators.ingest import flatten_structs
+
+    df = spark.createDataFrame(vals, "x long, y long").select(
+        "x", F.struct(F.col("x").alias("a"), F.struct(F.col("y").alias("b")).alias("n")).alias("s")
+    )
+    flat = flatten_structs(df)
+    assert flat.columns == ["x", "s_a", "s_n_b"]
+    nkey = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    orig = sorted(((r.x, r.s.a, r.s.n.b) for r in df.collect()), key=nkey)
+    back = sorted(((r.x, r.s_a, r.s_n_b) for r in flat.collect()), key=nkey)
+    assert orig == back
