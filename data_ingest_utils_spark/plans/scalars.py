@@ -805,3 +805,28 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(cipher).alias("cipher_len"),
         (F.base64(cipher) != F.col("p_name")).alias("cipher_differs"),
     )
+
+
+@plan(
+    "fn_mask_pii",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+             '[0-9]', 'n', 'g') AS name_masked,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS name_digits_starred
+    FROM customer
+    """,
+)
+def fn_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-preserving PII masking with mask(): letters→X/x,
+    digits→n, punctuation kept — downstream format validation still
+    passes while the value is unreadable.  Complements fn_aes_roundtrip
+    (reversible, keyed) and llm_pii_redact (pattern removal): masking
+    is the irreversible display-safe tier.  JVM intrinsic, codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("name_masked"),
+        F.expr("mask(c_name, NULL, NULL, '*')").alias("name_digits_starred"),
+    )

@@ -458,3 +458,55 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch == {1: (3, 2), 2: (2, 0)}
+
+
+def test_stream_stream_join_across_batches(spark, tmp_path):
+    """Stream-stream interval join joins a purchase in batch 2 to a
+    view that arrived in batch 1 (the view is buffered in join state
+    across micro-batches), and never joins a view outside the 1-hour
+    interval."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ssj")
+    os.makedirs(src)
+    _write_batches(
+        src,
+        [
+            # batch 0: two views for user 1 — one recent, one 3h old
+            [
+                (1, "2024-01-01 09:30:00", 1, "view", 1.0),
+                (2, "2024-01-01 07:00:00", 1, "view", 1.0),
+            ],
+            # batch 1: the purchase arrives a micro-batch LATER
+            [(3, "2024-01-01 10:00:00", 1, "purchase", 9.0)],
+        ],
+    )
+    stream = read_parquet_stream(spark, src)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "user_id",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("user_id").alias("v_user_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "view_id")
+    run_available_now(joined, "ssj_xbatch")
+    got = {(r.purchase_id, r.view_id) for r in spark.table("ssj_xbatch").collect()}
+    assert got == {(3, 1)}, got  # 09:30 view joins; 07:00 view excluded
