@@ -633,3 +633,46 @@ def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey int, tricky string")
         .csv(path)
     )
+
+
+@plan(
+    "scan_python_datasource_stream",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS seq_id,
+           CAST((i * i) % 97 AS BIGINT) AS val
+    FROM range(1000) t(i)
+    """,
+)
+def scan_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON STREAMING data source end-to-end: an offset-
+    tracked SimpleDataSourceStreamReader (the queue/REST-poller shape)
+    drained through real micro-batches (4 × 256-row offset advances,
+    checkpointed) into a memory sink, then hash-checked against the
+    closed-form sequence.  With scan_python_datasource this completes
+    the connector story: same Python source pattern, batch AND
+    streaming, no JVM code."""
+    import shutil
+    import tempfile
+
+    from data_ingest_utils_spark.sources.pydatasource import register_stream
+
+    register_stream(spark)
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_pyds_")
+    try:
+        q = (
+            spark.readStream.format("synthetic_seq_stream")
+            .option("n", "1000")
+            .option("step", "256")
+            .load()
+            .writeStream.format("memory")
+            .queryName("pyds_stream_out")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.table("pyds_stream_out")

@@ -20,7 +20,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 @dataclass
@@ -68,3 +73,47 @@ class SyntheticSeqDataSource(DataSource):
 def register(spark: SparkSession) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(SyntheticSeqDataSource)
+
+
+class SyntheticSeqStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming twin of SyntheticSeqReader: each
+    micro-batch advances {"offset": k} by ``step`` until ``n`` —
+    exactly the shape of a queue/REST poller (Kafka-less Kinesis,
+    paginated APIs).  Spark checkpoints the offset dict, so restart
+    resumes where the last committed batch ended; readBetweenOffsets
+    makes committed batches replayable for exactly-once sinks."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.step = int(options.get("step", 256))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def read(self, start):
+        lo = start["offset"]
+        hi = min(lo + self.step, self.n)
+        return iter([(i, (i * i) % 97) for i in range(lo, hi)]), {"offset": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [(i, (i * i) % 97) for i in range(start["offset"], end["offset"])]
+        )
+
+
+class SyntheticSeqStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_seq_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_seq_stream"
+
+    def schema(self) -> str:
+        return "seq_id bigint, val bigint"
+
+    def simpleStreamReader(self, schema):
+        return SyntheticSeqStreamReader(self.options)
+
+
+def register_stream(spark: SparkSession) -> None:
+    spark.dataSource.register(SyntheticSeqStreamDataSource)
