@@ -425,3 +425,72 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(
         "event_id", "user_id", "ts", nearest.alias("nearest_purchase_ts")
     )
+
+
+@plan(
+    "join_geo_grid",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 7)  % 100 AS DOUBLE) AS px,
+             CAST((c_custkey * 13) % 100 AS DOUBLE) AS py
+      FROM customer
+    ), qs AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 11) % 100 AS DOUBLE) AS qx,
+             CAST((s_suppkey * 17) % 100 AS DOUBLE) AS qy
+      FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           round(sqrt((px-qx)*(px-qx) + (py-qy)*(py-qy)), 6) AS dist
+    FROM pts, qs
+    WHERE (px-qx)*(px-qx) + (py-qy)*(py-qy) <= 9.0
+    """,
+)
+def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D distance join via spatial grid bucketing — the spatial twin
+    of join_range_banded: snap both sides to a d-wide grid, replicate
+    the SMALL side to its 9 neighbor cells (a point within distance d
+    of another is always in an adjacent cell), hash-join on the cell,
+    then apply the exact Euclidean predicate as a residual.  The
+    oracle's cross-join phrasing is O(n·m); the grid join shuffles on
+    cell keys and is near-linear — at 100 TB this is geohash/S2-cell
+    joining with stock Spark.  Coordinates are derived
+    deterministically from the keys (no geo columns in the fixtures);
+    swap in real lat/lon + haversine residual unchanged."""
+    d = 3.0
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7) % 100).cast("double").alias("px"),
+        ((F.col("c_custkey") * 13) % 100).cast("double").alias("py"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 11) % 100).cast("double").alias("qx"),
+        ((F.col("s_suppkey") * 17) % 100).cast("double").alias("qy"),
+    )
+    pts = c.withColumn("cx", F.floor(F.col("px") / d)).withColumn(
+        "cy", F.floor(F.col("py") / d)
+    )
+    offsets = F.expr(
+        "explode(array(" + ",".join(
+            f"struct({dx}L as dx, {dy}L as dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ) + "))"
+    )
+    cells = s.select("*", offsets.alias("o")).select(
+        "s_suppkey", "qx", "qy",
+        (F.floor(F.col("qx") / d) + F.col("o.dx")).alias("cx"),
+        (F.floor(F.col("qy") / d) + F.col("o.dy")).alias("cy"),
+    )
+    sq = (F.col("px") - F.col("qx")) ** 2 + (F.col("py") - F.col("qy")) ** 2
+    return (
+        pts.join(F.broadcast(cells), ["cx", "cy"])
+        .filter(sq <= d * d)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(F.sqrt(sq), 6).alias("dist"),
+        )
+    )

@@ -301,3 +301,13 @@ def test_zorder_layout_range_partition_local_sort(spark):
     assert "rangepartitioning" in plan.lower()
     assert "], false, 0" in plan
     assert "], true, 0" not in plan
+
+
+def test_geo_grid_join_is_hash_not_cartesian(spark):
+    """join_geo_grid must plan a (broadcast) hash join on the grid
+    cells — never BroadcastNestedLoop/Cartesian, which is what the
+    naive distance predicate alone would produce."""
+    plan = _plan(spark, "join_geo_grid")
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
