@@ -31,13 +31,30 @@ def test_rows_only_executes(key, spark):
     assert n >= 0
     assert len(sdf.schema.fields) > 0
 
-def test_r3_correctness_window():
+def test_r4_correctness_window():
     """The driver grades only the first 50 registry entries per round;
-    round 3 rotates the never-driver-checked keys into that window."""
+    round 4 rotates 50 of the 81 never-driver-checked oracle-backed keys
+    into that window (backlog clear, part 1 of 2)."""
     from data_ingest_utils_spark import plans
 
     first50 = list(QUERIES)[:50]
-    assert first50 == plans._R3_WINDOW
-    # Every windowed key except the one designated rows-only slot is
-    # hash-checkable.
-    assert [k for k in first50 if k not in ORACLES] == ["llm_dedup_near"]
+    assert first50 == plans._R4_WINDOW
+    assert len(plans._R4_WINDOW) == 50
+    # Every round-4 windowed key is hash-checkable (oracle-backed).
+    assert [k for k in first50 if k not in ORACLES] == []
+
+
+def test_r5_window_prepped():
+    """Round-5 window: the remaining 42 never-driver-checked keys (31
+    oracle-backed first, 11 rows-only parked last), disjoint from round 4
+    and covering the whole backlog."""
+    from data_ingest_utils_spark import plans
+
+    r4, r5 = plans._R4_WINDOW, plans._R5_WINDOW
+    assert len(r5) == 42
+    assert not set(r4) & set(r5)
+    assert all(k in QUERIES for k in r5)
+    # Oracle-backed keys precede every rows-only key.
+    oracle_flags = [k in ORACLES for k in r5]
+    assert oracle_flags == sorted(oracle_flags, reverse=True)
+    assert sum(1 for f in oracle_flags if not f) == 11
