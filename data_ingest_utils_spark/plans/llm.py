@@ -1210,19 +1210,19 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document vocabulary coverage (1 − OOV rate) against the
     corpus top-100 unigram vocab — the filter LLM pipelines use to
-    drop gibberish.  Two passes over tokens: hash-agg to the vocab
-    (tiny, top-K after full reduction), then a BROADCAST left join back
-    onto the token stream — no shuffle of the corpus-sized side."""
+    drop gibberish.  Two passes over tokens: hash-agg to the vocab,
+    tie-broken top-100 via orderBy+limit (TakeOrderedAndProject: each
+    partition keeps its local top-100, merged once — never a
+    single-partition sort of the full distinct-token table, which at
+    100 TB is easily 10⁸ rows), then a BROADCAST left join back onto
+    the token stream — no shuffle of the corpus-sized side."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    from pyspark.sql import Window
-
-    rk = F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
     vocab = (
         tok.groupBy("tok").agg(F.count("*").alias("c"))
-        .withColumn("rk", rk).filter(F.col("rk") <= 100)
+        .orderBy(F.desc("c"), F.asc("tok")).limit(100)
         .select("tok", F.lit(1).alias("inv"))
     )
     return (

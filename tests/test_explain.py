@@ -311,3 +311,13 @@ def test_geo_grid_join_is_hash_not_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_coverage_topk_no_global_window(spark):
+    """llm_vocab_coverage's top-100 vocab must be TakeOrderedAndProject
+    (per-partition top-k, one merge) — never a row_number window over a
+    single partition, which is a full sort of the distinct-token table
+    (~10⁸ rows at 100 TB)."""
+    plan = _plan(spark, "llm_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
