@@ -96,6 +96,94 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def explode_packed_sequences(
+    t: DataFrame, *, id_col: str = "doc_id", seq_len: int = 2048
+) -> DataFrame:
+    """Turn a (id, n, cum) token-cumsum frame into one row per
+    (document, training sequence) with the token count contributed.
+
+    ``cum`` is the INCLUSIVE running token total at this document in
+    pack order; a document spans sequences floor((cum-n)/L) ..
+    floor((cum-1)/L) and contributes the overlap of its token interval
+    with each sequence's [s*L, (s+1)*L) slot.  Pure codegen arithmetic
+    + one explode — how ``cum`` was produced (global window or
+    shard-local window + offset) is the caller's scaling decision.
+    """
+    cap = F.lit(seq_len).cast("long")
+    first_seq = F.floor((F.col("cum") - F.col("n")) / cap)
+    last_seq = F.floor((F.col("cum") - 1) / cap)
+    # Empty-range guard: a 0-token doc at a boundary would make
+    # sequence(first, last) DESCEND and emit spurious rows.
+    seq_ids = F.when(
+        first_seq <= last_seq, F.sequence(first_seq, last_seq)
+    ).otherwise(F.array().cast("array<long>"))
+    return t.withColumn("seq_id", F.explode(seq_ids)).select(
+        id_col,
+        F.col("seq_id").cast("int").alias("seq_id"),
+        (
+            F.least(F.col("cum"), (F.col("seq_id") + 1) * cap)
+            - F.greatest(F.col("cum") - F.col("n"), F.col("seq_id") * cap)
+        )
+        .cast("int")
+        .alias("n_tokens_in_seq"),
+    )
+
+
+def pack_sequences_sharded(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_col: str = "n",
+    shard_col: str = "shard",
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Scale-safe GPT-style sequence packing: shard-local running sums
+    offset by broadcast per-shard token bases — the production path for
+    packing a 100 TB corpus without a global ``Window.orderBy``.
+
+    Requires the shard assignment to be MONOTONE in ``id_col`` (each
+    shard holds a contiguous id range, shards ordered by shard id);
+    under that contract the output is bit-identical to packing the
+    whole corpus with one global running sum, because
+    ``shard_base + shard-local cumsum == global cumsum``.
+
+    Plan: (1) one tiny hash-agg to per-shard token totals, (2) a
+    driver-side exclusive cumsum over ``num_shards`` rows (the one
+    sanctioned collect — kilobytes, same pattern as the k-means
+    model), (3) a broadcast join of the bases, (4) a running-sum
+    window PARTITIONED BY shard — every partition bounded by shard
+    size, no single-partition stage anywhere.
+    """
+    totals = (
+        df.groupBy(shard_col)
+        .agg(F.sum(F.col(n_col).cast("long")).alias("shard_tokens"))
+        .orderBy(shard_col)
+        .collect()
+    )
+    spark = df.sparkSession
+    bases, running = [], 0
+    for row in totals:
+        bases.append((row[shard_col], running))
+        running += row["shard_tokens"]
+    shard_type = df.schema[shard_col].dataType.simpleString()
+    bases_df = spark.createDataFrame(
+        bases, schema=f"{shard_col} {shard_type}, shard_base long"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = (
+        df.select(id_col, shard_col, F.col(n_col).cast("long").alias("n"))
+        .join(F.broadcast(bases_df), shard_col)
+        .withColumn("cum", F.col("shard_base") + F.sum("n").over(w))
+    )
+    return explode_packed_sequences(t, id_col=id_col, seq_len=seq_len)
+
+
 def min_shingle_fingerprint(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: lexicographic MIN of sha256(shingle).
 

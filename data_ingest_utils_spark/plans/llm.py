@@ -791,40 +791,21 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing a boundary are split.  One output row per (doc, sequence)
     with the token count contributed.
 
-    Plan: a single running-sum window + a per-row explode — one
-    shuffle total.  100 TB note: the global ORDER BY doc_id window is
-    the honest contract for reproducible packing; at scale the same
-    arithmetic runs per shard (partition by date/bucket, offset by the
-    shard's token base) to keep windows bounded."""
+    This oracle key keeps the single global running-sum window so the
+    DuckDB oracle can hash-check the packing arithmetic exactly.  The
+    PRODUCTION path for a 100 TB corpus is
+    ``operators.text.pack_sequences_sharded``: shard-local windows
+    offset by broadcast per-shard token bases — bit-identical output
+    (asserted in tests/test_invariants.py::
+    test_pack_sequences_sharded_equals_global) with every window
+    partition bounded by shard size instead of one global partition."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
     n = tx.token_count(F.col("text")).cast("long")
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t = docs.select("doc_id", n.alias("n")).withColumn("cum", F.sum("n").over(w))
-    cap = F.lit(2048).cast("long")
-    first_seq = F.floor((F.col("cum") - F.col("n")) / cap)
-    last_seq = F.floor((F.col("cum") - 1) / cap)
-    # Empty-range guard: a 0-token doc at a 2048 boundary would make
-    # sequence(first, last) DESCEND (first > last) and emit spurious
-    # rows; the oracle's half-open range() is empty there.  Latent
-    # today (tokens('') == ['']), guarded anyway.
-    seq_ids = F.when(
-        first_seq <= last_seq, F.sequence(first_seq, last_seq)
-    ).otherwise(F.array().cast("array<long>"))
-    return (
-        t.withColumn("seq_id", F.explode(seq_ids))
-        .select(
-            "doc_id",
-            F.col("seq_id").cast("int").alias("seq_id"),
-            (
-                F.least(F.col("cum"), (F.col("seq_id") + 1) * cap)
-                - F.greatest(F.col("cum") - F.col("n"), F.col("seq_id") * cap)
-            )
-            .cast("int")
-            .alias("n_tokens_in_seq"),
-        )
-    )
+    return tx.explode_packed_sequences(t, id_col="doc_id", seq_len=2048)
 
 
 @plan(

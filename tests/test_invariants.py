@@ -268,6 +268,48 @@ def test_pack_sequences_conservation(spark):
     assert 0 < per_seq.iloc[-1] <= 2048
 
 
+def test_pack_sequences_sharded_equals_global(spark):
+    """The production sharded packing path (shard-local windows +
+    broadcast shard-base offsets) is bit-identical to the global
+    running-sum oracle form when shards are contiguous id ranges —
+    and its physical plan has no single-partition global window."""
+    import contextlib
+    import io
+
+    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.sources.readers import load_table
+    from data_ingest_utils_spark.operators import text as tx
+
+    docs = load_table(spark, SF_T2, "documents").select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n"),
+        # Monotone-in-doc_id shard assignment (contiguous ranges).
+        F.floor(F.col("doc_id") / 100).cast("int").alias("shard"),
+    )
+    sharded = tx.pack_sequences_sharded(
+        docs, id_col="doc_id", n_col="n", shard_col="shard", seq_len=2048
+    )
+    n_shards = docs.select("shard").distinct().count()
+    assert n_shards > 1, "fixture must exercise multiple shards"
+    got = sharded.toPandas().sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    want = (
+        QUERIES["llm_pack_sequences"](spark, SF_T2)
+        .toPandas()
+        .sort_values(["doc_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # Every Window in the sharded plan is partitioned by shard — the
+    # global-sort single-partition stage must not exist.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sharded.explain("formatted")
+    plan = buf.getvalue()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "shard" in line, f"unpartitioned window:\n{line}"
+
+
 def test_window_sessionize_agrees_with_session_window(spark):
     """win_session_id (lag+cumsum, 30-min gap) and evt_session
     (session_window, 30-min gap) are two formulations of the SAME
