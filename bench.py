@@ -9,7 +9,7 @@ Contract (task brief): run the headline queries at
 
 Query set = the BASELINE.md headline shapes (BASELINE.md:24-32), timed
 warm: one shared SparkSession, one un-timed warmup pass (JVM/codegen/
-file-listing warmup), then best-of-3 per query.  ``value`` is the sum
+file-listing warmup), then best-of-5 per query.  ``value`` is the sum
 of per-query best times — comparable to summing the BASELINE.md Spark
 column.  All diagnostics go to stderr; stdout carries exactly the one
 JSON line.

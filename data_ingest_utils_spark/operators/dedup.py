@@ -106,6 +106,7 @@ def ngram_jaccard_pairs(
     block_cols: str | Sequence[str] = ("lang",),
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    block_col: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity over blocked candidate pairs.
 
@@ -119,7 +120,21 @@ def ngram_jaccard_pairs(
     For unbounded-cardinality blocking the scale path is
     :func:`ngram_jaccard_banded` (SimHash bands keep candidates
     near-linear regardless of corpus shape).
+
+    ``block_col`` is a deprecated alias for ``block_cols`` (the
+    pre-multi-column keyword), kept for external callers of the
+    library surface advertised in README.
     """
+    if block_col is not None:
+        import warnings
+
+        warnings.warn(
+            "ngram_jaccard_pairs(block_col=...) is deprecated; "
+            "use block_cols",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        block_cols = block_col
     blocks = [block_cols] if isinstance(block_cols, str) else list(block_cols)
     # block cols are functionally dependent on id_col, so carrying them
     # through the explode+distinct costs nothing — and saves the

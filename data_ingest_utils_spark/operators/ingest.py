@@ -148,17 +148,29 @@ def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
     from pyspark.sql import types as T
 
     cols = []
+    out_names: set[str] = set()
+
+    def emit(path_expr, name: str) -> None:
+        # Flattening can collide (e.g. struct a.b_c vs column a_b_c);
+        # a silent duplicate column would poison every downstream
+        # select-by-name, so fail loudly here.
+        if name in out_names:
+            raise ValueError(
+                f"flatten_structs: duplicate output column {name!r}"
+            )
+        out_names.add(name)
+        cols.append(path_expr.alias(name))
 
     def rec(path: str, flat: str, dtype) -> None:
         if isinstance(dtype, T.StructType):
             for f in dtype.fields:
                 rec(f"{path}.`{f.name}`", f"{flat}{sep}{f.name}", f.dataType)
         else:
-            cols.append(F.col(path).alias(flat.lstrip(sep)))
+            emit(F.col(path), flat)
 
     for f in df.schema.fields:
         if isinstance(f.dataType, T.StructType):
             rec(f"`{f.name}`", f.name, f.dataType)
         else:
-            cols.append(F.col(f"`{f.name}`"))
+            emit(F.col(f"`{f.name}`"), f.name)
     return df.select(cols)

@@ -266,6 +266,11 @@ def kmeans_fit_predict(
         .limit(k)
         .collect()
     )
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_fit_predict: need at least k={k} input rows to "
+            f"seed centroids, got {len(seeds)}"
+        )
     centroids = [list(map(float, r[vec_col])) for r in seeds]
 
     def sq_dist_to(c: list[float]):

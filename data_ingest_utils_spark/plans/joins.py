@@ -457,7 +457,14 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell keys and is near-linear — at 100 TB this is geohash/S2-cell
     joining with stock Spark.  Coordinates are derived
     deterministically from the keys (no geo columns in the fixtures);
-    swap in real lat/lon + haversine residual unchanged."""
+    swap in real lat/lon + haversine residual unchanged.
+
+    The broadcast hint fits the supplier-dim fixture (small side even
+    after 9× neighbor replication).  When BOTH sides are large, drop
+    the hint and let the join shuffle on (cx, cy) — the grid join
+    stays near-linear either way; only the distribution strategy
+    changes (test_explain only requires non-cartesian, which holds
+    for both)."""
     d = 3.0
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",

@@ -407,6 +407,49 @@ def test_flatten_structs_deep_and_mixed(spark):
     assert list(row["arr"]) == [5, 6]
 
 
+def test_flatten_structs_underscore_prefix_and_collision(spark):
+    """Separator-prefixed struct names keep their prefix (no lstrip
+    mangling), and a flattened name colliding with an existing flat
+    column raises instead of emitting duplicate columns."""
+    import pytest as _pytest
+
+    from data_ingest_utils_spark.operators.ingest import flatten_structs
+
+    df = spark.sql("SELECT named_struct('x', 1) AS `_meta`")
+    assert flatten_structs(df).columns == ["_meta_x"]
+
+    clash = spark.sql("SELECT 1 AS a_b, named_struct('b', 2) AS a")
+    with _pytest.raises(ValueError, match="duplicate output column"):
+        flatten_structs(clash)
+
+
+def test_ngram_jaccard_block_col_alias(spark):
+    """block_col (pre-multi-column keyword) still works as a
+    deprecated alias for block_cols — library-surface compatibility."""
+    import warnings
+
+    from data_ingest_utils_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = ngram_jaccard_pairs(docs, block_col="lang")
+    assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert df.columns == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_kmeans_rejects_fewer_rows_than_k(spark):
+    """kmeans_fit_predict must fail loudly when the input cannot seed
+    k centroids (empty or < k rows), not IndexError downstream."""
+    import pytest as _pytest
+
+    from data_ingest_utils_spark.operators.similarity import kmeans_fit_predict
+
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet").limit(3)
+    with _pytest.raises(ValueError, match="at least k=8"):
+        kmeans_fit_predict(emb, k=8)
+
+
 def test_rerank_recall_vs_exact(spark):
     """Two-stage int8 rerank: recall@5 vs exact brute-force cosine >=
     4/5 (coarse_k=50 absorbs quantization rank noise; observed 5/5 on
