@@ -129,6 +129,29 @@ def explode_packed_sequences(
     )
 
 
+def shard_by_id_range(
+    df: DataFrame, *, id_col: str = "doc_id", n_shards: int = 32
+) -> DataFrame:
+    """Assign the contiguous, id-monotone shard column that
+    :func:`pack_sequences_sharded` requires — distributed, no global
+    sort.
+
+    ``repartitionByRange`` samples the id distribution to pick
+    ``n_shards - 1`` range boundaries (one pass, reservoir sampling on
+    executors), then ``spark_partition_id()`` labels each row with its
+    range index: shard k holds ids strictly below every id in shard
+    k+1, which is exactly the contiguity contract.  Boundaries are
+    sample-dependent, so shard SIZES may vary slightly run-to-run —
+    the packed output is identical regardless, because packing depends
+    only on the global id order, which any contiguous sharding
+    preserves.
+    """
+    return (
+        df.repartitionByRange(n_shards, F.col(id_col))
+        .withColumn("shard", F.spark_partition_id())
+    )
+
+
 def pack_sequences_sharded(
     df: DataFrame,
     *,

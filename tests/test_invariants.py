@@ -310,6 +310,45 @@ def test_pack_sequences_sharded_equals_global(spark):
             assert "shard" in line, f"unpartitioned window:\n{line}"
 
 
+def test_shard_by_id_range_feeds_sharded_packing(spark):
+    """End-to-end production path: shard_by_id_range (distributed
+    range sharding, no global sort) produces contiguous id-monotone
+    shards, and packing through it matches the global oracle form."""
+    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.sources.readers import load_table
+    from data_ingest_utils_spark.operators import text as tx
+
+    docs = load_table(spark, SF_T2, "documents").select(
+        "doc_id", tx.token_count(F.col("text")).alias("n")
+    )
+    sharded_in = tx.shard_by_id_range(docs, id_col="doc_id", n_shards=8)
+    # Contiguity: shard id ranges must not overlap.
+    spans = (
+        sharded_in.groupBy("shard")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .orderBy("shard")
+        .collect()
+    )
+    assert len(spans) > 1
+    for prev, cur in zip(spans, spans[1:]):
+        assert prev["hi"] < cur["lo"]
+    got = (
+        tx.pack_sequences_sharded(
+            sharded_in, id_col="doc_id", n_col="n", shard_col="shard"
+        )
+        .toPandas()
+        .sort_values(["doc_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        QUERIES["llm_pack_sequences"](spark, SF_T2)
+        .toPandas()
+        .sort_values(["doc_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
 def test_window_sessionize_agrees_with_session_window(spark):
     """win_session_id (lag+cumsum, 30-min gap) and evt_session
     (session_window, 30-min gap) are two formulations of the SAME

@@ -44,6 +44,28 @@ def test_r4_correctness_window():
     assert [k for k in first50 if k not in ORACLES] == []
 
 
+def test_windows_cover_exact_driver_backlog():
+    """r4 ∪ r5 windows must equal EXACTLY the keys with no driver
+    CORRECTNESS row in rounds 1-3 (committed artifacts) — windowing an
+    already-checked key would waste a slot; missing one would strand
+    it past round 5."""
+    import json
+    from pathlib import Path
+
+    from data_ingest_utils_spark import plans
+
+    repo = Path(__file__).resolve().parent.parent
+    checked: set[str] = set()
+    for r in (1, 2, 3):
+        f = repo / f"CORRECTNESS_r{r:02d}.json"
+        if f.exists():
+            checked |= set(json.loads(f.read_text()).keys())
+    if not checked:
+        pytest.skip("driver CORRECTNESS artifacts not present")
+    backlog = set(QUERIES) - checked
+    assert set(plans._R4_WINDOW) | set(plans._R5_WINDOW) == backlog
+
+
 def test_r5_window_prepped():
     """Round-5 window: the remaining 42 never-driver-checked keys (31
     oracle-backed first, 11 rows-only parked last), disjoint from round 4
