@@ -210,3 +210,37 @@ def test_prop_flatten_structs_lossless(spark, vals):
     orig = sorted(((r.x, r.s.a, r.s.n.b) for r in df.collect()), key=nkey)
     back = sorted(((r.x, r.s_a, r.s_n_b) for r in flat.collect()), key=nkey)
     assert orig == back
+
+
+@given(
+    ns=st.lists(st.integers(0, 5000), min_size=1, max_size=30),
+    seq_len=st.sampled_from([1, 7, 2048]),
+)
+@SETTINGS
+def test_prop_packing_conserves_tokens(spark, ns, seq_len):
+    """explode_packed_sequences: per-doc contributions sum back to the
+    doc token count, every sequence but the last is exactly full,
+    zero-token docs emit no rows (the empty-range guard), and seq ids
+    are the contiguous range the total implies."""
+    from data_ingest_utils_spark.operators.text import explode_packed_sequences
+
+    cum, rows = 0, []
+    for i, n in enumerate(ns):
+        cum += n
+        rows.append((i, n, cum))
+    t = spark.createDataFrame(rows, "doc_id long, n long, cum long")
+    out = explode_packed_sequences(t, id_col="doc_id", seq_len=seq_len).toPandas()
+    total = sum(ns)
+    per_doc = out.groupby("doc_id").n_tokens_in_seq.sum()
+    for i, n in enumerate(ns):
+        assert per_doc.get(i, 0) == n
+    assert set(out[out.n_tokens_in_seq > 0].doc_id) == {
+        i for i, n in enumerate(ns) if n > 0
+    }
+    if total:
+        per_seq = out.groupby("seq_id").n_tokens_in_seq.sum().sort_index()
+        assert list(per_seq.index) == list(range((total - 1) // seq_len + 1))
+        assert (per_seq.iloc[:-1] == seq_len).all()
+        assert 0 < per_seq.iloc[-1] <= seq_len
+    else:
+        assert out.empty
