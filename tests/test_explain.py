@@ -321,3 +321,44 @@ def test_vocab_coverage_topk_no_global_window(spark):
     plan = _plan(spark, "llm_vocab_coverage")
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    """Count shuffle nodes via the formatted detail section — each
+    node appears once as '(<id>) Exchange' there (the tree section
+    repeats them)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+
+
+def test_asof_forward_single_window_no_join(spark):
+    """join_asof_forward is the window formulation of as-of: one
+    shuffle on user_id, zero join operators — never a range/theta
+    join that BNLJs at scale."""
+    plan = _plan(spark, "join_asof_forward")
+    assert "Join" not in plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_asof_nearest_reuses_one_exchange(spark):
+    """join_asof_nearest brackets each event with prev+next purchase
+    via TWO window passes that must share ONE hash partitioning on
+    user_id (exchange reuse) — and still no join operator."""
+    plan = _plan(spark, "join_asof_nearest")
+    assert "Join" not in plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """join_null_safe (<=> keys) must stay a hash/sort-merge join —
+    null-safe equality is still an equi-join to Spark, never a
+    nested-loop fallback."""
+    plan = _plan(spark, "join_null_safe")
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
