@@ -65,8 +65,10 @@ _R4_WINDOW = [
     "set_intersect_all", "set_except_all", "set_union_evolved",
 ]
 
-# Round 5: the remaining 31 oracle-backed keys, then the 11 rows-only keys
-# parked last (they come back with `err: no_oracle`, the weaker signal).
+# Round 5: the remaining 31 oracle-backed backlog keys, the 8 new
+# round-4 spare-slot keys, then the 11 rows-only keys parked last
+# (they come back with `err: no_oracle`, the weaker signal) — exactly
+# 50, filling the driver window with zero wasted slots.
 _R5_WINDOW = [
     # §2g sort extras + §2c sampling (3)
     "sort_range_distributed", "sort_zorder_layout", "sel_sample_hash",
@@ -83,6 +85,11 @@ _R5_WINDOW = [
     "llm_token_entropy", "llm_mixture_sample", "llm_shard_assignment",
     "llm_url_dedup", "llm_vocab_coverage", "llm_train_val_split",
     "llm_incremental_dedup", "llm_corpus_pipeline",
+    # round-4 spare-slot keys (8, all oracle-backed) — fill the
+    # 50 − 42 free driver slots per SURVEY §2 "Key freeze"
+    "llm_domain_mix", "llm_prefix_dedup", "llm_segment_dedup",
+    "llm_dataset_card", "llm_bigram_logprob", "evt_downsample",
+    "join_asof_tolerance", "sql_correlated_scalar",
     # rows-only keys (11) — weaker executed-with-stable-schema signal
     "sel_sample_stratified", "agg_hll_union", "evt_watermark_late",
     "llm_dedup_simhash", "llm_dedup_ngram_banded", "llm_sim_pairs_lsh",

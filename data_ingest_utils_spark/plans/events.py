@@ -661,3 +661,42 @@ def evt_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.regexp_count("event_seq", F.lit(pat)) > 0).alias("has_pattern"),
         )
     )
+
+
+@plan(
+    "evt_downsample",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, ts, event_type,
+           ((rn - 1) // 10)::BIGINT AS bucket
+    FROM r WHERE (rn - 1) % 10 = 0
+    """,
+)
+def evt_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic per-key decimation: keep every 10th event per user in
+    time order (ties broken by event_id) — the deterministic
+    downsampling used to thin high-frequency telemetry before
+    training-feature extraction.  ONE window shuffle on user_id; the
+    filter runs inside the same stage, so the exchange is the only
+    wide op and AQE coalesces the post-filter partitions."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    return (
+        ev.select("event_id", "user_id", "ts", "event_type", rn.alias("rn"))
+        .filter((F.col("rn") - 1) % 10 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.floor((F.col("rn") - 1) / 10).cast("long").alias("bucket"),
+        )
+    )

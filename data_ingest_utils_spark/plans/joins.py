@@ -501,3 +501,52 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(sq), 6).alias("dist"),
         )
     )
+
+
+@plan(
+    "join_asof_tolerance",
+    oracle="""
+    WITH att AS (
+      SELECT event_id, user_id, ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN date_diff('second', prev_ts, ts) <= 1800
+                THEN prev_ts END AS recent_purchase_ts
+    FROM att
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a staleness tolerance (pandas
+    ``merge_asof(tolerance=...)`` semantics): attach the most recent
+    purchase at-or-before each event, but only when it happened within
+    the last 30 minutes — older matches become NULL rather than
+    leaking stale state.  Same single-shuffle running-last window as
+    join_asof; the tolerance is a post-window null-out, so the plan
+    cost is identical."""
+    ev = load_table(spark, sf_dir, "events")
+    att = as_of_attach(
+        ev,
+        ["user_id"],
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+        "prev_ts",
+        tiebreakers=["event_id"],
+    )
+    # NTZ-safe staleness test: timestamp subtraction yields a
+    # day-time interval, comparable against an interval literal
+    # (TIMESTAMP_NTZ admits no cast to numeric in Spark 4).
+    within = (F.col("ts") - F.col("prev_ts")) <= F.expr(
+        "INTERVAL '30' MINUTE"
+    )
+    return att.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("prev_ts")).alias("recent_purchase_ts"),
+    )

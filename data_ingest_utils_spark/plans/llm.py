@@ -1389,3 +1389,272 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+# ------------------------------------------- round-4 spare-slot keys
+# (8 new keys repo-wide, filling round 5's 50 − 42 spare driver slots
+# per SURVEY §2 "Key freeze"; 5 live here, see also scans/events/joins)
+
+@plan(
+    "llm_domain_mix",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share,
+           round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source)
+                 / sum(n_tokens) OVER (), 6) AS cum_share
+    FROM s
+    """,
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture report: per-source token totals, corpus share, and
+    cumulative share in descending-size order — the table every
+    pretraining mixture decision starts from.  The heavy pass is ONE
+    map-side-combinable hash agg over the corpus; the share windows
+    then run over only |sources| rows (tens, not billions), so the
+    single-partition global window is safe at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    total_w = Window.partitionBy()
+    cum_w = (
+        Window.partitionBy()
+        .orderBy(F.desc("n_tokens"), "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("n_tokens").over(total_w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+        F.round(F.sum("n_tokens").over(cum_w) / total, 6).alias("cum_share"),
+    )
+
+
+@plan(
+    "llm_prefix_dedup",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, n_chars, sha256(substr(text, 1, 64)) AS prefix_sha
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY prefix_sha
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY prefix_sha) AS n_docs
+      FROM f
+    )
+    SELECT prefix_sha, doc_id AS keep_doc_id, n_chars AS keep_len,
+           (n_docs - 1)::BIGINT AS n_dropped
+    FROM r WHERE rn = 1
+    """,
+)
+def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup (the web-crawl trick for truncated /
+    re-scraped copies): group on sha256 of the first 64 chars, keep the
+    LONGEST doc (ties → lowest doc_id).  Expressed as max(struct(len,
+    -doc_id)) — a map-side-combinable hash agg, NOT a window: at 100 TB
+    the partial aggregate collapses each group to one struct per map
+    task before the shuffle, so the exchange carries |groups| rows,
+    not |corpus|."""
+    d = load_table(spark, sf_dir, "documents")
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("len"), (-F.col("doc_id")).alias("neg_id")
+        )
+    ).alias("best")
+    return (
+        d.select(
+            F.sha2(F.substring("text", 1, 64), 256).alias("prefix_sha"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("prefix_sha")
+        .agg(best, (F.count("*") - 1).alias("n_dropped"))
+        .select(
+            "prefix_sha",
+            (-F.col("best.neg_id")).alias("keep_doc_id"),
+            F.col("best.len").alias("keep_len"),
+            "n_dropped",
+        )
+    )
+
+
+@plan(
+    "llm_segment_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    seg AS (
+      SELECT doc_id, i,
+             array_to_string(t[(i*10 + 1):(i*10 + 10)], ' ') AS seg
+      FROM toks, LATERAL (SELECT unnest(range(0, (len(t) + 9) // 10)) AS i) _l
+    ),
+    cnt AS (SELECT seg, count(*) AS c FROM seg GROUP BY seg),
+    kept AS (
+      SELECT s.doc_id, s.i, s.seg
+      FROM seg s JOIN cnt USING (seg) WHERE cnt.c = 1
+    ),
+    ka AS (
+      SELECT doc_id, count(*)::BIGINT AS n_kept,
+             sha256(string_agg(seg, ' ' ORDER BY i)) AS clean_sha
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*)::BIGINT AS n_segs FROM seg GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_segs,
+           coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(ka.clean_sha, sha256('')) AS clean_sha
+    FROM tot LEFT JOIN ka USING (doc_id)
+    """,
+)
+def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup, CCNet-line-dedup style: split each doc into
+    consecutive 10-token segments, drop every segment whose exact text
+    repeats ANYWHERE in the corpus, and report per doc the segment
+    count, survivors, and a sha256 of the cleaned text (original
+    order).  Plan shape at 100 TB: segment explode is narrow; the
+    frequency count is one map-side-combinable hash agg; the
+    count-back join shuffles on the segment string; the per-doc
+    reassembly is one more hash agg using sort_array(collect_list)
+    to restore order without a window."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(t) / F.lit(10)).cast("long")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(t, i * 10 + 1, 10)),
+    )
+    segs = d.select(
+        "doc_id", F.posexplode(seg_arr).alias("i", "seg")
+    )
+    cnt = segs.groupBy("seg").agg(F.count("*").alias("c"))
+    kept = segs.join(cnt, "seg").filter(F.col("c") == 1)
+    ka = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sha2(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ),
+            256,
+        ).alias("clean_sha"),
+    )
+    tot = d.select("doc_id", n_segs.alias("n_segs"))
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_sha"), F.sha2(F.lit(""), 256)).alias(
+            "clean_sha"
+        ),
+    )
+
+
+@plan(
+    "llm_dataset_card",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+           round(median(n_chars), 6) AS p50_chars,
+           max(n_chars) AS max_chars,
+           round(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS short_ratio,
+           round(1.0 - count(DISTINCT sha256(text)) / count(*), 6) AS dup_ratio
+    FROM documents
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, source/language diversity,
+    token totals, length distribution (exact median), short-doc and
+    exact-duplicate ratios.  A single global aggregate — every metric
+    is map-side combinable except the three DISTINCTs and the median,
+    which Spark plans as expand + two-stage agg; at 100 TB swap
+    median → percentile_approx and countDistinct → approx variants
+    (the exact forms are kept here because the oracle hash-checks
+    them)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = tx.token_count(F.col("text"))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+        F.round(F.median("n_chars"), 6).alias("p50_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(
+            F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("short_ratio"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.sha2("text", 256)) / F.count("*"),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+@plan(
+    "llm_bigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) _l
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+    SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(ln(c2.c2 / c1.c1)), 6) AS mean_logprob
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY bg.doc_id
+    """,
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency signal: per-doc mean conditional bigram
+    log-probability ln(c(w1,w2)/c(w1·)) under the corpus's own MLE
+    bigram model — the classic cheap perplexity proxy for quality
+    filtering.  Docs with <2 tokens have no bigrams and drop out
+    (oracle inner-join semantics).  Scale shape: bigram explode is
+    narrow, both count tables are map-side-combinable hash aggs, and
+    the count-back joins shuffle on (w1,w2)/(w1); at 100 TB AQE
+    broadcasts the unigram side when the vocabulary is small."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    bg = d.filter(F.size(t) >= 2).select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )

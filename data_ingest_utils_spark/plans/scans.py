@@ -676,3 +676,33 @@ def scan_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table("pyds_stream_out")
+
+
+@plan(
+    "sql_correlated_scalar",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           (SELECT round(avg(o.o_totalprice), 6) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS avg_spend
+    FROM customer c
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def sql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — identical SQL text runs on Spark
+    and DuckDB.  Catalyst de-correlates it into an aggregate +
+    LEFT OUTER join (never a per-row re-execution), so at 100 TB the
+    cost is one hash agg over orders plus one shuffle join on
+    custkey; customers with no orders surface NULL, matching scalar-
+    subquery semantics exactly."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT round(avg(o.o_totalprice), 6) FROM v_orders o
+                WHERE o.o_custkey = c.c_custkey) AS avg_spend
+        FROM v_customer c
+        WHERE c.c_acctbal > 9000
+        """
+    )
