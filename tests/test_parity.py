@@ -31,24 +31,28 @@ def test_rows_only_executes(key, spark):
     assert n >= 0
     assert len(sdf.schema.fields) > 0
 
-def test_r4_correctness_window():
+def test_r5_correctness_window():
     """The driver grades only the first 50 registry entries per round;
-    round 4 rotates 50 of the 81 never-driver-checked oracle-backed keys
-    into that window (backlog clear, part 1 of 2)."""
+    round 5 fronts the final 50 never-driver-checked keys (backlog clear,
+    part 2 of 2) — after this round every key has a driver row."""
     from data_ingest_utils_spark import plans
 
     first50 = list(QUERIES)[:50]
-    assert first50 == plans._R4_WINDOW
-    assert len(plans._R4_WINDOW) == 50
-    # Every round-4 windowed key is hash-checkable (oracle-backed).
-    assert [k for k in first50 if k not in ORACLES] == []
+    assert first50 == plans._R5_WINDOW
+    assert len(plans._R5_WINDOW) == 50
+    # Oracle-backed keys precede every rows-only key so a truncated run
+    # loses the weaker signal first.
+    oracle_flags = [k in ORACLES for k in first50]
+    assert oracle_flags == sorted(oracle_flags, reverse=True)
+    assert sum(1 for f in oracle_flags if not f) == 11
 
 
-def test_windows_cover_exact_driver_backlog():
-    """r4 ∪ r5 windows must equal EXACTLY the keys with no driver
-    CORRECTNESS row in rounds 1-3 (committed artifacts) — windowing an
-    already-checked key would waste a slot; missing one would strand
-    it past round 5."""
+def test_r5_window_is_exact_driver_backlog():
+    """The r5 window must equal EXACTLY the keys with no driver
+    CORRECTNESS row in rounds 1-4 (committed artifacts) — windowing an
+    already-checked key would waste a slot; missing one would strand it.
+    Keys added in round 5 itself are exempt: they register behind the
+    window and rotate in next round."""
     import json
     from pathlib import Path
 
@@ -56,27 +60,11 @@ def test_windows_cover_exact_driver_backlog():
 
     repo = Path(__file__).resolve().parent.parent
     checked: set[str] = set()
-    for r in (1, 2, 3):
+    for r in (1, 2, 3, 4):
         f = repo / f"CORRECTNESS_r{r:02d}.json"
         if f.exists():
             checked |= set(json.loads(f.read_text()).keys())
     if not checked:
         pytest.skip("driver CORRECTNESS artifacts not present")
-    backlog = set(QUERIES) - checked
-    assert set(plans._R4_WINDOW) | set(plans._R5_WINDOW) == backlog
-
-
-def test_r5_window_prepped():
-    """Round-5 window: the remaining 42 never-driver-checked keys (31
-    oracle-backed first, 11 rows-only parked last), disjoint from round 4
-    and covering the whole backlog."""
-    from data_ingest_utils_spark import plans
-
-    r4, r5 = plans._R4_WINDOW, plans._R5_WINDOW
-    assert len(r5) == 42
-    assert not set(r4) & set(r5)
-    assert all(k in QUERIES for k in r5)
-    # Oracle-backed keys precede every rows-only key.
-    oracle_flags = [k in ORACLES for k in r5]
-    assert oracle_flags == sorted(oracle_flags, reverse=True)
-    assert sum(1 for f in oracle_flags if not f) == 11
+    backlog = (set(plans._R4_WINDOW) | set(plans._R5_WINDOW)) - checked
+    assert set(plans._R5_WINDOW) == backlog
