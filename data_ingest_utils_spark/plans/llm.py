@@ -425,12 +425,38 @@ def llm_multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@plan("llm_multimodal_features")  # rows-only: stubbed decoder
+# Oracle twin of the stubbed feature extractor: dim i of the feature
+# vector is int(sha256_hex[8i:8i+8], 16) / 0xFFFFFFFF — re-expressed in
+# DuckDB as positional hex-digit arithmetic (exact: 8 hex digits < 2^53).
+_MM_FEATURE_DIM_SQL = """
+round(list_sum(list_transform(range(8),
+        j -> (strpos('0123456789abcdef', substr(sha256(text), {off} + j, 1)) - 1)
+             * 16 ** (7 - j))) / 4294967295.0, 6) AS f{i}"""
+
+
+@plan(
+    "llm_multimodal_features",
+    oracle="SELECT doc_id, sha256(text) AS payload_sha,"
+    + ",".join(_MM_FEATURE_DIM_SQL.format(i=i, off=8 * i + 1) for i in range(4))
+    + "\nFROM documents",
+)
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over payloads (decode stubbed —
-    deterministic sha-derived features; plumbing is real mapInPandas)."""
+    deterministic sha-derived features; plumbing is real mapInPandas).
+
+    The library operator returns ``feature array<double>``; this plan
+    wrapper projects each dimension to a rounded scalar column so the
+    driver's canonicalizer (pandas sort over all columns) never sees an
+    unhashable ndarray — the round-5 failure class.  Because the stub is
+    deterministic (sha-derived), the projection is fully oracle-backed.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return mm.extract_features(mm.pack_payload(docs))
+    feats = mm.extract_features(mm.pack_payload(docs))
+    return feats.select(
+        "doc_id",
+        "payload_sha",
+        *[F.round(F.col("feature")[i], 6).alias(f"f{i}") for i in range(4)],
+    )
 
 
 @plan(

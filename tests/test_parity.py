@@ -19,6 +19,7 @@ ROWS_ONLY_KEYS = sorted(k for k in QUERIES if k not in ORACLES)
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_oracle_parity(key, spark, duck):
     sdf = QUERIES[key](spark, SF_T2)
+    _assert_atomic_schema(key, sdf)
     spark_pdf = sdf.toPandas()
     oracle_pdf = duck.execute(ORACLES[key]).fetchdf()
     assert_parity(spark_pdf, oracle_pdf, key)
@@ -30,6 +31,32 @@ def test_rows_only_executes(key, spark):
     n = sdf.count()
     assert n >= 0
     assert len(sdf.schema.fields) > 0
+    _assert_atomic_schema(key, sdf)
+
+
+#: Keys allowed to expose a non-atomic top-level column, each with the
+#: canonicalization rule that makes the driver's pandas sort safe.
+#: Empty on purpose: the round-5 llm_multimodal_features failure showed
+#: an array<double> column crashes the driver's rows-only canonicalizer
+#: (pandas factorize over ndarrays) — whitelist only with a written rule.
+NON_ATOMIC_WHITELIST: dict[str, str] = {}
+
+_NON_ATOMIC = ("array", "map", "struct")
+
+
+def _assert_atomic_schema(key, sdf):
+    if key in NON_ATOMIC_WHITELIST:
+        return
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in sdf.schema.fields
+        if f.dataType.simpleString().startswith(_NON_ATOMIC)
+    ]
+    assert not bad, (
+        f"{key}: non-atomic top-level columns {bad} would crash the driver's "
+        "canonicalizer (pandas sort_values over unhashable cells) — project "
+        "to scalars (per-dim round / to_json) or whitelist with a rule"
+    )
 
 def test_r5_correctness_window():
     """The driver grades only the first 50 registry entries per round;
