@@ -9,10 +9,12 @@ Contract (task brief): run the headline queries at
 
 Query set = the BASELINE.md headline shapes (BASELINE.md:24-32), timed
 warm: one shared SparkSession, one un-timed warmup pass (JVM/codegen/
-file-listing warmup), then best-of-5 per query.  ``value`` is the sum
-of per-query best times — comparable to summing the BASELINE.md Spark
-column.  All diagnostics go to stderr; stdout carries exactly the one
-JSON line.
+file-listing warmup), then best-of-6 per query (two bursts of 3).
+``value`` is the sum of per-query best times — comparable to summing
+the BASELINE.md Spark column.  When ``.scale/sf1.0`` exists (generated
+by tools/make_scale_data.py), the 5 heaviest shapes also run at ~sf1.0
+and land on the same line as ``queries_sf1``/``value_sf1``/``sf1``.
+All diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
 
 from __future__ import annotations
@@ -43,6 +45,20 @@ HEADLINE = [
     "llm_vocab_coverage",
     "agg_bitmap_distinct",
 ]
+
+# Scale-stress section (VERDICT r5 #5): the 5 heaviest shapes re-run at
+# ~sf1.0 (10× key-strided replicas of sf0.1 — tools/make_scale_data.py)
+# where shuffle cost dominates planning overhead.  Reported as extra
+# fields on the SAME single JSON line (queries_sf1 / value_sf1 / sf1);
+# skipped with a stderr note if the scale dir hasn't been generated.
+HEAVY_SF1 = [
+    "evt_session",
+    "join_range_banded",
+    "join_multiway_star",
+    "llm_segment_dedup",
+    "llm_dedup_ngram_banded",
+]
+SF1_REPEATS = 2
 
 # Best-of-6, taken as TWO back-to-back bursts of 3 reps per query
 # (burst 2 runs after every other query's burst 1).  Within a burst,
@@ -87,17 +103,40 @@ def main() -> int:
         print(f"bench: {key} = {timings[key]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_warm_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-            }
-        )
+    payload = {
+        "metric": "headline_warm_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1.0"),
     )
+    if os.path.isdir(sf1_dir):
+        sf1_best: dict[str, float] = {k: float("inf") for k in HEAVY_SF1}
+        for rep in range(SF1_REPEATS):
+            for key in HEAVY_SF1:
+                t0 = time.perf_counter()
+                QUERIES[key](spark, sf1_dir).collect()
+                sf1_best[key] = min(sf1_best[key], time.perf_counter() - t0)
+            print(f"bench: sf1 rep {rep + 1}/{SF1_REPEATS} done", file=sys.stderr)
+        sf1_timings = {k: round(sf1_best[k], 4) for k in HEAVY_SF1}
+        for key in HEAVY_SF1:
+            print(f"bench: sf1 {key} = {sf1_timings[key]:.3f}s", file=sys.stderr)
+        payload["queries_sf1"] = sf1_timings
+        payload["value_sf1"] = round(sum(sf1_timings.values()), 4)
+        payload["sf1"] = 1.0
+    else:
+        print(
+            f"bench: scale dir {sf1_dir} absent — run tools/make_scale_data.py "
+            "for the sf1.0 heavy-shape section",
+            file=sys.stderr,
+        )
+
+    print(json.dumps(payload))
     return 0
 
 

@@ -345,6 +345,119 @@ def connected_components(
     return comp.select(F.col("v"), F.col("c").alias("component"))
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Deterministic MinHash signatures: ``num_perm`` independent
+    minhashes per document, permutation *i* being ``min`` over the
+    doc's shingles of ``xxhash64(i, shingle)``.
+
+    All ``num_perm`` minima run in ONE hash aggregation (``num_perm``
+    ``min`` columns over the exploded shingle frame), entirely
+    JVM-side — map-side combinable, one shuffle on ``id_col``, no
+    Python.  Unlike Spark ML's ``MinHashLSH`` this is deterministic
+    across runs and sessions (seeded only by the permutation index),
+    so downstream plans are replay-stable.
+
+    Docs with fewer than ``shingle_n`` tokens fall back to their
+    distinct-token set (same rationale as :func:`minhash_lsh_pairs`);
+    fully tokenless docs are dropped.
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    tok = F.array_distinct(tokens(F.col(text_col)))
+    exploded = (
+        df.select(
+            id_col, F.when(F.size(sh) > 0, sh).otherwise(tok).alias("_sh")
+        )
+        .filter(F.size("_sh") > 0)
+        .select(id_col, F.explode("_sh").alias("shingle"))
+    )
+    # min over the multiset == min over the set: no distinct needed,
+    # which saves the pre-aggregation shuffle entirely.
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_band_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash collisions, with
+    the band/row trade-off exposed: ``rows_per_band = num_perm //
+    bands`` and ``P(candidate | Jaccard=J) = 1 − (1 − J^r)^b``.
+
+    ``b=16, r=1`` (the default) is the high-recall dial: a pair with
+    J ≥ 0.5 is missed with probability ≤ (1−0.5)^16 ≈ 1.5e-5.
+    ``b=4, r=4`` trades recall for far fewer candidates (precision
+    dial).  The pair space is Σ bucket² over (band_idx, band_hash)
+    buckets — hash-sized buckets, never n², which is what makes banded
+    MinHash the standard web-scale near-dedup blocking.
+    """
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    r = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    band_hashes = [
+        F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"bh{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        id_col,
+        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
+    b_ = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
+    return (
+        a.join(b_, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_verified(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Two-stage near-dedup mirroring production stacks: banded-MinHash
+    candidate pairs (cheap, near-linear, recall dialed by bands/rows)
+    → EXACT shingle-Jaccard confirmation (no false positives survive).
+
+    The verify stage is candidate-bounded: shingles join to the
+    candidate list first, so its cost is O(|candidates| ×
+    shingles/doc), never O(pairs-in-block).  Output is (doc_a, doc_b,
+    jaccard ≥ threshold) with exact 4-dp scores — downstream
+    ``connected_components`` + keep-min-id completes the dedup.
+    """
+    cands = minhash_band_candidates(df, text_col, id_col, num_perm, bands, shingle_n)
+    sh = distinct_shingles(df.select(id_col, F.col(text_col).alias("text")), shingle_n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, id_col, threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -98,6 +98,39 @@ _R5_WINDOW = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round 6: the backlog is clear (212/212 graded once) and the key freeze is
+# lifted.  The window now fronts, in order: (1) oracle-backed keys whose
+# driver hash signal is missing or stale — the two round-6 additions
+# (llm_dedup_near_exactverify, evt_late_data_metrics), the repaired
+# llm_multimodal_features (FAIL r5, now oracle-backed), and
+# scan_csv_infer/scan_json (oracle-backed since r3 but only ever graded as
+# rows-only in r1/r2); then (2) the longest-ungraded greens (r1/r2 windows)
+# as re-certification; rows-only keys park at the tail, weakest signal last.
+# ---------------------------------------------------------------------------
+_R6_WINDOW = [
+    # never-hash-graded oracle keys first (4)
+    "llm_dedup_near_exactverify", "llm_multimodal_features",
+    "scan_csv_infer", "scan_json",
+    # re-certification: r1-graded greens (12)
+    "win_lag_lead", "win_running_sum", "win_moving_avg_range",
+    "win_first_last", "win_topk_per_group", "sort_multi_key",
+    "sort_limit_topk", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "fn_string",
+    # re-certification: r2-graded greens (31)
+    "scan_parquet", "sink_parquet_partitioned", "ing_normalize_columns",
+    "ing_cast_columns", "ing_standardize_nulls", "ing_incremental_filter",
+    "ing_upsert_latest", "sel_project", "sel_filter_pred", "sel_filter_date",
+    "join_inner_broadcast", "join_inner_shuffle", "join_left", "join_right",
+    "join_full", "join_semi", "join_anti", "join_cross", "join_theta_range",
+    "join_asof", "join_multiway_star", "agg_global", "agg_hash_group",
+    "agg_distinct", "agg_count_distinct", "agg_filtered", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_collect_sorted", "win_row_number",
+    # rows-only tail (3): new streaming-metrics key + longest-ungraded
+    "ing_add_audit_cols", "agg_approx_count_distinct", "evt_late_data_metrics",
+]
+
+
 def _rotate_front(front: list[str]) -> None:
     """Stable-reorder QUERIES/ORACLES so ``front`` occupies positions 1..n."""
     for d in (QUERIES, ORACLES):
@@ -107,6 +140,6 @@ def _rotate_front(front: list[str]) -> None:
         d.update(ordered)
 
 
-_rotate_front(_R5_WINDOW)
+_rotate_front(_R6_WINDOW)
 
 __all__ = ["QUERIES", "ORACLES", "plan"]

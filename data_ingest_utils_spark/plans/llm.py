@@ -126,6 +126,48 @@ def llm_dedup_ngram_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_banded(docs, n=3, threshold=0.5)
 
 
+@plan(
+    "llm_dedup_near_exactverify",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _l
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    """,
+)
+def llm_dedup_near_exactverify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dedup mirroring production stacks: deterministic
+    banded-MinHash candidates (b=16, r=1 — high-recall dial, miss prob
+    ≤ (1−J)^16) → exact 3-gram-Jaccard confirmation at τ=0.5.
+
+    The oracle is the UNBLOCKED all-pairs exact Jaccard: the plan
+    hash-matches it iff the banded stage reaches 100% recall on every
+    qualifying pair — so the driver row certifies the recall claim,
+    not just the arithmetic.  Candidate generation is near-linear
+    (hash-sized band buckets); the verify join is candidate-bounded —
+    the 100 TB shape, with no quadratic stage anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_jaccard_verified(
+        docs, threshold=0.5, num_perm=16, bands=16, shingle_n=3
+    )
+
+
 # -------------------------------------------------------- similarity
 
 @plan(

@@ -67,7 +67,7 @@ def test_order_limit_uses_take_ordered(spark):
 @pytest.mark.parametrize(
     "key",
     ["llm_embed_near_dup", "llm_dedup_ngram_jaccard", "llm_dedup_near",
-     "llm_sim_pairs_lsh"],
+     "llm_sim_pairs_lsh", "llm_dedup_near_exactverify"],
 )
 def test_pair_generators_never_cartesian(spark, key):
     """Every pair-generating operator must block/bucket its pair space:

@@ -556,3 +556,48 @@ def test_semdedup_drops_planted_duplicates(spark):
         assert 100000 + i in dropped, f"planted copy of {i} survived"
         assert i in kept, f"original {i} was dropped"
     assert len(kept) + len(dropped) == planted.count()
+
+
+def test_minhash_banded_exactverify_planted(spark, planted_docs):
+    """Two-stage banded-MinHash → exact-verify: every planted pair is
+    confirmed with its exact Jaccard, no false positives survive, and
+    pairs are canonically ordered."""
+    out = dd.minhash_jaccard_verified(planted_docs, threshold=0.5).collect()
+    found = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    for p in range(10):
+        pair = (p * 7, 1000 + p)
+        assert pair in found, f"planted pair {p} missed"
+        # one token of 40 edited ⇒ 3-gram shingle sets differ in ≤ 3+3
+        # of 38 shingles each ⇒ J ≥ (38-3)/(38+3) ≈ 0.85
+        assert found[pair] >= 0.8
+    for (a, b), j in found.items():
+        assert a < b
+        assert 0.5 <= j <= 1.0
+    # distinct base docs never pair (disjoint vocabularies)
+    assert all(b >= 1000 for (a, b) in found)
+
+
+def test_minhash_band_parameterization(spark, planted_docs):
+    """bands must divide num_perm; precision dial (fewer bands, more
+    rows/band) can only shrink the candidate set."""
+    with pytest.raises(ValueError, match="must divide"):
+        dd.minhash_band_candidates(planted_docs, num_perm=16, bands=5)
+    high_recall = dd.minhash_band_candidates(planted_docs, num_perm=16, bands=16)
+    high_precision = dd.minhash_band_candidates(planted_docs, num_perm=16, bands=4)
+    hr = {(r.doc_a, r.doc_b) for r in high_recall.collect()}
+    hp = {(r.doc_a, r.doc_b) for r in high_precision.collect()}
+    assert hp <= hr
+    # the planted near-dups survive even the precision dial (J≈0.85,
+    # P(band match) = J^4 ≈ 0.52 per band, 4 bands ⇒ ~0.95 — and the
+    # xxhash64 permutations are deterministic, so this is replay-stable)
+    assert sum(1 for p in range(10) if (p * 7, 1000 + p) in hp) >= 7
+
+
+def test_minhash_signatures_deterministic(spark, planted_docs):
+    """Signatures are identical across independent computations — the
+    determinism Spark ML's MinHashLSH cannot promise across sessions."""
+    a = {r.doc_id: tuple(r[f"mh{i}"] for i in range(8))
+         for r in dd.minhash_signatures(planted_docs, num_perm=8).collect()}
+    b = {r.doc_id: tuple(r[f"mh{i}"] for i in range(8))
+         for r in dd.minhash_signatures(planted_docs, num_perm=8).collect()}
+    assert a == b and len(a) == 130

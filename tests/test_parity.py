@@ -58,40 +58,51 @@ def _assert_atomic_schema(key, sdf):
         "to scalars (per-dim round / to_json) or whitelist with a rule"
     )
 
-def test_r5_correctness_window():
+def _driver_rows(rounds):
+    """Merge committed CORRECTNESS artifacts, later rounds winning."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    merged: dict[str, dict] = {}
+    for r in rounds:
+        f = repo / f"CORRECTNESS_r{r:02d}.json"
+        if f.exists():
+            merged.update(json.loads(f.read_text()))
+    return merged
+
+
+def test_r6_correctness_window():
     """The driver grades only the first 50 registry entries per round;
-    round 5 fronts the final 50 never-driver-checked keys (backlog clear,
-    part 2 of 2) — after this round every key has a driver row."""
+    round 6 fronts the never-hash-graded oracle keys (the two new
+    round-6 keys, the repaired llm_multimodal_features, and
+    scan_csv_infer/scan_json whose oracles postdate their only driver
+    rows), then re-certifies the longest-ungraded greens (r1/r2)."""
     from data_ingest_utils_spark import plans
 
     first50 = list(QUERIES)[:50]
-    assert first50 == plans._R5_WINDOW
-    assert len(plans._R5_WINDOW) == 50
+    assert first50 == plans._R6_WINDOW
+    assert len(plans._R6_WINDOW) == 50
     # Oracle-backed keys precede every rows-only key so a truncated run
     # loses the weaker signal first.
     oracle_flags = [k in ORACLES for k in first50]
     assert oracle_flags == sorted(oracle_flags, reverse=True)
-    assert sum(1 for f in oracle_flags if not f) == 11
+    assert sum(1 for f in oracle_flags if not f) == 3
 
 
-def test_r5_window_is_exact_driver_backlog():
-    """The r5 window must equal EXACTLY the keys with no driver
-    CORRECTNESS row in rounds 1-4 (committed artifacts) — windowing an
-    already-checked key would waste a slot; missing one would strand it.
-    Keys added in round 5 itself are exempt: they register behind the
-    window and rotate in next round."""
-    import json
-    from pathlib import Path
-
+def test_r6_window_fronts_every_stale_hash_signal():
+    """Self-maintaining window rule: every oracle-backed registry key
+    that has never produced a hash-green driver row (new key, prior
+    failure, or oracle added after its last driver row) must sit in
+    the first 10 window positions — graded the round it lands."""
     from data_ingest_utils_spark import plans
 
-    repo = Path(__file__).resolve().parent.parent
-    checked: set[str] = set()
-    for r in (1, 2, 3, 4):
-        f = repo / f"CORRECTNESS_r{r:02d}.json"
-        if f.exists():
-            checked |= set(json.loads(f.read_text()).keys())
-    if not checked:
+    rows = _driver_rows(range(1, 6))
+    if not rows:
         pytest.skip("driver CORRECTNESS artifacts not present")
-    backlog = (set(plans._R4_WINDOW) | set(plans._R5_WINDOW)) - checked
-    assert set(plans._R5_WINDOW) == backlog
+    stale = {
+        k for k in ORACLES
+        if not (rows.get(k) or {}).get("hash_match")
+    }
+    front = set(plans._R6_WINDOW[:10])
+    assert stale <= front, f"stale-signal keys not fronted: {sorted(stale - front)}"
