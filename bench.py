@@ -123,7 +123,14 @@ def main() -> int:
         for rep in range(SF1_REPEATS):
             for key in HEAVY_SF1:
                 t0 = time.perf_counter()
-                QUERIES[key](spark, sf1_dir).collect()
+                # noop sink: full distributed materialization without
+                # driver-side row transfer — several sf1 shapes return
+                # millions of rows, and .collect() would time Python
+                # pickling instead of the engine (measured: 4.6 s vs
+                # 0.6 s for join_range_banded's 1.5 M-row result).
+                QUERIES[key](spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 sf1_best[key] = min(sf1_best[key], time.perf_counter() - t0)
             print(f"bench: sf1 rep {rep + 1}/{SF1_REPEATS} done", file=sys.stderr)
         sf1_timings = {k: round(sf1_best[k], 4) for k in HEAVY_SF1}
