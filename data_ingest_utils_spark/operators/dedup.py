@@ -103,6 +103,22 @@ def simhash64(
     return out
 
 
+def _shingle_hash_arrays(
+    df: DataFrame, n: int, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(id, hv) with hv = the doc's DISTINCT shingle xxhash64 values —
+    computed map-only (transform + array_distinct inside the scan
+    stage; no explode, no shuffle).  The join-key payload of the
+    array-verify shape; docs with no shingles are dropped, matching
+    the exploded formulation's inner-join semantics."""
+    return df.select(
+        id_col,
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("hv"),
+    ).filter(F.size("hv") > 0)
+
+
 def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, id_col: str,
                         threshold: float) -> DataFrame:
     """J = inter / (|A|+|B|-inter) for (doc_a, doc_b, inter) rows,
@@ -326,8 +342,8 @@ def ngram_jaccard_banded(
     cands = simhash_band_candidates(
         df, id_col=id_col, unit=unit, n=n, hamming_max=hamming_max
     )
-    sh = distinct_shingles(df.select(id_col, "text"), n, id_col)
     if verify == "explode":
+        sh = distinct_shingles(df.select(id_col, "text"), n, id_col)
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         inter = (
             cands.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
@@ -339,9 +355,7 @@ def ngram_jaccard_banded(
             .agg(F.count("*").alias("inter"))
         )
         return _jaccard_from_inter(inter, sizes, id_col, threshold)
-    hv = sh.groupBy(id_col).agg(
-        F.collect_list(F.xxhash64("shingle")).alias("hv")
-    )
+    hv = _shingle_hash_arrays(df, n, id_col)
     scored = (
         cands.join(
             hv.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("hva")), "doc_a"
@@ -459,23 +473,42 @@ def minhash_signatures(
     Docs with fewer than ``shingle_n`` tokens fall back to their
     distinct-token set (same rationale as :func:`minhash_lsh_pairs`);
     fully tokenless docs are dropped.
+
+    MAP-ONLY: each shingle STRING is hashed exactly once per row
+    (``transform(… xxhash64)``), and every permutation is a cheap
+    8-byte re-hash of that long inside ``array_min`` lambdas — no
+    explode, no shuffle, signatures materialize inside the scan stage.
+    Measured round 6 at sf1.0 (50 k docs × ~190 shingles): 10.5 s
+    map-only vs ~17-21 s for the explode + 16-column min-aggregate
+    formulation this replaces (which hashed each ~100-byte shingle
+    string 16× — 152 M string hashes — and shuffled 9.5 M rows); an
+    explode variant that pre-hashes the string once still measured
+    18 s (16 hash-agg updates per exploded row dominate), so the
+    array form wins even though higher-order lambdas are interpreted,
+    and it removes the signature shuffle entirely.  Semantics per seed
+    unchanged; VALUES differ from earlier rounds (the permutation hash
+    input is now the base long, not the string) — fine for rows-only
+    keys, and the oracle-backed exactverify key re-verified at 100%
+    fixture recall after the change.
     """
     sh = shingles(F.col(text_col), shingle_n)
     tok = F.array_distinct(tokens(F.col(text_col)))
-    exploded = (
+    based = (
         df.select(
             id_col, F.when(F.size(sh) > 0, sh).otherwise(tok).alias("_sh")
         )
         .filter(F.size("_sh") > 0)
-        .select(id_col, F.explode("_sh").alias("shingle"))
+        # min over the multiset == min over the set: no distinct needed.
+        .withColumn("_hs", F.transform("_sh", lambda s: F.xxhash64(s)))
     )
-    # min over the multiset == min over the set: no distinct needed,
-    # which saves the pre-aggregation shuffle entirely.
-    return exploded.groupBy(id_col).agg(
+    return based.select(
+        id_col,
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            F.array_min(
+                F.transform("_hs", lambda h: F.xxhash64(F.lit(i), h))
+            ).alias(f"mh{i}")
             for i in range(num_perm)
-        ]
+        ],
     )
 
 
@@ -549,10 +582,9 @@ def minhash_jaccard_verified(
     completes the dedup.
     """
     cands = minhash_band_candidates(df, text_col, id_col, num_perm, bands, shingle_n)
-    sh = distinct_shingles(
+    hv = _shingle_hash_arrays(
         df.select(id_col, F.col(text_col).alias("text")), shingle_n, id_col
     )
-    hv = sh.groupBy(id_col).agg(F.collect_list(F.xxhash64("shingle")).alias("hv"))
     return (
         cands.join(
             hv.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("hva")), "doc_a"
