@@ -24,6 +24,7 @@ from data_ingest_utils_spark.streaming.runner import (
 )
 from data_ingest_utils_spark.streaming.stateful import running_counter
 from data_ingest_utils_spark.streaming.transforms import watermarked_tumbling
+from tests.conftest import SF_T2
 
 
 def _write_batches(tmpdir: str, batches: list[list[tuple]], start: int = 0) -> str:
@@ -510,3 +511,25 @@ def test_stream_stream_join_across_batches(spark, tmp_path):
     run_available_now(joined, "ssj_xbatch")
     got = {(r.purchase_id, r.view_id) for r in spark.table("ssj_xbatch").collect()}
     assert got == {(3, 1)}, got  # 09:30 view joins; 07:00 view excluded
+
+
+def test_late_data_metrics_accounting(spark):
+    """The evt_late_data_metrics plan's accounting invariants: every
+    held-back row is either attributed to numRowsDroppedByWatermark or
+    surfaced as rows_late_unaccounted (the pre-shuffle late filter the
+    operator metric misses), the operator drops the majority, and the
+    staged batch sequence is exactly the designed four."""
+    from data_ingest_utils_spark.plans.events import evt_late_data_metrics
+
+    m = {r.metric: r.value for r in evt_late_data_metrics(spark, SF_T2).collect()}
+    assert m["rows_late_candidates"] > 0
+    assert m["rows_dropped_by_watermark"] > 0
+    assert m["rows_late_unaccounted"] >= 0
+    assert (
+        m["rows_dropped_by_watermark"] + m["rows_late_unaccounted"]
+        == m["rows_late_candidates"]
+    )
+    # the operator metric must capture the bulk of the drops
+    assert m["rows_dropped_by_watermark"] >= 0.8 * m["rows_late_candidates"]
+    assert m["micro_batches"] == 4
+    assert m["rows_staged"] > m["rows_late_candidates"] * 10
