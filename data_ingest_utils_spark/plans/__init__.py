@@ -109,15 +109,15 @@ _R5_WINDOW = [
 # as re-certification; rows-only keys park at the tail, weakest signal last.
 # ---------------------------------------------------------------------------
 _R6_WINDOW = [
-    # never-hash-graded oracle keys first (4)
-    "llm_dedup_near_exactverify", "llm_multimodal_features",
-    "scan_csv_infer", "scan_json",
+    # never-hash-graded oracle keys first (5)
+    "llm_dedup_near_exactverify", "llm_dedup_minhash_e2e",
+    "llm_multimodal_features", "scan_csv_infer", "scan_json",
     # re-certification: r1-graded greens (12)
     "win_lag_lead", "win_running_sum", "win_moving_avg_range",
     "win_first_last", "win_topk_per_group", "sort_multi_key",
     "sort_limit_topk", "set_union_all", "set_union_distinct",
     "set_intersect", "set_except", "fn_string",
-    # re-certification: r2-graded greens (31)
+    # re-certification: r2-graded greens (30)
     "scan_parquet", "sink_parquet_partitioned", "ing_normalize_columns",
     "ing_cast_columns", "ing_standardize_nulls", "ing_incremental_filter",
     "ing_upsert_latest", "sel_project", "sel_filter_pred", "sel_filter_date",
@@ -125,7 +125,7 @@ _R6_WINDOW = [
     "join_full", "join_semi", "join_anti", "join_cross", "join_theta_range",
     "join_asof", "join_multiway_star", "agg_global", "agg_hash_group",
     "agg_distinct", "agg_count_distinct", "agg_filtered", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_collect_sorted", "win_row_number",
+    "agg_cube", "agg_grouping_sets", "agg_collect_sorted",
     # rows-only tail (3): new streaming-metrics key + longest-ungraded
     "ing_add_audit_cols", "agg_approx_count_distinct", "evt_late_data_metrics",
 ]

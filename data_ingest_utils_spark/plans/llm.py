@@ -836,6 +836,76 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "llm_dedup_minhash_e2e",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _l
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(v, lbl) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.lbl FROM r JOIN edges e ON e.a = r.v
+      ) SELECT v, min(lbl) AS component FROM r GROUP BY v
+    )
+    SELECT d.doc_id,
+           coalesce(r.component, d.doc_id) AS canonical_id,
+           CAST(CASE WHEN coalesce(r.component, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM documents d LEFT JOIN reach r ON r.v = d.doc_id
+    """,
+)
+def llm_dedup_minhash_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production near-dedup stack in one fused plan:
+    deterministic banded-MinHash candidates (map-only signatures, one
+    band self-join) → per-pair exact-Jaccard confirm (τ=0.5) →
+    connected components (pointer-jumping min-label, O(log d) rounds)
+    → per-doc canonical assignment (kept=1 on the min-id survivor of
+    each duplicate cluster, singletons keep themselves).
+
+    The oracle recomputes the same fixpoint from the UNBLOCKED exact
+    all-pairs Jaccard graph with a recursive CTE, so one driver hash
+    match certifies the full stack end-to-end: candidate recall,
+    exact scores, component closure, and survivor selection.  Every
+    stage is the 100 TB shape: no quadratic step, no driver-side data
+    beyond the components loop's convergence counter.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_jaccard_verified(
+        docs, threshold=0.5, num_perm=16, bands=16, shingle_n=3
+    )
+    comp = dd.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("v"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+        )
+        .withColumn(
+            "kept", (F.col("doc_id") == F.col("canonical_id")).cast("int")
+        )
+    )
+
+
+@plan(
     "llm_pack_sequences",
     oracle="""
     WITH t AS (
