@@ -61,7 +61,7 @@ HEAVY_SF1 = [
 # One timed pass by default: the sf1 shapes are data-dominated (1.5–55 s
 # each), so single-run noise is proportionally small and the whole bench
 # stays inside a few minutes; raise via env for tighter local studies.
-SF1_REPEATS = int(os.environ.get("SPARK_GRAFT_SF1_REPS", "1"))
+SF1_REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPS", "1")))
 
 # Best-of-6, taken as TWO back-to-back bursts of 3 reps per query
 # (burst 2 runs after every other query's burst 1).  Within a burst,

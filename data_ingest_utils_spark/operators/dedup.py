@@ -69,6 +69,8 @@ def simhash64(
     :func:`minhash_band_candidates`, whose collision probability is
     calibrated to J directly.
     """
+    if unit not in ("token", "shingle"):
+        raise ValueError(f"unit={unit!r} must be 'token' or 'shingle'")
     feats = (
         tokens(F.col(text_col))
         if unit == "token"
@@ -338,7 +340,14 @@ def ngram_jaccard_banded(
       candidates to doc_a's shingles, match on (doc_b, shingle), hash
       agg).  Keeps per-row state O(1) — the fallback for UNBOUNDED
       documents where collected shingle arrays could not sit in a row.
+
+    Both shapes drop zero-intersection candidate pairs (the explode
+    shape's inner join can never see them; the array shape filters
+    ``inter > 0`` explicitly), so the outputs are byte-identical at
+    EVERY threshold including 0.0.
     """
+    if verify not in ("array", "explode"):
+        raise ValueError(f"verify={verify!r} must be 'array' or 'explode'")
     cands = simhash_band_candidates(
         df, id_col=id_col, unit=unit, n=n, hamming_max=hamming_max
     )
@@ -364,6 +373,10 @@ def ngram_jaccard_banded(
             hv.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("hvb")), "doc_b"
         )
         .withColumn("inter", F.size(F.array_intersect("hva", "hvb")))
+        # inter > 0 keeps byte-identity with the explode shape at
+        # threshold=0.0 (its inner intersection join never emits
+        # zero-overlap pairs).
+        .filter(F.col("inter") > 0)
         .withColumn(
             "jaccard",
             F.round(
@@ -472,7 +485,11 @@ def minhash_signatures(
 
     Docs with fewer than ``shingle_n`` tokens fall back to their
     distinct-token set (same rationale as :func:`minhash_lsh_pairs`);
-    fully tokenless docs are dropped.
+    fully tokenless docs are dropped.  The fallback serves the
+    STANDALONE :func:`minhash_band_candidates` path only: the
+    two-stage :func:`minhash_jaccard_verified` pipeline verifies with
+    shingle-hash arrays, which exclude sub-shingle docs, so it
+    prefilters them before signature computation (see there).
 
     MAP-ONLY: each shingle STRING is hashed exactly once per row
     (``transform(… xxhash64)``), and every permutation is a cheap
@@ -580,11 +597,18 @@ def minhash_jaccard_verified(
     Output is (doc_a, doc_b, jaccard ≥ threshold) with exact 4-dp
     scores — downstream ``connected_components`` + keep-min-id
     completes the dedup.
+
+    Sub-shingle docs (fewer than ``shingle_n`` tokens) are filtered
+    BEFORE signature computation: the verify stage's shingle-hash
+    arrays exclude them anyway, so generating candidates for them is
+    pure waste (they could collide in a band via the token fallback
+    but never survive the inner verify join).
     """
-    cands = minhash_band_candidates(df, text_col, id_col, num_perm, bands, shingle_n)
-    hv = _shingle_hash_arrays(
-        df.select(id_col, F.col(text_col).alias("text")), shingle_n, id_col
+    base = df.select(id_col, F.col(text_col).alias("text")).filter(
+        F.size(shingles(F.col("text"), shingle_n)) > 0
     )
+    cands = minhash_band_candidates(base, "text", id_col, num_perm, bands, shingle_n)
+    hv = _shingle_hash_arrays(base, shingle_n, id_col)
     return (
         cands.join(
             hv.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("hva")), "doc_a"

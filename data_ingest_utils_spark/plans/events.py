@@ -729,6 +729,7 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
+    import uuid
 
     from data_ingest_utils_spark.plans.scans import SCRATCH
     from data_ingest_utils_spark.streaming.runner import (
@@ -766,7 +767,13 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         new.filter(F.col("event_id") == newest_id),  # 2: carrier batch
         held,  # batch 3: late arrivals
     ]
-    src = f"{SCRATCH}/late_metrics_src"
+    # Per-invocation token on the scratch path AND the memory-sink
+    # table name: two concurrent invocations sharing a host/session
+    # must not rmtree each other's staged batches or cross-read each
+    # other's sink (ADVICE r6).
+    run_id = uuid.uuid4().hex[:12]
+    src = f"{SCRATCH}/late_metrics_src_{run_id}"
+    sink = f"late_metrics_out_{run_id}"
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src)
     base = __import__("time").time() - 1000
@@ -782,7 +789,7 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermarked_tumbling(
             read_parquet_stream(spark, src), watermark="10 minutes", width="1 hour"
         ),
-        "late_metrics_out",
+        sink,
         output_mode="append",
     )
     dropped = sum(
@@ -797,6 +804,8 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rows_dropped_by_watermark", dropped),
         ("rows_late_unaccounted", n_held - dropped),
         ("micro_batches", sum(1 for p in progress if p.get("numInputRows", 0) > 0)),
-        ("windows_emitted", spark.table("late_metrics_out").count()),
+        ("windows_emitted", spark.table(sink).count()),
     ]
+    spark.catalog.dropTempView(sink)
+    shutil.rmtree(src, ignore_errors=True)
     return spark.createDataFrame(rows, "metric string, value long")
