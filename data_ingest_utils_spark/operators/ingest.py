@@ -90,14 +90,32 @@ def standardize_nulls(
     return df.select(*out_cols)
 
 
-def with_audit(df: DataFrame, load_id: str = "") -> DataFrame:
+def with_audit(df: DataFrame, load_id: str = "", deterministic: bool = False) -> DataFrame:
     """Attach load metadata: source file, a stable per-row content hash,
-    and an optional load id.  ``xxhash64`` over all columns is the
-    cheap JVM-side row fingerprint (used again by dedup operators).
+    and an optional load id.
+
+    Default fingerprint is ``xxhash64`` over all columns — the cheap
+    JVM-side 64-bit hash (used again by dedup operators) — plus the
+    full ``input_file_name()`` path.  ``deterministic=True`` swaps in a
+    cross-engine-reproducible form: the source file reduced to its
+    basename (env-independent) and ``sha256`` over a chr(31)-joined
+    string serialization of all columns, so an external engine (e.g. a
+    DuckDB audit oracle) can recompute both.  Caveat: the serialized
+    form casts every column to string, so float formatting must agree
+    between engines — use it on int/string/date frames, or pre-format
+    floats explicitly.
     """
+    if deterministic:
+        src = F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+        row_hash = F.sha2(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]), 256
+        )
+    else:
+        src = F.input_file_name()
+        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
     return (
-        df.withColumn("_audit_source_file", F.input_file_name())
-        .withColumn("_audit_row_hash", F.xxhash64(*[F.col(c) for c in df.columns]))
+        df.withColumn("_audit_source_file", src)
+        .withColumn("_audit_row_hash", row_hash)
         .withColumn("_audit_load_id", F.lit(load_id))
     )
 

@@ -77,11 +77,28 @@ def ing_standardize_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ing.standardize_nulls(o, ["status_clean"])
 
 
-@plan("ing_add_audit_cols")  # rows-only: file paths are env-dependent
+@plan(
+    "ing_add_audit_cols",
+    oracle="""
+    SELECT doc_id,
+           'documents.parquet' AS _audit_source_file,
+           sha256(concat_ws(chr(31), CAST(doc_id AS VARCHAR), text, lang,
+                            source, CAST(n_chars AS VARCHAR)))
+             AS _audit_row_hash,
+           'round1' AS _audit_load_id
+    FROM documents
+    """,
+)
 def ing_add_audit_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load metadata: source file + stable xxhash64 row fingerprint."""
+    """Load metadata: source-file basename + sha256 row fingerprint.
+
+    Oracle-backed since round 7 (VERDICT r6 #3a): ``deterministic=True``
+    projects the basename of ``input_file_name()`` (env-independent)
+    and a sha256 over the chr(31)-joined row serialization, both of
+    which DuckDB recomputes exactly — so the driver hash-checks real
+    audit-column semantics instead of a rows-only execution."""
     docs = load_table(spark, sf_dir, "documents")
-    return ing.with_audit(docs, load_id="round1").select(
+    return ing.with_audit(docs, load_id="round1", deterministic=True).select(
         "doc_id", "_audit_source_file", "_audit_row_hash", "_audit_load_id"
     )
 

@@ -72,37 +72,36 @@ def _driver_rows(rounds):
     return merged
 
 
-def test_r6_correctness_window():
+def test_correctness_window_shape():
     """The driver grades only the first 50 registry entries per round;
-    round 6 fronts the never-hash-graded oracle keys (the two new
-    round-6 keys, the repaired llm_multimodal_features, and
-    scan_csv_infer/scan_json whose oracles postdate their only driver
-    rows), then re-certifies the longest-ungraded greens (r1/r2)."""
+    the current window fronts never-hash-graded oracle keys, then the
+    longest-ungraded greens as re-certification, with rows-only keys
+    parked at the tail (weakest signal lost first on truncation)."""
     from data_ingest_utils_spark import plans
 
     first50 = list(QUERIES)[:50]
-    assert first50 == plans._R6_WINDOW
-    assert len(plans._R6_WINDOW) == 50
+    assert first50 == plans._CURRENT_WINDOW
+    assert len(plans._CURRENT_WINDOW) == 50
     # Oracle-backed keys precede every rows-only key so a truncated run
     # loses the weaker signal first.
     oracle_flags = [k in ORACLES for k in first50]
     assert oracle_flags == sorted(oracle_flags, reverse=True)
-    assert sum(1 for f in oracle_flags if not f) == 3
 
 
-def test_r6_window_fronts_every_stale_hash_signal():
+def test_window_fronts_every_stale_hash_signal():
     """Self-maintaining window rule: every oracle-backed registry key
     that has never produced a hash-green driver row (new key, prior
     failure, or oracle added after its last driver row) must sit in
-    the first 10 window positions — graded the round it lands."""
+    the first 10 window positions — graded the round it lands.
+    Round-agnostic: merges every committed CORRECTNESS artifact."""
     from data_ingest_utils_spark import plans
 
-    rows = _driver_rows(range(1, 6))
+    rows = _driver_rows(range(1, 21))
     if not rows:
         pytest.skip("driver CORRECTNESS artifacts not present")
     stale = {
         k for k in ORACLES
         if not (rows.get(k) or {}).get("hash_match")
     }
-    front = set(plans._R6_WINDOW[:10])
+    front = set(plans._CURRENT_WINDOW[:10])
     assert stale <= front, f"stale-signal keys not fronted: {sorted(stale - front)}"
