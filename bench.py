@@ -57,6 +57,10 @@ HEAVY_SF1 = [
     "join_multiway_star",
     "llm_segment_dedup",
     "llm_dedup_ngram_banded",
+    # hot-key stress (VERDICT r6 #5): ~1.7 M of 6 M fact rows remapped
+    # onto ONE join key in-plan, joined via targeted hot-key salting —
+    # the pathological-skew class the other shapes can't exercise.
+    "join_skew_stress",
 ]
 # One timed pass by default: the sf1 shapes are data-dominated (1.5–55 s
 # each), so single-run noise is proportionally small and the whole bench

@@ -105,6 +105,26 @@ def simhash64(
     return out
 
 
+def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Round-robin-free parallelism guard for CPU-bound map stages:
+    when the source has fewer input splits than the cluster has cores
+    (single-file fixture ⇒ one partition), hash-repartition on ``key``
+    so per-row work (interpreted higher-order lambdas in the MinHash
+    signature stage) runs on every core instead of one.  With ample
+    input splits — the 100 TB case — this is a no-op, so the extra
+    shuffle never appears at scale.  Measured round 7 (sf0.1, 5 000
+    docs, local[32]): signatures 13.7 s → 0.9 s.
+
+    ``inputFiles()`` is a file-listing probe (no job); non-file
+    sources (in-memory test frames) report zero files and get the
+    repartition too — harmless at test size.
+    """
+    spark = df.sparkSession
+    if len(df.inputFiles()) < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+    return df
+
+
 def _shingle_hash_arrays(
     df: DataFrame, n: int, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -113,7 +133,7 @@ def _shingle_hash_arrays(
     stage; no explode, no shuffle).  The join-key payload of the
     array-verify shape; docs with no shingles are dropped, matching
     the exploded formulation's inner-join semantics."""
-    return df.select(
+    return _ensure_parallelism(df, id_col).select(
         id_col,
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
@@ -410,8 +430,15 @@ def connected_components(
     """
     import warnings
 
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # Materialize the (possibly expensive — e.g. a full candidate +
+    # verify pipeline) pair plan ONCE before symmetrizing: the union
+    # reads its input twice, and without this checkpoint both branches
+    # recompute the upstream plan inside one job (measured 2× the
+    # verify cost on llm_dedup_minhash_e2e).
+    ep = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    e = ep.union(ep.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.localCheckpoint(eager=True)
     comp = (
         e.select(F.col("a").alias("v")).distinct().withColumn("c", F.col("v"))
@@ -511,7 +538,8 @@ def minhash_signatures(
     sh = shingles(F.col(text_col), shingle_n)
     tok = F.array_distinct(tokens(F.col(text_col)))
     based = (
-        df.select(
+        _ensure_parallelism(df, id_col)
+        .select(
             id_col, F.when(F.size(sh) > 0, sh).otherwise(tok).alias("_sh")
         )
         .filter(F.size("_sh") > 0)

@@ -96,6 +96,65 @@ def salted_join(
     return joined.drop("_salt")
 
 
+def salted_join_hotkeys(
+    fact: DataFrame,
+    dim: DataFrame,
+    left_key: str,
+    right_key: str,
+    hot_keys: Sequence,
+    salt_src: Sequence[str],
+    salt_mod: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """TARGETED salted join: only the known-hot keys are salted.
+
+    :func:`salted_join` replicates the ENTIRE dim side salt_mod×,
+    which is affordable only for broadcast-sized dims.  When skew is a
+    handful of pathological keys in an otherwise well-distributed join
+    (the common 100 TB case — discover them first with
+    ``approx_top_k``/``count``), the right shape splits the fact on
+    key membership: hot rows get a deterministic salt in
+    [0, salt_mod) and join against ONLY the dim's hot rows exploded
+    salt_mod× (|hot_keys| · salt_mod extra rows — dozens, not
+    |dim| · salt_mod); cold rows take the plain shuffled join
+    untouched.  Each hot key's rows spread over salt_mod reducers, so
+    max-task-rows drops from |hot| to ~|hot| / salt_mod, and the
+    union of the two branches is byte-identical to the unsalted join
+    for fact-preserving join types.
+
+    Both branches scan the fact once each with the hot-membership
+    predicate pushed down; at scale that is two pruned scans, the
+    same I/O as one unpruned pass.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join_hotkeys: how={how!r} is not result-invariant under "
+            "hot-row replication; use the unsalted join for right/full outer"
+        )
+    hot_list = list(hot_keys)
+    if not hot_list:
+        raise ValueError("salted_join_hotkeys: hot_keys must be non-empty")
+    fact_hot = fact.filter(F.col(left_key).isin(hot_list)).withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_mod))
+    )
+    fact_cold = fact.filter(~F.col(left_key).isin(hot_list))
+    dim_hot = dim.filter(F.col(right_key).isin(hot_list)).withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1)).cast("array<long>")),
+    )
+    j_hot = fact_hot.join(
+        dim_hot,
+        (fact_hot[left_key] == dim_hot[right_key])
+        & (fact_hot["_salt"] == dim_hot["_salt"]),
+        how,
+    ).drop("_salt")
+    j_cold = fact_cold.join(
+        dim, fact_cold[left_key] == dim[right_key], how
+    )
+    return j_hot.unionByName(j_cold)
+
+
 def as_of_attach(
     df: DataFrame,
     partition_cols: Sequence[str],

@@ -150,15 +150,16 @@ def _rotate_front(front: list[str]) -> None:
 # r3, sel_sample_stratified r5) — weakest signal last.
 # ---------------------------------------------------------------------------
 _R7_WINDOW = [
-    # never-hash-graded oracle keys first (2): rows-only until round 7
-    "ing_add_audit_cols", "evt_watermark_late",
+    # never-hash-graded oracle keys first (3): two rows-only-until-
+    # round-7 conversions + the new skew-stress key
+    "ing_add_audit_cols", "evt_watermark_late", "join_skew_stress",
     # re-certification: greens last hash-graded in round 2 (16)
     "scan_orc", "sink_bucketed_table", "sql_view_query",
     "scan_python_datasource", "scan_json_corrupt", "ing_scd2_history",
     "ing_merge_upsert", "ing_pipeline_e2e", "ing_dq_summary",
     "ing_dq_quarantine", "scan_merge_schema", "ing_compact_small_files",
     "win_row_number", "win_rank", "win_dense_rank", "win_ntile",
-    # re-certification: greens last hash-graded in round 3 (30)
+    # re-certification: greens last hash-graded in round 3 (29)
     "fn_date", "fn_math", "fn_case_when", "fn_array", "fn_array_explode",
     "fn_map_json", "fn_struct", "fn_higher_order", "fn_variant",
     "agg_pivot", "agg_unpivot", "agg_percentiles", "win_cume_dist",
@@ -167,7 +168,6 @@ _R7_WINDOW = [
     "evt_tumbling", "evt_sliding", "evt_session", "evt_dedup_stateful",
     "evt_stateful_counter", "evt_interval_join", "evt_foreach_batch_sink",
     "llm_dedup_exact", "llm_dedup_ngram_jaccard", "llm_sim_topk",
-    "llm_sim_ivf",
     # rows-only tail (2): longest-ungraded weaker-signal keys
     "llm_dedup_near", "sel_sample_stratified",
 ]

@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingest_utils_spark.operators.relational import salted_join
+from data_ingest_utils_spark.operators.relational import (
+    salted_join,
+    salted_join_hotkeys,
+)
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 
@@ -158,6 +161,61 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_key="o_orderkey",
         salt_src=["l_linenumber"],
         salt_mod=8,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+    )
+
+
+@plan(
+    "join_skew_stress",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE l_orderkey END AS k,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(l_extendedprice), 6) AS sum_price
+    FROM skewed JOIN orders ON k = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATHOLOGICAL-skew salted join — the hot-key stress shape the
+    plain fixture can't produce (TPC-H lineitem is near-uniform,
+    1–7 rows/order).  A deterministic in-plan remap pools every
+    ``l_linenumber % 3 = 0`` row (~29% of the fact table — 1.7 M rows
+    at sf1.0) onto ONE order key, the single-key-bigger-than-a-
+    partition case AQE skew-join cannot split when the downstream agg
+    needs the join key's clustering.  ``salted_join_hotkeys``
+    (salt_mod=32, salt hashed from l_partkey+l_linenumber —
+    high-cardinality sources, so the hot key's rows spread across all
+    32 salts) salts ONLY the hot key: the dim replicates 32 hot rows,
+    not 32× the table, and cold keys take the untouched shuffled join.
+    The per-salt bound is asserted in tests/test_invariants.py and the
+    oracle is the UNSALTED remapped join, so the driver hash-match
+    certifies salting is result-invariant.  Benchable at sf1.0
+    (bench.py HEAVY_SF1) — the in-plan remap makes the same stress
+    reproducible at every sf dir, fixture-free."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_linenumber",
+        "l_partkey",
+        "l_extendedprice",
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join_hotkeys(
+        li,
+        orders,
+        left_key="k",
+        right_key="o_orderkey",
+        hot_keys=[1],
+        salt_src=["l_partkey", "l_linenumber"],
+        salt_mod=32,
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),

@@ -827,9 +827,24 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate cluster keeps.  Iterative min-label propagation with
     pointer jumping (O(log diameter) distributed rounds); the DuckDB
     oracle computes the identical fixpoint with a recursive CTE, so
-    even this iterative algorithm is hash-checked exactly."""
+    even this iterative algorithm is hash-checked exactly.
+
+    The length-band candidate source is the deterministic ORACLE-TWIN
+    formulation (pure SQL arithmetic, hash-checkable); under the sweep
+    scale profile (``SPARK_GRAFT_SWEEP_PROFILE=scale``, set only by
+    tools/registry_sweep.py — never the driver) the SAME downstream
+    component code runs off banded-MinHash verified candidates
+    instead, the declared 100 TB path (near-linear candidate volume
+    regardless of the corpus length profile)."""
+    import os
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_length_blocked(docs, n=3, threshold=0.1)
+    if os.environ.get("SPARK_GRAFT_SWEEP_PROFILE") == "scale":
+        pairs = dd.minhash_jaccard_verified(
+            docs, threshold=0.1, num_perm=16, bands=16, shingle_n=3
+        )
+    else:
+        pairs = dd.ngram_jaccard_length_blocked(docs, n=3, threshold=0.1)
     return dd.connected_components(pairs).select(
         F.col("v").alias("doc_id"), "component"
     )

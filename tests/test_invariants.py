@@ -601,3 +601,57 @@ def test_minhash_signatures_deterministic(spark, planted_docs):
     b = {r.doc_id: tuple(r[f"mh{i}"] for i in range(8))
          for r in dd.minhash_signatures(planted_docs, num_perm=8).collect()}
     assert a == b and len(a) == 130
+
+
+def test_salted_hotkey_join_bounds_per_reducer_rows(spark):
+    """The join_skew_stress contract: with salt_mod=32 and a
+    high-cardinality salt source, the hot key's rows spread across all
+    32 (key, salt) groups and no group exceeds ~2x the even share —
+    i.e. max-task-rows drops from |hot| to O(|hot| / salt_mod).  Also
+    asserts the targeted form is result-invariant vs the unsalted
+    join on real fixture data."""
+    from data_ingest_utils_spark.operators.relational import salted_join_hotkeys
+    from data_ingest_utils_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_T2, "lineitem").select(
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(1).cast("long"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_linenumber",
+        "l_partkey",
+        "l_extendedprice",
+    )
+    n_hot = li.filter(F.col("k") == 1).count()
+    assert n_hot > 1000  # the remap really is pathological at sf0.01
+    salted = li.filter(F.col("k") == 1).withColumn(
+        "_salt", F.pmod(F.xxhash64("l_partkey", "l_linenumber"), F.lit(32))
+    )
+    per_salt = salted.groupBy("_salt").count().collect()
+    assert len(per_salt) == 32, "hot rows must reach every salt bucket"
+    assert max(r["count"] for r in per_salt) <= 2 * n_hot / 32
+
+    orders = load_table(spark, SF_T2, "orders").select("o_orderkey", "o_orderstatus")
+    got = (
+        salted_join_hotkeys(
+            li, orders, "k", "o_orderkey", [1],
+            salt_src=["l_partkey", "l_linenumber"], salt_mod=32,
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    )
+    want = (
+        li.join(orders, li["k"] == orders["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_hotkey_join_rejects_bad_args(spark):
+    from data_ingest_utils_spark.operators.relational import salted_join_hotkeys
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="non-empty"):
+        salted_join_hotkeys(df, df, "k", "k", [], ["v"])
+    with pytest.raises(ValueError, match="result-invariant"):
+        salted_join_hotkeys(df, df, "k", "k", [1], ["v"], how="full")

