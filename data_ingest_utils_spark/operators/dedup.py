@@ -45,8 +45,9 @@ def simhash64(
     id_col: str = "doc_id",
     unit: str = "token",
     n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document from xxhash64(feature).
+    """64-bit SimHash per document from hash_fn(feature).
 
     For each bit i, sum +1/-1 over features by whether bit i of the
     feature hash is set; the signature bit is the sign of the sum.  All
@@ -68,16 +69,37 @@ def simhash64(
     threshold-Jaccard recall at τ ≈ 0.5 prefer
     :func:`minhash_band_candidates`, whose collision probability is
     calibrated to J directly.
+
+    ``hash_fn`` picks the per-feature 64-bit hash: ``"xxhash64"``
+    (default — one JVM codegen'd expression, the production/hot path)
+    or ``"sha256"`` (first 16 hex chars of SHA-256 as a two's-
+    complement 64-bit value — cross-engine deterministic, exactly
+    recomputable by DuckDB's ``sha256`` + UBIGINT cast, so a driver
+    oracle can hash-check the full signature; ~3x the per-token cost).
+    Bit semantics are identical either way — only the feature hash
+    source changes.
     """
     if unit not in ("token", "shingle"):
         raise ValueError(f"unit={unit!r} must be 'token' or 'shingle'")
+    if hash_fn not in ("xxhash64", "sha256"):
+        raise ValueError(f"hash_fn={hash_fn!r} must be 'xxhash64' or 'sha256'")
     feats = (
         tokens(F.col(text_col))
         if unit == "token"
         else shingles(F.col(text_col), n)
     )
     tok = df.select(id_col, F.explode(feats).alias("term"))
-    tok = tok.withColumn("th", F.xxhash64("term"))
+    if hash_fn == "xxhash64":
+        tok = tok.withColumn("th", F.xxhash64("term"))
+    else:
+        # First 64 bits of SHA-256, reconstructed from two 32-bit hex
+        # halves (conv() on 16 hex chars would overflow signed long);
+        # upper<<32 wraps into the sign bit — same two's-complement
+        # value DuckDB gets from ('0x'||substr(sha256(t),1,16))::UBIGINT.
+        h = F.sha2(F.col("term"), 256)
+        upper = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        lower = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+        tok = tok.withColumn("th", F.shiftleft(upper, 32).bitwiseOR(lower))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -6,7 +6,7 @@ count), multimodal packing, corpus partitioning.
 
 Oracle-checkable keys use engine-portable primitives (sha256, exact
 set algebra, double-widened vector math); randomized ops (LSH,
-xxhash-based SimHash) are rows-only with invariants in unit tests.
+xxhash-banded dedup) are rows-only with invariants in unit tests.
 """
 
 from __future__ import annotations
@@ -65,11 +65,61 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(docs, max_distance=0.6)
 
 
-@plan("llm_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+# DuckDB recomputes the full 64-bit SimHash bit-for-bit: per-token
+# hash = first 16 hex chars of sha256 as UBIGINT (identical to the
+# Spark side's two-32-bit-half reconstruction), 64 conditional bit
+# sums, sign-select per bit, then a two's-complement fold so the
+# signed BIGINT matches Spark's long `simhash` exactly.
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), th AS (
+      SELECT doc_id,
+             ('0x' || substr(sha256(term), 1, 16))::UBIGINT AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM th GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {sig_fold} AS u FROM bits
+    )
+    SELECT doc_id,
+           CASE WHEN u >= 9223372036854775808::UBIGINT
+                THEN (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                ELSE u::BIGINT END AS simhash,
+           ((u >> 0) & 65535)::BIGINT AS band0,
+           ((u >> 16) & 65535)::BIGINT AS band1,
+           ((u >> 32) & 65535)::BIGINT AS band2,
+           ((u >> 48) & 65535)::BIGINT AS band3
+    FROM sig
+""".format(
+    bit_sums=",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    ),
+    # literal 2^i constants: DuckDB's << overflow-checks 1<<63 even in
+    # UBIGINT, so the shift can't express the sign-bit weight
+    sig_fold=" + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END"
+        for i in range(64)
+    ),
+)
+
+
+@plan("llm_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signature + 16-bit LSH bands per document."""
+    """64-bit SimHash signature + 16-bit LSH bands per document.
+
+    Oracle-backed since round 7 (VERDICT r6 #3 class): the plan key
+    runs ``hash_fn="sha256"`` — per-token hash = first 64 bits of
+    SHA-256, which DuckDB recomputes exactly, so the driver
+    hash-checks the complete signature + band semantics instead of a
+    rows-only execution.  The xxhash64 default stays the production
+    hot path for library users (one codegen'd JVM expression/token);
+    the two paths share every line of bit/band logic."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash64(docs)
+    return dd.simhash64(docs, hash_fn="sha256")
 
 
 @plan(
