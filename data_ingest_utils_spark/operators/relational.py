@@ -135,10 +135,14 @@ def salted_join_hotkeys(
     hot_list = list(hot_keys)
     if not hot_list:
         raise ValueError("salted_join_hotkeys: hot_keys must be non-empty")
-    fact_hot = fact.filter(F.col(left_key).isin(hot_list)).withColumn(
+    # NULL-keyed fact rows must land in the COLD branch: `~isin` is
+    # NULL (not false) for them, and filtering on it would silently
+    # drop rows that a left/left_anti join is required to keep.
+    is_hot = F.coalesce(F.col(left_key).isin(hot_list), F.lit(False))
+    fact_hot = fact.filter(is_hot).withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_mod))
     )
-    fact_cold = fact.filter(~F.col(left_key).isin(hot_list))
+    fact_cold = fact.filter(~is_hot)
     dim_hot = dim.filter(F.col(right_key).isin(hot_list)).withColumn(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1)).cast("array<long>")),

@@ -146,9 +146,9 @@ def _rotate_front(front: list[str]) -> None:
 # llm_dedup_simhash) and the new join_skew_stress — they front the window
 # per the stale-signal-first rule.  The rest is pure
 # re-certification cadence: the 16 keys whose latest hash-green is still
-# round 2, then the 30 longest-ungraded round-3 greens in registry order.
-# Tail: the two longest-ungraded rows-only keys (llm_dedup_near last graded
-# r3, sel_sample_stratified r5) — weakest signal last.
+# round 2, then the 29 longest-ungraded round-3 greens in registry order.
+# Tail: the longest-ungraded rows-only key (llm_dedup_near, last graded
+# r3) — weakest signal last.
 # ---------------------------------------------------------------------------
 _R7_WINDOW = [
     # never-hash-graded oracle keys first (4): three rows-only-until-

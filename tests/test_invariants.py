@@ -655,3 +655,25 @@ def test_salted_hotkey_join_rejects_bad_args(spark):
         salted_join_hotkeys(df, df, "k", "k", [], ["v"])
     with pytest.raises(ValueError, match="result-invariant"):
         salted_join_hotkeys(df, df, "k", "k", [1], ["v"], how="full")
+
+
+def test_salted_hotkey_join_keeps_null_keys(spark):
+    """NULL-keyed fact rows must survive fact-preserving joins: `~isin`
+    is NULL (not false) for them, so a naive branch split drops them
+    from BOTH branches — left/left_anti results would silently lose
+    rows the unsalted join keeps."""
+    from data_ingest_utils_spark.operators.relational import salted_join_hotkeys
+
+    fact = spark.createDataFrame(
+        [(1, "hot1"), (1, "hot2"), (2, "cold"), (None, "nullkey")],
+        "k long, v string",
+    )
+    dim = spark.createDataFrame([(1, "x"), (3, "y")], "dk long, d string")
+    for how in ("left", "left_anti"):
+        got = salted_join_hotkeys(
+            fact, dim, "k", "dk", [1], salt_src=["v"], salt_mod=4, how=how
+        )
+        want = fact.join(dim, fact["k"] == dim["dk"], how)
+        key = lambda row: tuple(map(repr, row))  # None-safe total order
+        assert sorted(map(tuple, got.select(*want.columns).collect()), key=key) == \
+            sorted(map(tuple, want.collect()), key=key), how

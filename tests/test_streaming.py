@@ -341,7 +341,9 @@ def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
     applyInPandasWithState twin.
 
     Environment-gated: the transformWithState Python driver worker
-    needs a working google.protobuf, broken in this container."""
+    needs a working google.protobuf, broken in this container
+    (re-probed round 7, 2026-08-14: `import google.protobuf` still
+    raises ModuleNotFoundError)."""
     pytest.importorskip("google.protobuf.descriptor",
                         reason="transformWithState driver worker needs protobuf")
     from data_ingest_utils_spark.streaming.stateful import running_counter_tws
