@@ -362,3 +362,51 @@ def test_null_safe_join_is_hash_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_skew_stress_hot_branch_broadcasts(spark):
+    """join_skew_stress must keep its two-branch shape: the hot-key
+    branch joins the salt-replicated (|hot_keys| x salt_mod)-row dim
+    slice via BroadcastHashJoin (dozens of rows — broadcast is the
+    only sane build side), the cold branch stays a plain equi-join,
+    and no branch degenerates into a nested loop."""
+    plan = _plan(spark, "join_skew_stress")
+    assert "Union" in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_clusters_scale_profile_swaps_candidate_source(spark, monkeypatch):
+    """The sweep's scale profile (SPARK_GRAFT_SWEEP_PROFILE=scale) must
+    swap llm_dedup_clusters' candidate source from the length-band
+    oracle-twin to banded-MinHash verified pairs — same downstream
+    component code.  The components loop runs eagerly at plan-call
+    time (localCheckpoint), so the final plan can't show the source;
+    record which candidate operator the branch actually invokes.
+    Guards the env-sensitive branch the driver never sees but
+    tools/registry_sweep.py relies on."""
+    from data_ingest_utils_spark.plans import llm as llm_plans
+
+    calls: list[str] = []
+    real_banded = llm_plans.dd.minhash_jaccard_verified
+    real_exact = llm_plans.dd.ngram_jaccard_length_blocked
+
+    def rec(name, fn):
+        def wrapper(*a, **kw):
+            calls.append(name)
+            return fn(*a, **kw)
+        return wrapper
+
+    monkeypatch.setattr(llm_plans.dd, "minhash_jaccard_verified",
+                        rec("banded", real_banded))
+    monkeypatch.setattr(llm_plans.dd, "ngram_jaccard_length_blocked",
+                        rec("exact", real_exact))
+
+    monkeypatch.delenv("SPARK_GRAFT_SWEEP_PROFILE", raising=False)
+    QUERIES["llm_dedup_clusters"](spark, SF_T2)
+    assert calls == ["exact"]
+
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_PROFILE", "scale")
+    QUERIES["llm_dedup_clusters"](spark, SF_T2)
+    assert calls == ["exact", "banded"]
