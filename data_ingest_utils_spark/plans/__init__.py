@@ -141,20 +141,19 @@ def _rotate_front(front: list[str]) -> None:
 
 
 # ---------------------------------------------------------------------------
-# Round 7: no oracle key lacks a hash-green row except the three converted
+# Round 7: no oracle key lacks a hash-green row except the four converted
 # FROM rows-only this round (ing_add_audit_cols, evt_watermark_late,
-# llm_dedup_simhash) and the new join_skew_stress — they front the window
-# per the stale-signal-first rule.  The rest is pure
+# llm_dedup_simhash, llm_sim_rerank) and the new join_skew_stress — they
+# front the window per the stale-signal-first rule.  The rest is pure
 # re-certification cadence: the 16 keys whose latest hash-green is still
-# round 2, then the 29 longest-ungraded round-3 greens in registry order.
-# Tail: the longest-ungraded rows-only key (llm_dedup_near, last graded
-# r3) — weakest signal last.
+# round 2, then the 29 longest-ungraded round-3 greens in registry order
+# (exactly filling all 50 slots — no rows-only tail this round).
 # ---------------------------------------------------------------------------
 _R7_WINDOW = [
-    # never-hash-graded oracle keys first (4): three rows-only-until-
+    # never-hash-graded oracle keys first (5): four rows-only-until-
     # round-7 conversions + the new skew-stress key
     "ing_add_audit_cols", "evt_watermark_late", "join_skew_stress",
-    "llm_dedup_simhash",
+    "llm_dedup_simhash", "llm_sim_rerank",
     # re-certification: greens last hash-graded in round 2 (16)
     "scan_orc", "sink_bucketed_table", "sql_view_query",
     "scan_python_datasource", "scan_json_corrupt", "ing_scd2_history",
@@ -170,8 +169,6 @@ _R7_WINDOW = [
     "evt_tumbling", "evt_sliding", "evt_session", "evt_dedup_stateful",
     "evt_stateful_counter", "evt_interval_join", "evt_foreach_batch_sink",
     "llm_dedup_exact", "llm_dedup_ngram_jaccard", "llm_sim_topk",
-    # rows-only tail (1): the longest-ungraded weaker-signal key
-    "llm_dedup_near",
 ]
 
 #: The window the driver grades THIS round — tests assert against this

@@ -1491,13 +1491,53 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "h", "left_anti").select("doc_id", "lang")
 
 
-@plan("llm_sim_rerank")  # rows-only: int8 coarse stage is lossy by design
+@plan(
+    "llm_sim_rerank",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv,
+             127.0 / list_max(list_transform(embedding::DOUBLE[],
+                                             y -> abs(y))) AS qscale
+      FROM embeddings WHERE vec_id = 0
+    ), qq AS (
+      SELECT qv, qscale,
+             list_transform(qv, x -> round(x * qscale)) AS qqv
+      FROM q
+    ), scaled AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, qq.qv, qq.qqv, qq.qscale,
+             127.0 / nullif(list_max(list_transform(e.embedding::DOUBLE[],
+                                                    y -> abs(y))), 0.0)
+               AS vscale
+      FROM embeddings e, qq WHERE e.vec_id <> 0
+    ), coarse AS (
+      SELECT vec_id, ev, qv,
+             list_inner_product(list_transform(ev, x -> round(x * vscale)),
+                                qqv) / (vscale * qscale) AS coarse
+      FROM scaled
+    ), cand AS (
+      SELECT vec_id, ev, qv FROM coarse
+      WHERE coarse IS NOT NULL AND NOT isnan(coarse)
+      ORDER BY coarse DESC, vec_id LIMIT 50
+    )
+    SELECT vec_id, round(list_cosine_similarity(ev, qv), 4) AS sim
+    FROM cand
+    WHERE list_cosine_similarity(ev, qv) IS NOT NULL
+    ORDER BY sim DESC, vec_id LIMIT 5
+    """,
+)
 def llm_sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN: int8-quantized dot-product retrieve (top-50),
     exact cosine rerank (top-5).  The production shape for vector
     search over a 100 TB corpus — full-precision scoring never sees
     the full table.  Recall vs llm_sim_topk's exact answer is pinned
-    by tests/test_invariants.py::test_rerank_recall_vs_exact."""
+    by tests/test_invariants.py::test_rerank_recall_vs_exact.
+
+    Oracle-backed since round 7: both stages are deterministic, and
+    the coarse stage's int8 dot product is INTEGER-exact in double
+    arithmetic (sums of products of round()-ed values ≤ 127 — far
+    inside the 2^53 exact-integer range), so the candidate cut is
+    bit-identical across engines; the rerank reuses the cosine-at-4dp
+    parity llm_sim_topk already certifies."""
     q, _ = _query_vec(spark, sf_dir, 0)
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return sim.quantized_rerank_topk(emb, q, k=5, coarse_k=50)
