@@ -18,6 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_ingest_utils_spark.operators.relational import ensure_parallelism
 from data_ingest_utils_spark.operators.text import distinct_shingles, shingles, tokens
 
 
@@ -127,24 +128,9 @@ def simhash64(
     return out
 
 
-def _ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
-    """Round-robin-free parallelism guard for CPU-bound map stages:
-    when the source has fewer input splits than the cluster has cores
-    (single-file fixture ⇒ one partition), hash-repartition on ``key``
-    so per-row work (interpreted higher-order lambdas in the MinHash
-    signature stage) runs on every core instead of one.  With ample
-    input splits — the 100 TB case — this is a no-op, so the extra
-    shuffle never appears at scale.  Measured round 7 (sf0.1, 5 000
-    docs, local[32]): signatures 13.7 s → 0.9 s.
-
-    ``inputFiles()`` is a file-listing probe (no job); non-file
-    sources (in-memory test frames) report zero files and get the
-    repartition too — harmless at test size.
-    """
-    spark = df.sparkSession
-    if len(df.inputFiles()) < spark.sparkContext.defaultParallelism:
-        return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
-    return df
+# Shared parallelism guard (operators/relational.py) — measured round 7
+# (sf0.1, 5 000 docs, local[32]): MinHash signatures 13.7 s → 0.9 s.
+_ensure_parallelism = ensure_parallelism
 
 
 def _shingle_hash_arrays(
@@ -152,9 +138,11 @@ def _shingle_hash_arrays(
 ) -> DataFrame:
     """(id, hv) with hv = the doc's DISTINCT shingle xxhash64 values —
     computed map-only (transform + array_distinct inside the scan
-    stage; no explode, no shuffle).  The join-key payload of the
-    array-verify shape; docs with no shingles are dropped, matching
-    the exploded formulation's inner-join semantics."""
+    stage; no explode, and no shuffle beyond the parallelism guard's
+    conditional repartition on under-split sources — a no-op at
+    scale).  The join-key payload of the array-verify shape; docs with
+    no shingles are dropped, matching the exploded formulation's
+    inner-join semantics."""
     return _ensure_parallelism(df, id_col).select(
         id_col,
         F.array_distinct(
@@ -543,7 +531,9 @@ def minhash_signatures(
     MAP-ONLY: each shingle STRING is hashed exactly once per row
     (``transform(… xxhash64)``), and every permutation is a cheap
     8-byte re-hash of that long inside ``array_min`` lambdas — no
-    explode, no shuffle, signatures materialize inside the scan stage.
+    explode, and no shuffle beyond the parallelism guard's conditional
+    repartition on under-split sources (a no-op at scale); signatures
+    materialize inside the scan stage.
     Measured round 6 at sf1.0 (50 k docs × ~190 shingles): 10.5 s
     map-only vs ~17-21 s for the explode + 16-column min-aggregate
     formulation this replaces (which hashed each ~100-byte shingle

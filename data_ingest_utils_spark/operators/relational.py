@@ -16,6 +16,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
+    """Parallelism guard for CPU-bound map stages: when the source
+    scan yields fewer partitions than the cluster has cores (a
+    single-file fixture ⇒ one split), hash-repartition on ``key`` so
+    per-row work (interpreted higher-order lambdas, per-row
+    session-struct building) runs on every core instead of one.  With
+    ample scan partitions — the 100 TB case — this is a no-op, so the
+    extra shuffle never appears at scale.
+
+    The signal is the PHYSICAL scan partition count
+    (``df.rdd.getNumPartitions()`` — triggers physical planning but no
+    job), not ``len(df.inputFiles())``: a few-large-files layout
+    (e.g. 16 × 31 GB parquet on a 64-core cluster) splits into
+    thousands of scan partitions and must NOT be re-shuffled just
+    because the file count is small.  In-memory test frames report
+    their existing partitioning the same way.
+    """
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+    return df
+
+
 # ---------------------------------------------------------------- joins
 
 def join_dim(

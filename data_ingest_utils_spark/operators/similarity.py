@@ -211,7 +211,13 @@ def quantized_rerank_topk(
     noise)."""
     q = [float(v) for v in query]
     qscale = 127.0 / max(abs(v) for v in q) if any(q) else 1.0
-    qq = [float(round(v * qscale)) for v in q]
+    # round half AWAY FROM ZERO, matching F.round/DuckDB round() on
+    # the per-vector side — Python's built-in round() is half-to-even
+    # and would diverge from the oracle when v*qscale lands on .5
+    qq = [
+        float(math.floor(v * qscale + 0.5) if v >= 0 else math.ceil(v * qscale - 0.5))
+        for v in q
+    ]
     qlit = F.array(*[F.lit(v) for v in qq])
 
     vmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))

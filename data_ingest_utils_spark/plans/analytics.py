@@ -142,7 +142,7 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_skew_salted",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(l_extendedprice), 6) AS sum_price
+           round(sum(l_extendedprice), 2) AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -151,7 +151,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigating salted equi-join: the fact side gets a
     deterministic salt, the build side is replicated salt_mod times, so
     one hot key spreads over salt_mod shuffle partitions.  The oracle
-    is the UNSALTED join — salting must be result-invariant."""
+    is the UNSALTED join — salting must be result-invariant.  Sums are
+    rounded at 2 dp (cents): salting reorders the double accumulation
+    vs the oracle's single join, and a reorder-ulp of a ~1e8 sum
+    (~1e-7) can cross a 6-dp rounding boundary (5e-7) — 2 dp leaves
+    five orders of magnitude of margin."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     joined = salted_join(
@@ -164,7 +168,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
 
 
@@ -177,7 +181,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(l_extendedprice), 6) AS sum_price
+           round(sum(l_extendedprice), 2) AS sum_price
     FROM skewed JOIN orders ON k = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -196,7 +200,8 @@ def join_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     not 32× the table, and cold keys take the untouched shuffled join.
     The per-salt bound is asserted in tests/test_invariants.py and the
     oracle is the UNSALTED remapped join, so the driver hash-match
-    certifies salting is result-invariant.  Benchable at sf1.0
+    certifies salting is result-invariant (sum at 2 dp — see
+    join_skew_salted's rounding note).  Benchable at sf1.0
     (bench.py HEAVY_SF1) — the in-plan remap makes the same stress
     reproducible at every sf dir, fixture-free."""
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -219,7 +224,7 @@ def join_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
 
 

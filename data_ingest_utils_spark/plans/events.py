@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingest_utils_spark.operators.relational import ensure_parallelism
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 from data_ingest_utils_spark.streaming.transforms import (
@@ -96,14 +97,11 @@ def evt_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip it: map-side partial session merge before the single required
     exchange shuffles merged spans, not raw rows."""
     ev = load_table(spark, sf_dir, "events")
-    # inputFiles() is a file-listing probe (no job, no RDD plan
-    # conversion) — a fine under-parallelism signal for single-file
-    # fixtures and far cheaper than rdd.getNumPartitions().
-    if len(ev.inputFiles()) < spark.sparkContext.defaultParallelism:
-        # Explicit width: AQE would coalesce a byte-small exchange to
-        # one partition, re-serializing the per-row work this shuffle
-        # exists to parallelize (CPU-bound, not byte-bound).
-        ev = ev.repartition(spark.sparkContext.defaultParallelism, F.col("user_id"))
+    # Shared guard (operators/relational.py): explicit width so AQE
+    # can't coalesce the byte-small exchange back to one partition —
+    # the per-row work this shuffle parallelizes is CPU-bound, not
+    # byte-bound.
+    ev = ensure_parallelism(ev, "user_id")
     return session_agg(ev)
 
 
@@ -785,38 +783,48 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = uuid.uuid4().hex[:12]
     src = f"{SCRATCH}/late_metrics_src_{run_id}"
     sink = f"late_metrics_out_{run_id}"
-    shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src)
-    base = __import__("time").time() - 1000
-    for i, bdf in enumerate(batches):
-        tmp = f"{src}_stage{i}"
-        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{src}/batch_{i:03d}.parquet"
-        shutil.move(part, dst)
-        os.utime(dst, (base + i * 10, base + i * 10))
-        shutil.rmtree(tmp, ignore_errors=True)
-    progress = run_available_now(
-        watermarked_tumbling(
-            read_parquet_stream(spark, src), watermark="10 minutes", width="1 hour"
-        ),
-        sink,
-        output_mode="append",
-    )
-    dropped = sum(
-        so.get("numRowsDroppedByWatermark", 0)
-        for p in progress
-        for so in p.get("stateOperators", [])
-    )
-    n_held = held.count()
-    rows = [
-        ("rows_staged", ev.count()),
-        ("rows_late_candidates", n_held),
-        ("rows_dropped_by_watermark", dropped),
-        ("rows_late_unaccounted", n_held - dropped),
-        ("micro_batches", sum(1 for p in progress if p.get("numInputRows", 0) > 0)),
-        ("windows_emitted", spark.table(sink).count()),
-    ]
-    spark.catalog.dropTempView(sink)
-    shutil.rmtree(src, ignore_errors=True)
+    # try/finally: the uuid path is never revisited by a later run (by
+    # design — no cross-run rmtree), so a failure anywhere in staging /
+    # the streaming run / metric reads would otherwise leak the scratch
+    # dir, any mid-crash _stage* dirs, and the session temp view.
+    try:
+        base = __import__("time").time() - 1000
+        for i, bdf in enumerate(batches):
+            tmp = f"{src}_stage{i}"
+            bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{src}/batch_{i:03d}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (base + i * 10, base + i * 10))
+            shutil.rmtree(tmp, ignore_errors=True)
+        progress = run_available_now(
+            watermarked_tumbling(
+                read_parquet_stream(spark, src), watermark="10 minutes", width="1 hour"
+            ),
+            sink,
+            output_mode="append",
+        )
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            for so in p.get("stateOperators", [])
+        )
+        n_held = held.count()
+        rows = [
+            ("rows_staged", ev.count()),
+            ("rows_late_candidates", n_held),
+            ("rows_dropped_by_watermark", dropped),
+            ("rows_late_unaccounted", n_held - dropped),
+            ("micro_batches", sum(1 for p in progress if p.get("numInputRows", 0) > 0)),
+            ("windows_emitted", spark.table(sink).count()),
+        ]
+    finally:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass  # sink view may not exist if the run failed early
+        for stale in glob.glob(f"{src}_stage*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
     return spark.createDataFrame(rows, "metric string, value long")

@@ -82,8 +82,12 @@ def ing_standardize_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            'documents.parquet' AS _audit_source_file,
-           sha256(concat_ws(chr(31), CAST(doc_id AS VARCHAR), text, lang,
-                            source, CAST(n_chars AS VARCHAR)))
+           sha256(concat_ws(chr(31),
+                            coalesce(CAST(doc_id AS VARCHAR), chr(30)),
+                            coalesce(text, chr(30)),
+                            coalesce(lang, chr(30)),
+                            coalesce(source, chr(30)),
+                            coalesce(CAST(n_chars AS VARCHAR), chr(30))))
              AS _audit_row_hash,
            'round1' AS _audit_load_id
     FROM documents

@@ -27,6 +27,13 @@ from data_ingest_utils_spark.sources.writers import read_back, write_partitioned
 # text.STOPWORDS keeps the oracles in lockstep automatically.
 _STOP_SQL = "[" + ",".join(f"'{s}'" for s in tx.STOPWORDS) + "]"
 
+#: Sweep execution profile for keys with a distinct 100 TB formulation
+#: (llm_dedup_clusters).  "exact" = the driver-graded oracle-twin form;
+#: "scale" = the banded production path.  Assigned ONLY by
+#: tools/registry_sweep.py — a module flag, not an env var, so ambient
+#: process state can never change what the correctness driver grades.
+SWEEP_PROFILE = "exact"
+
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
     """Fetch ONE query vector (64 floats) — a driver-side literal, the
@@ -881,15 +888,16 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The length-band candidate source is the deterministic ORACLE-TWIN
     formulation (pure SQL arithmetic, hash-checkable); under the sweep
-    scale profile (``SPARK_GRAFT_SWEEP_PROFILE=scale``, set only by
-    tools/registry_sweep.py — never the driver) the SAME downstream
-    component code runs off banded-MinHash verified candidates
-    instead, the declared 100 TB path (near-linear candidate volume
-    regardless of the corpus length profile)."""
-    import os
-
+    scale profile (module flag ``SWEEP_PROFILE``, set only by
+    tools/registry_sweep.py through an explicit assignment — never by
+    the driver, and deliberately NOT an env var so a stray exported
+    variable can't silently swap a hash-graded plan's formulation)
+    the SAME downstream component code runs off banded-MinHash
+    verified candidates instead, the declared 100 TB path
+    (near-linear candidate volume regardless of the corpus length
+    profile)."""
     docs = load_table(spark, sf_dir, "documents")
-    if os.environ.get("SPARK_GRAFT_SWEEP_PROFILE") == "scale":
+    if SWEEP_PROFILE == "scale":
         pairs = dd.minhash_jaccard_verified(
             docs, threshold=0.1, num_perm=16, bands=16, shingle_n=3
         )
@@ -1496,8 +1504,8 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT embedding::DOUBLE[] AS qv,
-             127.0 / list_max(list_transform(embedding::DOUBLE[],
-                                             y -> abs(y))) AS qscale
+             coalesce(127.0 / nullif(list_max(list_transform(
+                 embedding::DOUBLE[], y -> abs(y))), 0.0), 1.0) AS qscale
       FROM embeddings WHERE vec_id = 0
     ), qq AS (
       SELECT qv, qscale,

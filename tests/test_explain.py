@@ -378,14 +378,14 @@ def test_skew_stress_hot_branch_broadcasts(spark):
 
 
 def test_clusters_scale_profile_swaps_candidate_source(spark, monkeypatch):
-    """The sweep's scale profile (SPARK_GRAFT_SWEEP_PROFILE=scale) must
+    """The sweep's scale profile (llm.SWEEP_PROFILE module flag, set
+    only by tools/registry_sweep.py — deliberately NOT an env var, so
+    ambient process state can't swap a hash-graded formulation) must
     swap llm_dedup_clusters' candidate source from the length-band
     oracle-twin to banded-MinHash verified pairs — same downstream
     component code.  The components loop runs eagerly at plan-call
     time (localCheckpoint), so the final plan can't show the source;
-    record which candidate operator the branch actually invokes.
-    Guards the env-sensitive branch the driver never sees but
-    tools/registry_sweep.py relies on."""
+    record which candidate operator the branch actually invokes."""
     from data_ingest_utils_spark.plans import llm as llm_plans
 
     calls: list[str] = []
@@ -403,10 +403,11 @@ def test_clusters_scale_profile_swaps_candidate_source(spark, monkeypatch):
     monkeypatch.setattr(llm_plans.dd, "ngram_jaccard_length_blocked",
                         rec("exact", real_exact))
 
-    monkeypatch.delenv("SPARK_GRAFT_SWEEP_PROFILE", raising=False)
+    # an exported env var must NOT flip the graded formulation
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_PROFILE", "scale")
     QUERIES["llm_dedup_clusters"](spark, SF_T2)
     assert calls == ["exact"]
 
-    monkeypatch.setenv("SPARK_GRAFT_SWEEP_PROFILE", "scale")
+    monkeypatch.setattr(llm_plans, "SWEEP_PROFILE", "scale")
     QUERIES["llm_dedup_clusters"](spark, SF_T2)
     assert calls == ["exact", "banded"]

@@ -58,17 +58,17 @@ def _assert_atomic_schema(key, sdf):
         "to scalars (per-dim round / to_json) or whitelist with a rule"
     )
 
-def _driver_rows(rounds):
-    """Merge committed CORRECTNESS artifacts, later rounds winning."""
+def _driver_rows():
+    """Merge ALL committed CORRECTNESS artifacts, later rounds winning
+    (globbed + sorted, not a hardcoded round range — artifacts beyond
+    any fixed horizon must not be silently ignored)."""
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parent.parent
     merged: dict[str, dict] = {}
-    for r in rounds:
-        f = repo / f"CORRECTNESS_r{r:02d}.json"
-        if f.exists():
-            merged.update(json.loads(f.read_text()))
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        merged.update(json.loads(f.read_text()))
     return merged
 
 
@@ -96,7 +96,7 @@ def test_window_fronts_every_stale_hash_signal():
     Round-agnostic: merges every committed CORRECTNESS artifact."""
     from data_ingest_utils_spark import plans
 
-    rows = _driver_rows(range(1, 21))
+    rows = _driver_rows()
     if not rows:
         pytest.skip("driver CORRECTNESS artifacts not present")
     stale = {

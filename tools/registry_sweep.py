@@ -34,16 +34,26 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--profile", choices=["exact", "scale"], default="exact")
+    ap.add_argument(
+        "--profile",
+        choices=["exact", "scale"],
+        # the env var is the documented fallback for the flag — the
+        # flag wins when both are given
+        default=os.environ.get("SPARK_GRAFT_SWEEP_PROFILE", "exact"),
+    )
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--keys", default="", help="comma-separated subset (default: all)")
     args = ap.parse_args()
-    os.environ["SPARK_GRAFT_SWEEP_PROFILE"] = args.profile
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.plans import QUERIES, llm
     from data_ingest_utils_spark.session import get_session
+
+    # Explicit module-flag assignment — the ONLY place the profile is
+    # threaded into plan bodies (never ambient env: a stray exported
+    # var must not change what the correctness driver grades).
+    llm.SWEEP_PROFILE = args.profile
 
     keys = [k for k in args.keys.split(",") if k] or list(QUERIES)
     unknown = [k for k in keys if k not in QUERIES]
