@@ -151,6 +151,40 @@ def _shingle_hash_arrays(
     ).filter(F.size("hv") > 0)
 
 
+def _verify_pairs_array(
+    cands: DataFrame, hv: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard confirmation of candidate pairs via the per-pair
+    ``array_intersect`` shape: attach both docs' DISTINCT shingle-hash
+    arrays, score inside one codegen stage, no exploded pair × shingle
+    intermediate.  ``inter > 0`` is unconditional — zero-overlap
+    band-collision pairs must never surface (the exploded twin's inner
+    intersection join can't emit them, and at threshold=0.0 they would
+    otherwise appear with jaccard=0.0).  Shared by
+    :func:`ngram_jaccard_banded` and :func:`minhash_jaccard_verified`
+    so the two verify stages can't drift."""
+    return (
+        cands.join(
+            hv.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("hva")), "doc_a"
+        )
+        .join(
+            hv.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("hvb")), "doc_b"
+        )
+        .withColumn("inter", F.size(F.array_intersect("hva", "hvb")))
+        .filter(F.col("inter") > 0)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.size("hva") + F.size("hvb") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, id_col: str,
                         threshold: float) -> DataFrame:
     """J = inter / (|A|+|B|-inter) for (doc_a, doc_b, inter) rows,
@@ -312,17 +346,29 @@ def simhash_band_candidates(
     while discarding the band-collision background (E[H] = 32).
     """
     sig = simhash64(df, text_col, id_col, unit, n)
+    # Ship the full 64-bit signature through the band-collision
+    # shuffle ONLY when the Hamming prefilter will consume it — it's
+    # dead payload on the job's widest exchange otherwise.
+    sig_cols = ["simhash"] if hamming_max is not None else []
     bands = sig.select(
         id_col,
-        "simhash",
+        *sig_cols,
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(4)])).alias(
             "band_idx", "band_val"
         ),
     )
-    a = bands.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_sa"),
-                     "band_idx", "band_val")
-    b = bands.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_sb"),
-                     "band_idx", "band_val")
+    a = bands.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(c).alias("_sa") for c in sig_cols],
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(c).alias("_sb") for c in sig_cols],
+        "band_idx",
+        "band_val",
+    )
     pairs = a.join(b, ["band_idx", "band_val"]).filter(F.col("doc_a") < F.col("doc_b"))
     if hamming_max is not None:
         pairs = pairs.filter(
@@ -395,29 +441,7 @@ def ngram_jaccard_banded(
         )
         return _jaccard_from_inter(inter, sizes, id_col, threshold)
     hv = _shingle_hash_arrays(df, n, id_col)
-    scored = (
-        cands.join(
-            hv.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("hva")), "doc_a"
-        )
-        .join(
-            hv.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("hvb")), "doc_b"
-        )
-        .withColumn("inter", F.size(F.array_intersect("hva", "hvb")))
-        # inter > 0 keeps byte-identity with the explode shape at
-        # threshold=0.0 (its inner intersection join never emits
-        # zero-overlap pairs).
-        .filter(F.col("inter") > 0)
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.size("hva") + F.size("hvb") - F.col("inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return scored.select("doc_a", "doc_b", "jaccard")
+    return _verify_pairs_array(cands, hv, id_col, threshold)
 
 
 def connected_components(
@@ -548,7 +572,10 @@ def minhash_signatures(
     fixture recall after the change.
     """
     sh = shingles(F.col(text_col), shingle_n)
-    tok = F.array_distinct(tokens(F.col(text_col)))
+    # drop empty-string tokens: split('', ' ') is [''] — without the
+    # filter, empty/whitespace docs all collapse to the {''} feature
+    # set instead of being dropped as documented
+    tok = F.array_distinct(F.array_remove(tokens(F.col(text_col)), ""))
     based = (
         _ensure_parallelism(df, id_col)
         .select(
@@ -649,25 +676,7 @@ def minhash_jaccard_verified(
     )
     cands = minhash_band_candidates(base, "text", id_col, num_perm, bands, shingle_n)
     hv = _shingle_hash_arrays(base, shingle_n, id_col)
-    return (
-        cands.join(
-            hv.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("hva")), "doc_a"
-        )
-        .join(
-            hv.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("hvb")), "doc_b"
-        )
-        .withColumn("inter", F.size(F.array_intersect("hva", "hvb")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.size("hva") + F.size("hvb") - F.col("inter")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_pairs_array(cands, hv, id_col, threshold)
 
 
 def minhash_lsh_pairs(
@@ -699,16 +708,35 @@ def minhash_lsh_pairs(
     duplicates are still reported (a short doc can only pair with
     another short doc — shingle and token feature spaces are disjoint
     under the same HashingTF, which is the intended blocking).  Docs
-    with no tokens at all are dropped (MinHashLSH requires ≥1 nonzero
-    feature).
+    with no tokens at all can never appear in the output: they carry a
+    per-doc-unique dummy feature (distance 1.0 to everything) rather
+    than being filtered, because MinHashLSH rejects zero vectors and
+    Catalyst may evaluate its hash UDF ahead of any derived-column
+    filter (see the blank-doc comment in the body).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # Blank-doc handling: split('', ' ') is [''], so without care every
+    # blank-ish doc lands on the identical {''} feature set and pairs
+    # with every other at distance 0 — a near-quadratic blowup on
+    # corpora with many blank docs.  A filter can't fix this robustly:
+    # Catalyst merges it into the same Filter as approxSimilarityJoin's
+    # distance predicate and may evaluate the LSH hash UDF first, which
+    # rejects the zero vector of an empty token set.  Instead, blank
+    # docs get a PER-DOC-UNIQUE dummy token: the vector is valid, and
+    # the unique feature set has Jaccard distance 1.0 to everything, so
+    # blank docs can never appear in the output (for max_distance < 1)
+    # — the documented drop contract, enforced by construction.
     sh = shingles(F.col(text_col), shingle_n)
-    tok = F.array_distinct(tokens(F.col(text_col)))
+    tok = F.array_distinct(F.array_remove(tokens(F.col(text_col)), ""))
+    blank_token = F.array(F.concat(F.lit("\x00blank\x00"), F.col(id_col).cast("string")))
     shingled = df.select(
-        id_col, F.when(F.size(sh) > 0, sh).otherwise(tok).alias("_tokens")
-    ).filter(F.size("_tokens") > 0)
+        id_col,
+        F.when(F.size(sh) > 0, sh)
+        .when(F.size(tok) > 0, tok)
+        .otherwise(blank_token)
+        .alias("_tokens"),
+    )
     tf = HashingTF(inputCol="_tokens", outputCol="_features", numFeatures=num_features)
     featurized = tf.transform(shingled)
     lsh = MinHashLSH(

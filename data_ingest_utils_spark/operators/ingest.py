@@ -98,30 +98,32 @@ def with_audit(df: DataFrame, load_id: str = "", deterministic: bool = False) ->
     JVM-side 64-bit hash (used again by dedup operators) — plus the
     full ``input_file_name()`` path.  ``deterministic=True`` swaps in a
     cross-engine-reproducible form: the source file reduced to its
-    basename (env-independent) and ``sha256`` over a chr(31)-joined
-    string serialization of all columns — NULLs serialized as a
-    chr(30) sentinel so rows differing only in which column is NULL
-    keep distinct fingerprints — so an external engine (e.g. a DuckDB
-    audit oracle) can recompute both.  Caveat: the serialized
+    basename (env-independent) and ``sha256`` over a chr(31)-joined,
+    length-prefixed string serialization of all columns ('N' for NULL,
+    'V<charlen>:<value>' otherwise — NULL distinct from every value,
+    and a value containing the delimiter can't shift bytes across
+    field boundaries) — so an external engine (e.g. a DuckDB audit
+    oracle) can recompute both.  Caveat: the serialized
     form casts every column to string, so float formatting must agree
     between engines — use it on int/string/date frames, or pre-format
     floats explicitly.
     """
     if deterministic:
         src = F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
-        # coalesce each column to an explicit NULL sentinel (chr(30),
-        # distinct from the chr(31) delimiter): concat_ws SKIPS null
-        # args, so without it rows differing only in WHICH column is
-        # NULL would collapse to one fingerprint
+        # Unambiguous field serialization: 'N' for NULL (concat_ws
+        # SKIPS null args, so rows differing only in WHICH column is
+        # NULL would otherwise collapse), 'V<charlen>:<value>' for
+        # values — the length prefix pins each field's extent, so a
+        # value CONTAINING the chr(31) delimiter can't shift bytes
+        # into a neighboring field and collide with a distinct row.
+        def _field(c: str):
+            s = F.col(c).cast("string")
+            return F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+
         row_hash = F.sha2(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x1e"))
-                    for c in df.columns
-                ],
-            ),
-            256,
+            F.concat_ws("\x1f", *[_field(c) for c in df.columns]), 256
         )
     else:
         src = F.input_file_name()

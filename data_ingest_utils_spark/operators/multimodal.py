@@ -61,6 +61,11 @@ def extract_features(
     pseudo-feature from the sha256 so tests can assert the plumbing
     (schema, batch shape, partition parallelism) end-to-end.
     """
+    # validate at call time: the stub slices the 64-char sha256 hex
+    # digest in 8-char windows, so dim > 8 would raise
+    # int('', 16) ValueError inside every Arrow task instead of here
+    if not 1 <= dim <= 8:
+        raise ValueError(f"dim={dim} must be in [1, 8] (64-bit digest / 8 hex chars)")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -381,21 +381,28 @@ def semdedup(
         df, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
     )
     vecs = df.select(id_col, vec_col).join(assigned, id_col)
-    a = vecs.select(
+    # Precompute each vector's norm ONCE before the self-join: inside
+    # the O(Σ|cell|²) pair filter a per-pair _norm costs O(m²·d)
+    # redundant interpreted-lambda work vs O(m·d) here — the dot
+    # product is the only arithmetic that must stay per-pair.
+    with_norm = vecs.withColumn("_nrm", _norm(F.col(vec_col)))
+    a = with_norm.select(
         F.col(id_col).alias("_a_id"),
         F.col(vec_col).alias("_a_vec"),
+        F.col("_nrm").alias("_a_nrm"),
         F.col("cell").alias("_a_cell"),
     )
-    b = vecs.select(
+    b = with_norm.select(
         F.col(id_col).alias("_b_id"),
         F.col(vec_col).alias("_b_vec"),
+        F.col("_nrm").alias("_b_nrm"),
         F.col("cell").alias("_b_cell"),
     )
     dup_ids = (
         a.join(b, (F.col("_a_cell") == F.col("_b_cell")) & (F.col("_a_id") < F.col("_b_id")))
         .filter(
             _dot(F.col("_a_vec"), F.col("_b_vec"))
-            / F.nullif(_norm(F.col("_a_vec")) * _norm(F.col("_b_vec")), F.lit(0.0))
+            / F.nullif(F.col("_a_nrm") * F.col("_b_nrm"), F.lit(0.0))
             >= threshold
         )
         .select(F.col("_b_id").alias(id_col))

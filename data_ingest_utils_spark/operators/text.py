@@ -112,10 +112,15 @@ def explode_packed_sequences(
     cap = F.lit(seq_len).cast("long")
     first_seq = F.floor((F.col("cum") - F.col("n")) / cap)
     last_seq = F.floor((F.col("cum") - 1) / cap)
-    # Empty-range guard: a 0-token doc at a boundary would make
-    # sequence(first, last) DESCEND and emit spurious rows.
+    # Zero-token guard FIRST: without it a 0-token doc sitting
+    # mid-sequence (cum not on a boundary) has first_seq == last_seq
+    # and would emit a phantom (doc, seq, 0) row — only the boundary
+    # case descends and self-suppresses.  Then the empty-range guard:
+    # sequence(first, last) DESCENDS for the boundary case and would
+    # otherwise emit spurious rows.
     seq_ids = F.when(
-        first_seq <= last_seq, F.sequence(first_seq, last_seq)
+        (F.col("n") > 0) & (first_seq <= last_seq),
+        F.sequence(first_seq, last_seq),
     ).otherwise(F.array().cast("array<long>"))
     return t.withColumn("seq_id", F.explode(seq_ids)).select(
         id_col,
@@ -144,7 +149,11 @@ def shard_by_id_range(
     sample-dependent, so shard SIZES may vary slightly run-to-run —
     the packed output is identical regardless, because packing depends
     only on the global id order, which any contiguous sharding
-    preserves.
+    preserves.  CAVEAT: the sampling is re-drawn per JOB, so two
+    actions over this lazy frame may see different shard memberships —
+    consumers that run multiple jobs over one sharding must pin it
+    first (:func:`pack_sequences_sharded` localCheckpoints its narrow
+    projection for exactly this reason).
     """
     return (
         df.repartitionByRange(n_shards, F.col(id_col))
@@ -176,7 +185,19 @@ def pack_sequences_sharded(
     model), (3) a broadcast join of the bases, (4) a running-sum
     window PARTITIONED BY shard — every partition bounded by shard
     size, no single-partition stage anywhere.
+
+    The narrow (id, shard, n) projection is pinned with an EAGER
+    ``localCheckpoint`` before anything else: this function runs TWO
+    jobs over the sharded frame (the totals collect, then the packed
+    output), and :func:`shard_by_id_range`'s ``repartitionByRange``
+    re-SAMPLES its boundaries per job — without the pin, a doc near a
+    boundary could be counted in shard k's base by job 1 but assigned
+    shard k+1 by job 2, corrupting every downstream cumsum.  Only the
+    three small columns are materialized (~20 B/row), never the text.
     """
+    df = df.select(
+        id_col, shard_col, F.col(n_col).cast("long").alias(n_col)
+    ).localCheckpoint()
     totals = (
         df.groupBy(shard_col)
         .agg(F.sum(F.col(n_col).cast("long")).alias("shard_tokens"))

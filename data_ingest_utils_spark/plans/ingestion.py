@@ -80,17 +80,28 @@ def ing_standardize_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan(
     "ing_add_audit_cols",
     oracle="""
+    WITH ser AS (
+      SELECT doc_id,
+             CASE WHEN doc_id IS NULL THEN 'N'
+                  ELSE 'V' || length(CAST(doc_id AS VARCHAR)) || ':'
+                       || CAST(doc_id AS VARCHAR) END AS f1,
+             CASE WHEN text IS NULL THEN 'N'
+                  ELSE 'V' || length(text) || ':' || text END AS f2,
+             CASE WHEN lang IS NULL THEN 'N'
+                  ELSE 'V' || length(lang) || ':' || lang END AS f3,
+             CASE WHEN source IS NULL THEN 'N'
+                  ELSE 'V' || length(source) || ':' || source END AS f4,
+             CASE WHEN n_chars IS NULL THEN 'N'
+                  ELSE 'V' || length(CAST(n_chars AS VARCHAR)) || ':'
+                       || CAST(n_chars AS VARCHAR) END AS f5
+      FROM documents
+    )
     SELECT doc_id,
            'documents.parquet' AS _audit_source_file,
-           sha256(concat_ws(chr(31),
-                            coalesce(CAST(doc_id AS VARCHAR), chr(30)),
-                            coalesce(text, chr(30)),
-                            coalesce(lang, chr(30)),
-                            coalesce(source, chr(30)),
-                            coalesce(CAST(n_chars AS VARCHAR), chr(30))))
+           sha256(concat_ws(chr(31), f1, f2, f3, f4, f5))
              AS _audit_row_hash,
            'round1' AS _audit_load_id
-    FROM documents
+    FROM ser
     """,
 )
 def ing_add_audit_cols(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -677,3 +677,81 @@ def test_salted_hotkey_join_keeps_null_keys(spark):
         key = lambda row: tuple(map(repr, row))  # None-safe total order
         assert sorted(map(tuple, got.select(*want.columns).collect()), key=key) == \
             sorted(map(tuple, want.collect()), key=key), how
+
+
+def test_audit_hash_distinguishes_nulls_and_delimiter_injection(spark):
+    """Deterministic audit fingerprints must differ for (a) rows
+    differing only in WHICH column is NULL (concat_ws skips NULL args)
+    and (b) rows where a value CONTAINS the chr(31) field delimiter
+    (length-prefixing pins field extents)."""
+    from data_ingest_utils_spark.operators import ingest as ing
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", None),
+            (2, None, "a"),
+            (3, "a\x1fb", "c"),
+            (4, "a", "b\x1fc"),
+            (5, "\x1e", None),
+            (6, None, None),
+        ],
+        "id long, x string, y string",
+    )
+    rows = ing.with_audit(df.select("x", "y"), deterministic=True).select(
+        "_audit_row_hash"
+    ).collect()
+    hashes = [r[0] for r in rows]
+    assert len(set(hashes)) == len(hashes), hashes
+
+
+def test_verify_pairs_array_drops_zero_overlap_candidates(spark):
+    """The shared verify stage must never surface zero-intersection
+    candidate pairs, even at threshold=0.0 — band collisions with no
+    shared shingles would otherwise appear with jaccard=0.0 and feed
+    spurious edges to connected_components."""
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    hv = spark.createDataFrame(
+        [(1, [10, 20]), (2, [30]), (3, [10])], "doc_id long, hv array<long>"
+    )
+    out = {
+        (r.doc_a, r.doc_b)
+        for r in dd._verify_pairs_array(cands, hv, "doc_id", 0.0).collect()
+    }
+    assert out == {(1, 3)}
+
+
+def test_minhash_paths_drop_empty_and_whitespace_docs(spark):
+    """split('', ' ') is [''] — empty/whitespace docs must be DROPPED
+    (documented contract), not collapsed onto the shared {''} feature
+    set where every blank doc pairs with every other at distance 0."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, " "), (3, "real tokens here okay")],
+        "doc_id long, text string",
+    )
+    sigs = dd.minhash_signatures(docs, num_perm=4)
+    assert {r.doc_id for r in sigs.collect()} == {3}
+    pairs = dd.minhash_lsh_pairs(docs, max_distance=0.9)
+    assert pairs.count() == 0
+
+
+def test_explode_packed_sequences_zero_token_docs_emit_nothing(spark):
+    """A zero-token doc must emit NO (doc, seq) rows regardless of
+    whether its cumsum sits mid-sequence or exactly on a boundary."""
+    from data_ingest_utils_spark.operators.text import explode_packed_sequences
+
+    t = spark.createDataFrame(
+        [(1, 100, 100), (2, 0, 100), (3, 1948, 2048), (4, 0, 2048), (5, 5, 2053)],
+        "doc_id long, n long, cum long",
+    )
+    out = explode_packed_sequences(t, seq_len=2048)
+    by_doc = {r.doc_id for r in out.collect()}
+    assert by_doc == {1, 3, 5}, sorted(by_doc)
+
+
+def test_extract_features_validates_dim(spark):
+    from data_ingest_utils_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    packed = mm.pack_payload(df)
+    with pytest.raises(ValueError, match=r"dim=9"):
+        mm.extract_features(packed, dim=9)
