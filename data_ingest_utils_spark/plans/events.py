@@ -21,12 +21,11 @@ from data_ingest_utils_spark.operators.relational import ensure_parallelism
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 from data_ingest_utils_spark.streaming.transforms import (
+    EPOCH_SECONDS as _EPOCH_SECONDS,  # single source — do not re-define
     session_agg,
     sliding_agg,
     tumbling_agg,
 )
-
-_EPOCH_SECONDS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
 
 
 @plan(

@@ -92,7 +92,10 @@ class SyntheticSeqStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start):
         lo = start["offset"]
-        hi = min(lo + self.step, self.n)
+        # clamp BELOW at lo: a checkpointed offset beyond a shrunken
+        # `n` option (restart with smaller n) must not regress the
+        # offset — end < start breaks monotonicity and replay
+        hi = max(lo, min(lo + self.step, self.n))
         return iter([(i, (i * i) % 97) for i in range(lo, hi)]), {"offset": hi}
 
     def readBetweenOffsets(self, start, end):

@@ -37,7 +37,11 @@ TABLES = (
 # events.ts arrives as raw int64 nanoseconds (see session._RUNTIME_CONFS);
 # convert to TIMESTAMP_NTZ at microsecond precision, anchored at the
 # epoch with timestampadd so the conversion is independent of the
-# session time zone.  Matches DuckDB's read of the same parquet exactly.
+# session time zone.  `div` truncates toward zero, NOT floor — that is
+# deliberate: DuckDB's ns-parquet read does the same (probed round 7:
+# -1500 ns reads back as -1 µs in DuckDB, the trunc value; floor would
+# give -2), so pre-epoch sub-µs timestamps match the oracle
+# bit-for-bit only with truncation.
 _NS_TO_TS_NTZ = (
     "timestampadd(MICROSECOND, {col} div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
 )

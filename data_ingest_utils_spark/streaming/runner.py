@@ -72,6 +72,13 @@ def run_available_now(
     advanced the watermark past it.
     """
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{table_name}_")
+    # recentProgress is a ring buffer capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100):
+    # a >100-file source under maxFilesPerTrigger=1 would silently
+    # drop the EARLY micro-batches' metrics and undercount
+    # numRowsDroppedByWatermark sums.  Raise the cap before the query
+    # starts (read at query start) so every batch's progress survives.
+    df.sparkSession.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     query = (
         df.writeStream.format("memory")
         .queryName(table_name)

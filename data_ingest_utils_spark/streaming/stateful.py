@@ -34,17 +34,30 @@ def _counter_fn(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     (n,) = state.get if state.exists else (0,)
-    out = []
-    for pdf in pdfs:
-        # ts-then-event_id order inside the batch mirrors the batch
-        # window's ORDER BY ts, event_id.
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for eid in pdf["event_id"]:
-            n += 1
-            out.append((key[0], int(eid), n))
+    # Concat ALL Arrow chunks BEFORE sorting: a group larger than
+    # spark.sql.execution.arrow.maxRecordsPerBatch arrives as multiple
+    # chunks in shuffle-arrival order, and per-chunk sorts would
+    # assign running counts in the wrong global (ts, event_id) order
+    # (measured: 40/40 rows wrong on a 40-row group at batch size 10).
+    # The count itself is a vectorized cumcount, not a Python loop.
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(len(pdf), key[0], dtype="int64"),
+                "event_id": pdf["event_id"].astype("int64").to_numpy(),
+                "n_so_far": n + np.arange(1, len(pdf) + 1, dtype="int64"),
+            }
+        )
+        n += len(pdf)
+    else:
+        out = pd.DataFrame(columns=["user_id", "event_id", "n_so_far"])
     state.update((n,))
-    yield pd.DataFrame(out, columns=["user_id", "event_id", "n_so_far"])
+    yield out
 
 
 def running_counter(events: DataFrame) -> DataFrame:
@@ -85,15 +98,28 @@ def running_counter_tws(events: DataFrame) -> DataFrame:
             self._count = handle.getValueState("count", "n long")
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
             n = self._count.get()[0] if self._count.exists() else 0
-            out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
-                for eid in pdf["event_id"]:
-                    n += 1
-                    out.append((key[0], int(eid), n))
+            # concat-then-sort + vectorized cumcount — same cross-chunk
+            # ordering fix as _counter_fn above
+            chunks = [p for p in rows if len(p)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts", "event_id"]
+                )
+                out = pd.DataFrame(
+                    {
+                        "user_id": np.full(len(pdf), key[0], dtype="int64"),
+                        "event_id": pdf["event_id"].astype("int64").to_numpy(),
+                        "n_so_far": n + np.arange(1, len(pdf) + 1, dtype="int64"),
+                    }
+                )
+                n += len(pdf)
+            else:
+                out = pd.DataFrame(columns=["user_id", "event_id", "n_so_far"])
             self._count.update((n,))
-            yield pd.DataFrame(out, columns=["user_id", "event_id", "n_so_far"])
+            yield out
 
         def close(self) -> None:
             pass
@@ -125,11 +151,15 @@ def _funnel_fn(
     last_signup_us, n_p, n_c = (
         state.get if state.exists else (-1, 0, 0)
     )
-    for pdf in pdfs:
-        # In-batch order mirrors the batch plan's ORDER BY ts,
-        # event_id; cross-batch order is the stream's arrival order
-        # (event-time ordered micro-batches in the tests).
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # Concat ALL Arrow chunks before the single sort (same cross-chunk
+    # ordering fix as _counter_fn): a signup arriving in a later chunk
+    # with an earlier ts must be processed before the purchases it
+    # converts.  In-batch order then mirrors the batch plan's ORDER BY
+    # ts, event_id; cross-BATCH order is the stream's arrival order
+    # (event-time ordered micro-batches in the tests).
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for ts, etype in zip(pdf["ts"], pdf["event_type"]):
             ts_us = ts.value // 1_000
             if etype == "signup":

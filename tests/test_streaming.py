@@ -535,3 +535,36 @@ def test_late_data_metrics_accounting(spark):
     assert m["rows_dropped_by_watermark"] >= 0.8 * m["rows_late_candidates"]
     assert m["micro_batches"] == 4
     assert m["rows_staged"] > m["rows_late_candidates"] * 10
+
+
+def test_stateful_counter_correct_across_arrow_chunks(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    Arrow chunks in shuffle-arrival order; the counter must sort the
+    concatenated group, not each chunk independently (measured before
+    the fix: 40/40 rows got the wrong n_so_far on descending-ts input
+    at chunk size 10)."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        # one user, 40 rows, DESCENDING event time so arrival order is
+        # the reverse of event order
+        rows = [
+            (i, f"2024-01-01 10:{59 - i:02d}:00", 7, "click", 1.0)
+            for i in range(40)
+        ]
+        src = _write_batches(str(tmp_path), [rows])
+        run_available_now(
+            running_counter(read_parquet_stream(spark, src)),
+            "chunked_counter_out",
+            output_mode="update",
+        )
+        got = {
+            r.event_id: r.n_so_far
+            for r in spark.table("chunked_counter_out").collect()
+        }
+        # event_id 39 has the EARLIEST ts -> count 1; event_id 0 the
+        # latest -> count 40
+        want = {i: 40 - i for i in range(40)}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
