@@ -654,11 +654,9 @@ def ing_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns by byte position and trim — the classic ingest-utility
     shape for files with no delimiter at all.  Round-trips through a
     real text file; all slicing is codegen'd substring, no UDF."""
-    import os
+    from data_ingest_utils_spark.plans.scans import SCRATCH
 
-    path = os.environ.get(
-        "SPARK_GRAFT_SCRATCH", "/tmp/data_ingest_utils_spark"
-    ) + "/fixed_width_customer"
+    path = f"{SCRATCH}/fixed_width_customer"
     c = load_table(spark, sf_dir, "customer")
     c.select(
         F.concat(

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -195,10 +196,11 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERMISSIVE with an explicit schema + _corrupt_record column — bad
     lines land in quarantine instead of failing the load (the
     explicit-schema half of the CSV/JSON ingestion contract)."""
-    import os
-
     path = f"{SCRATCH}/corrupt_json"
-    os.makedirs(path, exist_ok=True)
+    # rmtree first: spark.read.json reads the whole directory, so any
+    # stale file from an aborted run would break the pinned 25/3 counts
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
     good = [
         f'{{"n_nationkey": {i}, "n_name": "nation_{i}"}}' for i in range(25)
     ]
@@ -240,8 +242,6 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors list + read objects in parallel; pair with
     ``pathGlobFilter``/partitioned prefixes for pruning, and keep
     payloads as pointers past ~1 MB (llm_multimodal_pack)."""
-    import shutil
-
     path = f"{SCRATCH}/bin_part"
     rows = (
         load_table(spark, sf_dir, "part")
@@ -501,9 +501,6 @@ def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     under date/source subdirs); the glob is evaluated at file-listing
     time, so excluded files are never opened — at 100 TB the listing,
     not the read, is the cost to control."""
-    import os
-    import shutil
-
     src = f"{SCRATCH}/glob_src"
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(f"{src}/d1")

@@ -76,7 +76,15 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zscore_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     m = pdf["value"].mean()
     s = pdf["value"].std(ddof=1)  # sample stddev — pinned semantics
-    return pd.DataFrame({"event_id": pdf["event_id"], "z": (pdf["value"] - m) / s})
+    # Degenerate groups must be NULL, not NaN: a 1-row group has
+    # stddev_samp NULL and a constant group divides by zero — both
+    # yield NULL in Spark SQL AND DuckDB (probed: 0.0/0.0 is NULL),
+    # while pandas produces NaN/inf, which hash-mismatches NULL.
+    if pd.isna(s) or s == 0.0:
+        z = pd.Series([None] * len(pdf), dtype="float64")
+    else:
+        z = (pdf["value"] - m) / s
+    return pd.DataFrame({"event_id": pdf["event_id"], "z": z})
 
 
 @plan(
@@ -110,9 +118,13 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATERAL — the table-function flavor of the UDF surface."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, token string")
+    @udtf(returnType="pos int, token string", useArrow=True)
     class SplitTokens:
         def eval(self, text: str):
+            if text is None:
+                # string_split(NULL) emits zero rows in the oracle;
+                # None.split would instead kill the whole job
+                return
             for i, tok in enumerate(text.split(" ")):
                 yield i, tok
 
@@ -145,13 +157,16 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf(returnType="double", useArrow=True)
     def gross(price: float, discount: float) -> float:
-        return round(price * (1 - discount) * 1.07, 6)
+        # raw product only — the final ROUND happens JVM-side below:
+        # Python's round is half-to-even on the binary value and can
+        # diverge from Spark/DuckDB HALF_UP on decimal near-ties
+        return price * (1 - discount) * 1.07
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        gross("l_extendedprice", "l_discount").alias("gross_price"),
+        F.round(gross("l_extendedprice", "l_discount"), 6).alias("gross_price"),
     )
 
 
@@ -190,13 +205,16 @@ def _cogroup_profile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             columns=["c_custkey", "c_acctbal", "n_orders", "total_spend"]
         )
+    # raw sum only — the final ROUND happens JVM-side in the plan:
+    # Python's half-to-even round can diverge from Spark/DuckDB
+    # HALF_UP on decimal near-ties
     total = float(right["o_totalprice"].sum()) if not right.empty else 0.0
     return pd.DataFrame(
         {
             "c_custkey": [int(left["c_custkey"].iloc[0])],
             "c_acctbal": [float(left["c_acctbal"].iloc[0])],
             "n_orders": [int(len(right))],
-            "total_spend": [round(total, 6)],
+            "total_spend": [total],
         }
     )
 
@@ -219,7 +237,7 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     express.  Arrow moves both sides; one shuffle each."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-    return (
+    out = (
         c.groupby("c_custkey")
         .cogroup(o.groupby("o_custkey"))
         .applyInPandas(
@@ -227,6 +245,7 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey BIGINT, c_acctbal DOUBLE, n_orders BIGINT, total_spend DOUBLE",
         )
     )
+    return out.withColumn("total_spend", F.round("total_spend", 6))
 
 
 def _arrow_net_price(batches):
