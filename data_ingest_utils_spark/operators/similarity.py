@@ -51,6 +51,13 @@ def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
+#: Public pairwise-cosine column helper (the two-column counterpart of
+#: :func:`cosine_to_query`): NULL for zero-norm inputs.  External
+#: callers use THIS, not the private ``_cosine``, so the NULL contract
+#: has a stable surface.
+pairwise_cosine = _cosine
+
+
 def cosine_to_query(df: DataFrame, vec_col: str, query: Sequence[float]) -> Column:
     """Cosine similarity of each row's vector to a literal query vector
     (NULL for zero-norm rows — see :func:`_cosine`)."""

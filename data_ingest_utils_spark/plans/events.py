@@ -21,7 +21,6 @@ from data_ingest_utils_spark.operators.relational import ensure_parallelism
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 from data_ingest_utils_spark.streaming.transforms import (
-    EPOCH_SECONDS as _EPOCH_SECONDS,  # single source — do not re-define
     session_agg,
     sliding_agg,
     tumbling_agg,
@@ -63,16 +62,16 @@ def evt_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "evt_session",
-    oracle=f"""
+    oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events
     ), numbered AS (
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM flagged
     )
@@ -121,13 +120,11 @@ def evt_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_streaming.py with a crafted out-of-order
     micro-batch sequence, and the engine's drop accounting is surfaced
     by evt_late_data_metrics."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
-    )
+    from data_ingest_utils_spark.streaming.transforms import watermarked_tumbling
+
+    # the SAME transform the streaming tests and evt_late_data_metrics
+    # run — the one-code-path batch/stream property by construction
+    return watermarked_tumbling(load_table(spark, sf_dir, "events"))
 
 
 @plan(
@@ -221,15 +218,18 @@ def evt_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import uuid
 
     from data_ingest_utils_spark.plans.scans import SCRATCH
 
-    out = f"{SCRATCH}/fes_out"
-    shutil.rmtree(out, ignore_errors=True)
+    # Per-invocation token on BOTH scratch dirs (same isolation as
+    # evt_late_data_metrics, ADVICE r6): concurrent invocations must
+    # not rmtree each other's staged source or appended sink batches.
+    run_id = uuid.uuid4().hex[:12]
+    out = f"{SCRATCH}/fes_out_{run_id}"
     # The file stream source wants a DIRECTORY; stage the fixture file
     # into a scratch source dir (read-only testdata stays untouched).
-    src = f"{SCRATCH}/fes_src"
-    shutil.rmtree(src, ignore_errors=True)
+    src = f"{SCRATCH}/fes_src_{run_id}"
     os.makedirs(src)
     shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
     stream = spark.readStream.schema(
@@ -237,7 +237,8 @@ def evt_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(src)
     # One-shot drain: the checkpoint is never resumed, so drop it in a
     # finally (repeated grading runs would otherwise accumulate state
-    # dirs under /tmp).
+    # dirs under /tmp); src/out are uuid-fresh, so they are cleaned in
+    # the same finally after the aggregate is computed eagerly.
     checkpoint = tempfile.mkdtemp(prefix="ckpt_fes_")
     try:
         q = (
@@ -251,13 +252,17 @@ def evt_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(120):
             q.stop()
             raise TimeoutError("evt_foreach_batch_sink: stream did not drain in 120s")
+        rows = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
     finally:
         shutil.rmtree(checkpoint, ignore_errors=True)
-    return (
-        spark.read.parquet(out)
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-    )
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type string, n long")
 
 
 @plan(
@@ -564,12 +569,17 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py)."""
     import os
     import shutil
+    import uuid
 
     from data_ingest_utils_spark.plans.scans import SCRATCH
     from data_ingest_utils_spark.streaming.runner import run_available_now
 
-    src = f"{SCRATCH}/ssj_src"
-    shutil.rmtree(src, ignore_errors=True)
+    # uuid-isolated scratch + sink (same rationale as the other
+    # streaming plans): concurrent invocations must not rmtree each
+    # other's staged source or cross-read each other's memory table.
+    run_id = uuid.uuid4().hex[:12]
+    src = f"{SCRATCH}/ssj_src_{run_id}"
+    sink = f"ssj_out_{run_id}"
     os.makedirs(src)
     (
         load_table(spark, sf_dir, "events")
@@ -611,10 +621,16 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts")),
         "inner",
     )
-    run_available_now(
-        joined.select("purchase_id", "view_id", "user_id"), "ssj_out"
-    )
-    return spark.table("ssj_out")
+    try:
+        run_available_now(joined.select("purchase_id", "view_id", "user_id"), sink)
+        rows = spark.table(sink).collect()
+    finally:
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass  # sink view may not exist if the run failed early
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame(rows, "purchase_id long, view_id long, user_id long")
 
 
 @plan(
@@ -714,9 +730,12 @@ def evt_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observable late-data accounting from a REAL multi-batch
     streaming run (VERDICT r5 #4c): the events fixture is staged as
-    three micro-batch files — the older half minus a held-back slice,
+    FOUR micro-batch files — the older half minus a held-back slice,
     then the newest half (advances the watermark far past the median),
-    then the held-back old rows, which are now LATE — and the plan
+    then a one-row carrier batch (the watermark Spark filters batch N
+    with is the one computed at batch N-1's start, so the carrier is
+    what makes the advanced watermark effective), then the held-back
+    old rows, which are now LATE — and the plan
     reports the engine's own state-store metrics from the per-batch
     StreamingQueryProgress (the observability a production pipeline
     alerts on, aggregated from ``numRowsDroppedByWatermark``).

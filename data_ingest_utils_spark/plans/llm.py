@@ -235,6 +235,8 @@ def llm_dedup_near_exactverify(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim
     FROM embeddings e, q
     WHERE e.vec_id <> 0
+      AND list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+      AND NOT isnan(list_cosine_similarity(e.embedding::DOUBLE[], q.qv))
     ORDER BY sim DESC, e.vec_id
     LIMIT 5
     """,
@@ -255,6 +257,8 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS sim
     FROM embeddings e, q
     WHERE e.label = q.ql AND e.vec_id <> 0
+      AND list_cosine_similarity(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+      AND NOT isnan(list_cosine_similarity(e.embedding::DOUBLE[], q.qv))
     ORDER BY sim DESC, e.vec_id
     LIMIT 5
     """,
@@ -282,7 +286,9 @@ def llm_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    WHERE list_cosine_similarity(a.v, b.v) IS NOT NULL
+      AND NOT isnan(list_cosine_similarity(a.v, b.v))
+      AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
     """,
 )
 def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,19 +574,31 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_lang_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Route/partition the corpus by lang (partitioned parquet sink +
-    read-back), verified by per-lang counts."""
-    import os
+    read-back), verified by per-lang counts.  The sink dir is
+    uuid-isolated per invocation (two concurrent runs must not
+    overwrite each other's partition layout mid-read) and removed
+    after the counts are computed eagerly."""
+    import shutil
+    import uuid
 
     from data_ingest_utils_spark.plans.scans import SCRATCH
 
-    path = f"{SCRATCH}/docs_by_lang"
+    path = f"{SCRATCH}/docs_by_lang_{uuid.uuid4().hex[:12]}"
     docs = load_table(spark, sf_dir, "documents")
-    write_partitioned(docs, path, ["lang"])
-    back = read_back(spark, path)
-    return back.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
+    try:
+        write_partitioned(docs, path, ["lang"])
+        rows = (
+            read_back(spark, path)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "lang string, n_docs long, total_chars long")
 
 
 # ------------------------------------------- pipeline extensions (r2)
@@ -789,6 +807,8 @@ def llm_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY round(list_cosine_similarity(a.v, b.v), 4) DESC, b.vec_id
              ) AS rnk
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) IS NOT NULL
+        AND NOT isnan(list_cosine_similarity(a.v, b.v))
     ) WHERE rnk <= 3
     """,
 )
@@ -804,8 +824,12 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("nbr_id"), "label", F.col("embedding").alias("_vb")
     )
     pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nbr_id"))
-    cos = F.round(sim._cosine(F.col("_va"), F.col("_vb")), 4)
+    cos = F.round(sim.pairwise_cosine(F.col("_va"), F.col("_vb")), 4)
     scored = pairs.select("vec_id", "nbr_id", cos.alias("cos_sim"))
+    # NULL cosine (zero-norm vector) must not be RANKED: desc ordering
+    # puts NULLs last, so in a cell with <= 3 neighbors a NULL row
+    # would still earn rnk <= 3 while the oracle's NaN guard drops it
+    scored = scored.filter(F.col("cos_sim").isNotNull())
     return topk_per_group(
         scored, ["vec_id"], [F.col("cos_sim").desc(), F.col("nbr_id")], 3, "rnk"
     ).select("vec_id", "nbr_id", F.col("rnk").cast("int").alias("rnk"), "cos_sim")
@@ -1780,10 +1804,16 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     n_segs = F.ceil(F.size(t) / F.lit(10)).cast("long")
-    seg_arr = F.transform(
-        F.sequence(F.lit(0), (n_segs - 1).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(t, i * 10 + 1, 10)),
-    )
+    # Empty-range guard (same hazard llm_doc_chunking documents): a
+    # 0-token doc would make sequence(0, -1) DESCEND and emit phantom
+    # negative segment indices; the oracle's range(0, 0) is empty.
+    seg_arr = F.when(
+        n_segs > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n_segs - 1).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(t, i * 10 + 1, 10)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     segs = d.select(
         "doc_id", F.posexplode(seg_arr).alias("i", "seg")
     )
