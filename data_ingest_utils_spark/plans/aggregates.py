@@ -46,9 +46,9 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 6)      AS sum_qty,
-           round(sum(l_extendedprice), 6) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
            round(avg(l_quantity), 6)      AS avg_qty,
            round(avg(l_extendedprice), 6) AS avg_price,
            round(avg(l_discount), 6)      AS avg_disc,
@@ -66,9 +66,12 @@ def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+        # money sums at 2 dp (cents): at sf0.1 these reach ~4e9, where a
+        # reorder-ulp of the double accumulation exceeds ROUND(...,6)'s
+        # half-step — same hardening as the skew joins / agg_unpivot
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),

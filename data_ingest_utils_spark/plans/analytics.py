@@ -52,7 +52,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_unpivot",
     oracle="""
     SELECT l_returnflag, metric,
-           round(sum(v), 6) AS sum_value, count(*) AS n
+           round(sum(v), 2) AS sum_value, count(*) AS n
     FROM (
       SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
       UNION ALL
@@ -73,8 +73,11 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "v",
     )
+    # 2 dp: sum(l_extendedprice) is ~1e9 at sf0.1, where a reorder-ulp
+    # (~1e-7) already exceeds ROUND(...,6)'s half-step — see the skew
+    # joins' rounding note
     return long.groupBy("l_returnflag", "metric").agg(
-        F.round(F.sum("v"), 6).alias("sum_value"), F.count("*").alias("n")
+        F.round(F.sum("v"), 2).alias("sum_value"), F.count("*").alias("n")
     )
 
 
@@ -159,11 +162,14 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     joined = salted_join(
-        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        li.select("l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice"),
         orders,
         left_key="l_orderkey",
         right_key="o_orderkey",
-        salt_src=["l_linenumber"],
+        # l_partkey+l_linenumber: l_linenumber alone has only 7 values
+        # (at most 7 of 8 salt buckets, ~7:1 imbalance) — the salt must
+        # come from high-cardinality sources for the hot key to spread
+        salt_src=["l_partkey", "l_linenumber"],
         salt_mod=8,
     )
     return joined.groupBy("o_orderstatus").agg(

@@ -199,7 +199,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway_star",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            count(*) AS n_items
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
@@ -229,7 +229,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         facts.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -516,7 +516,11 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id, user_id, ts,
-           CASE WHEN date_diff('second', prev_ts, ts) <= 1800
+           -- exact interval comparison, matching Spark's exact
+           -- (ts - prev_ts) <= INTERVAL test: date_diff('second')
+           -- counts boundary crossings and would keep a stale match
+           -- whose true gap is in (1800 s, 1801 s)
+           CASE WHEN ts - prev_ts <= INTERVAL '30 minutes'
                 THEN prev_ts END AS recent_purchase_ts
     FROM att
     """,

@@ -532,16 +532,18 @@ def fn_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts by session tz), the inverse via timestampadd, days-since-
     epoch (unix_date), and minute-of-day.  DuckDB spells the inverse as
     epoch × INTERVAL because to_timestamp() returns TIMESTAMPTZ."""
+    from data_ingest_utils_spark.streaming.transforms import EPOCH_SECONDS
+
     ev = load_table(spark, sf_dir, "events")
-    epoch_s = F.expr(
-        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
+    # floor-exact shared template: the oracle floors epoch(ts), and
+    # plain timestampdiff(SECOND,...) would truncate toward zero —
+    # off by one second for pre-epoch fractional timestamps
+    sec_expr = EPOCH_SECONDS.format(col="ts")
     return ev.select(
         "event_id",
-        epoch_s.alias("epoch_s"),
+        F.expr(sec_expr).alias("epoch_s"),
         F.expr(
-            "timestampadd(SECOND, timestampdiff(SECOND,"
-            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts),"
+            f"timestampadd(SECOND, {sec_expr},"
             " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
         ).alias("ts_roundtrip"),
         F.unix_date(F.to_date("ts")).alias("epoch_days"),
@@ -793,7 +795,6 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both directions are JVM intrinsics — encrypt-at-rest for PII
     columns without a UDF or a separate pass.  The key would come from
     a KMS; a literal stands in here."""
-    key = F.lit("0123456789abcdef")
     part = load_table(spark, sf_dir, "part")
     cipher = F.expr("aes_encrypt(p_name, '0123456789abcdef', 'ECB')")
     return part.select(

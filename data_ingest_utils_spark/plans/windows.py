@@ -17,9 +17,9 @@ from pyspark.sql import functions as F
 from data_ingest_utils_spark.operators.relational import ranked, topk_per_group
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
-
-#: Epoch anchor for tz-independent second arithmetic on TIMESTAMP_NTZ.
-_EPOCH_SECONDS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+from data_ingest_utils_spark.streaming.transforms import (
+    EPOCH_SECONDS as _EPOCH_SECONDS,  # floor-exact single source
+)
 
 
 @plan(
@@ -265,8 +265,13 @@ def win_session_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1 on both engines."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch_s = F.expr(_EPOCH_SECONDS.format(col="ts"))
-    gap_ok = (epoch_s - F.lag(epoch_s).over(w)) <= 1800
+    # MICROSECOND-exact gap (long arithmetic): the oracle compares
+    # exact intervals, and a whole-second-truncated epoch would
+    # misclassify true gaps in (1800 s, 1801 s) as within-session
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    gap_ok = (epoch_us - F.lag(epoch_us).over(w)) <= 1_800_000_000
     flagged = ev.select(
         "user_id",
         "event_id",

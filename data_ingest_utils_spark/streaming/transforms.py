@@ -10,8 +10,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: tz-independent epoch seconds for a TIMESTAMP_NTZ column.
-EPOCH_SECONDS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+#: tz-independent epoch seconds for a TIMESTAMP_NTZ column, with FLOOR
+#: semantics (matching DuckDB's floor(epoch(ts)) in the oracles):
+#: timestampdiff(SECOND, ...) truncates toward zero, which diverges by
+#: one second for pre-epoch timestamps with fractional seconds, so the
+#: µs diff is floored exactly in long arithmetic via the pmod identity
+#: (x - pmod(x, d)) div d == floor(x / d).  Single source — import
+#: this, never re-define it.
+_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+EPOCH_SECONDS = f"(({_EPOCH_US} - pmod({_EPOCH_US}, 1000000)) div 1000000)"
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
