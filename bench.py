@@ -12,8 +12,9 @@ warm: one shared SparkSession, one un-timed warmup pass (JVM/codegen/
 file-listing warmup), then best-of-6 per query (two bursts of 3).
 ``value`` is the sum of per-query best times — comparable to summing
 the BASELINE.md Spark column.  When ``.scale/sf1.0`` exists (generated
-by tools/make_scale_data.py), the 5 heaviest shapes also run at ~sf1.0
-and land on the same line as ``queries_sf1``/``value_sf1``/``sf1``.
+by tools/make_scale_data.py), the heaviest shapes (HEAVY_SF1 — 6 since
+round 7's join_skew_stress) also run at ~sf1.0 and land on the same
+line as ``queries_sf1``/``value_sf1``/``sf1``.
 All diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
 
@@ -46,7 +47,7 @@ HEADLINE = [
     "agg_bitmap_distinct",
 ]
 
-# Scale-stress section (VERDICT r5 #5): the 5 heaviest shapes re-run at
+# Scale-stress section (VERDICT r5 #5): the heaviest shapes re-run at
 # ~sf1.0 (10× key-strided replicas of sf0.1 — tools/make_scale_data.py)
 # where shuffle cost dominates planning overhead.  Reported as extra
 # fields on the SAME single JSON line (queries_sf1 / value_sf1 / sf1);
@@ -142,7 +143,7 @@ def main() -> int:
             print(f"bench: sf1 {key} = {sf1_timings[key]:.3f}s", file=sys.stderr)
         payload["queries_sf1"] = sf1_timings
         payload["value_sf1"] = round(sum(sf1_timings.values()), 4)
-        payload["sf1"] = 1.0
+        payload["sf1"] = _sf_from_dir(sf1_dir)
     else:
         print(
             f"bench: scale dir {sf1_dir} absent — run tools/make_scale_data.py "

@@ -60,7 +60,12 @@ def normalize_columns(df: DataFrame, trim_strings: bool = True) -> DataFrame:
 def cast_columns(df: DataFrame, casts: dict[str, str], safe: bool = True) -> DataFrame:
     """Declarative type coercion; ``safe=True`` maps bad values → NULL
     (``try_cast``) instead of failing the job — the ingestion default.
+    Unknown cast targets raise (fail-fast contract): a typo'd column
+    name must not silently leave the raw column uncast.
     """
+    unknown = sorted(set(casts) - set(df.columns))
+    if unknown:
+        raise ValueError(f"cast_columns: columns not in frame: {unknown}")
     cols = []
     for c in df.columns:
         if c in casts:
@@ -76,7 +81,29 @@ def standardize_nulls(
     cols: Sequence[str] | None = None,
     sentinels: Sequence[str] = DEFAULT_NULL_SENTINELS,
 ) -> DataFrame:
-    """Replace sentinel strings (``''``, ``'NULL'``, ``'N/A'``, …) with NULL."""
+    """Replace sentinel strings (``''``, ``'NULL'``, ``'N/A'``, …) with NULL.
+
+    ``cols`` must be a sequence of STRING column names present in the
+    frame (fail-fast contract): a bare string would be set()-exploded
+    into characters, and a typo'd or non-string column would silently
+    let sentinel values through into the lake.
+    """
+    if isinstance(cols, str):
+        raise TypeError(
+            f"standardize_nulls: cols must be a sequence of names, got the "
+            f"string {cols!r} (it would be exploded into characters)"
+        )
+    if cols is not None:
+        dtypes = dict(df.dtypes)
+        unknown = sorted(set(cols) - set(dtypes))
+        if unknown:
+            raise ValueError(f"standardize_nulls: columns not in frame: {unknown}")
+        non_string = sorted(c for c in cols if dtypes[c] != "string")
+        if non_string:
+            raise ValueError(
+                f"standardize_nulls: non-string columns cannot hold string "
+                f"sentinels: {non_string}"
+            )
     targets = set(cols) if cols is not None else {c for c, t in df.dtypes if t == "string"}
     sent = F.array(*[F.lit(s) for s in sentinels])
     out_cols = []

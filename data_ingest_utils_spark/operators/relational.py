@@ -270,11 +270,17 @@ def distinct_on(
 ) -> DataFrame:
     """DISTINCT ON (keys) with a deterministic pick order (first row
     per key under ``order``)."""
+    # collision-proof scratch column: a user frame may legitimately
+    # carry a column named _rn, which withColumn would REPLACE and the
+    # trailing drop would silently destroy
+    rn = "_rn"
+    while rn in df.columns:
+        rn += "_"
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
 
 

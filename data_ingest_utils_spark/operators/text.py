@@ -124,7 +124,11 @@ def explode_packed_sequences(
     ).otherwise(F.array().cast("array<long>"))
     return t.withColumn("seq_id", F.explode(seq_ids)).select(
         id_col,
-        F.col("seq_id").cast("int").alias("seq_id"),
+        # seq_id stays LONG: a ~100 TB corpus packs ~12 B sequences at
+        # L=2048, past int32 — an int cast would throw under ANSI mode
+        # (or silently wrap without it).  n_tokens_in_seq is bounded by
+        # seq_len, so int is safe there.
+        F.col("seq_id").alias("seq_id"),
         (
             F.least(F.col("cum"), (F.col("seq_id") + 1) * cap)
             - F.greatest(F.col("cum") - F.col("n"), F.col("seq_id") * cap)
@@ -200,7 +204,7 @@ def pack_sequences_sharded(
     ).localCheckpoint()
     totals = (
         df.groupBy(shard_col)
-        .agg(F.sum(F.col(n_col).cast("long")).alias("shard_tokens"))
+        .agg(F.sum(n_col).alias("shard_tokens"))
         .orderBy(shard_col)
         .collect()
     )
@@ -208,7 +212,9 @@ def pack_sequences_sharded(
     bases, running = [], 0
     for row in totals:
         bases.append((row[shard_col], running))
-        running += row["shard_tokens"]
+        # a shard of only NULL-n rows sums to NULL — contribute 0
+        # instead of a driver TypeError on += None
+        running += row["shard_tokens"] or 0
     shard_type = df.schema[shard_col].dataType.simpleString()
     bases_df = spark.createDataFrame(
         bases, schema=f"{shard_col} {shard_type}, shard_base long"
@@ -221,7 +227,8 @@ def pack_sequences_sharded(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t = (
-        df.select(id_col, shard_col, F.col(n_col).cast("long").alias("n"))
+        # n_col was already pinned long by the checkpointed projection
+        df.select(id_col, shard_col, F.col(n_col).alias("n"))
         .join(F.broadcast(bases_df), shard_col)
         .withColumn("cum", F.col("shard_base") + F.sum("n").over(w))
     )

@@ -41,7 +41,11 @@ _STEP_REGISTRY: dict[str, Callable[[DataFrame, Mapping], DataFrame]] = {
     "standardize_nulls": lambda df, cfg: ing.standardize_nulls(
         df, cols=cfg.get("columns")
     ),
-    "with_audit": lambda df, cfg: ing.with_audit(df, load_id=cfg.get("load_id", "")),
+    "with_audit": lambda df, cfg: ing.with_audit(
+        df,
+        load_id=cfg.get("load_id", ""),
+        deterministic=cfg.get("deterministic", False),
+    ),
     "incremental": lambda df, cfg: ing.incremental(
         df, cfg["ts_col"], F.expr(cfg["last_ts_expr"])
     ),
@@ -67,6 +71,17 @@ _REQUIRED_KEYS: dict[str, tuple[str, ...]] = {
     "drop": ("columns",),
     "rename": ("mapping",),
     "with_column": ("name", "expr"),
+}
+
+#: list-typed config keys per op — a bare string would be *-splatted
+#: into characters (select "doc_id" → select('d','o',…)), the classic
+#: JSON/YAML mistake on this non-Spark-user surface; reject it.
+_LIST_KEYS: dict[str, tuple[str, ...]] = {
+    "select": ("columns",),
+    "drop": ("columns",),
+    "latest_per_key": ("keys", "tiebreakers"),
+    "repartition": ("by",),
+    "standardize_nulls": ("columns",),
 }
 
 
@@ -103,5 +118,13 @@ def apply_pipeline(df: DataFrame, spec: Sequence[Mapping]) -> DataFrame:
                 f"pipeline step {i} ({op}): missing required config key"
                 f" {', '.join(repr(k) for k in missing)}"
             )
+        for k in _LIST_KEYS.get(op, ()):
+            v = step.get(k)
+            if isinstance(v, str):
+                raise ValueError(
+                    f"pipeline step {i} ({op}): {k!r} must be a LIST of"
+                    f" names, got the string {v!r} (a bare string would"
+                    " be exploded into characters)"
+                )
         out = _STEP_REGISTRY[op](out, step)
     return out

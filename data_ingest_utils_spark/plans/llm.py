@@ -1012,7 +1012,7 @@ def llm_dedup_minhash_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS BIGINT) AS cum
       FROM documents
     )
-    SELECT doc_id, CAST(s AS INTEGER) AS seq_id,
+    SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
            CAST(least(cum, (s + 1) * 2048) - greatest(cum - n, s * 2048)
                 AS INTEGER) AS n_tokens_in_seq
     FROM t, LATERAL (
