@@ -819,6 +819,19 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join at 100 TB (cells bound the pair space; nprobe>1 = union of
     cell joins)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Exclude zero-norm vectors PER ROW, before the pair join: their
+    # cosine is NULL, and desc ordering puts NULLs last, so in a cell
+    # with <= 3 neighbors a NULL row would still earn rnk <= 3 while
+    # the oracle's NaN guard drops the pair.  Filtering per row is
+    # O(n·d); a per-pair isNotNull filter on the cosine column would
+    # make Catalyst evaluate the interpreted cosine lambdas TWICE per
+    # pair (filter + projection — measured 1.8x on the sweep).
+    sq_norm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    emb = emb.filter(sq_norm > 0)
     a = emb.select("vec_id", "label", F.col("embedding").alias("_va"))
     b = emb.select(
         F.col("vec_id").alias("nbr_id"), "label", F.col("embedding").alias("_vb")
@@ -826,10 +839,6 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nbr_id"))
     cos = F.round(sim.pairwise_cosine(F.col("_va"), F.col("_vb")), 4)
     scored = pairs.select("vec_id", "nbr_id", cos.alias("cos_sim"))
-    # NULL cosine (zero-norm vector) must not be RANKED: desc ordering
-    # puts NULLs last, so in a cell with <= 3 neighbors a NULL row
-    # would still earn rnk <= 3 while the oracle's NaN guard drops it
-    scored = scored.filter(F.col("cos_sim").isNotNull())
     return topk_per_group(
         scored, ["vec_id"], [F.col("cos_sim").desc(), F.col("nbr_id")], 3, "rnk"
     ).select("vec_id", "nbr_id", F.col("rnk").cast("int").alias("rnk"), "cos_sim")
