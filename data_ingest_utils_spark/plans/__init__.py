@@ -141,12 +141,16 @@ def _rotate_front(front: list[str]) -> None:
 
 
 # ---------------------------------------------------------------------------
-# Round 7: no oracle key lacks a hash-green row except the four converted
-# FROM rows-only this round (ing_add_audit_cols, evt_watermark_late,
-# llm_dedup_simhash, llm_sim_rerank) and the new join_skew_stress — they
-# front the window per the stale-signal-first rule.  The rest is pure
+# Round 7: the stale-signal front holds (a) the four keys converted FROM
+# rows-only this round (ing_add_audit_cols, evt_watermark_late,
+# llm_dedup_simhash, llm_sim_rerank) + the new join_skew_stress — no
+# driver hash-green exists for any of them — and (b) the four keys whose
+# OUTPUT changed in the round-7 hardening (money sums re-rounded to 2 dp
+# in agg_hash_group / join_multiway_star / agg_unpivot; seq_id widened
+# to BIGINT in llm_pack_sequences): their older greens certify the old
+# form, so the new form must be re-graded this round.  The rest is
 # re-certification cadence: the 16 keys whose latest hash-green is still
-# round 2, then the 29 longest-ungraded round-3 greens in registry order
+# round 2, then the 25 longest-ungraded round-3 greens in registry order
 # (exactly filling all 50 slots — no rows-only tail this round).
 # ---------------------------------------------------------------------------
 _R7_WINDOW = [
@@ -154,21 +158,27 @@ _R7_WINDOW = [
     # round-7 conversions + the new skew-stress key
     "ing_add_audit_cols", "evt_watermark_late", "join_skew_stress",
     "llm_dedup_simhash", "llm_sim_rerank",
+    # output-changed-this-round keys (4): old greens certify the OLD
+    # values/schema — re-grade the hardened form
+    "agg_hash_group", "join_multiway_star", "agg_unpivot",
+    "llm_pack_sequences",
     # re-certification: greens last hash-graded in round 2 (16)
     "scan_orc", "sink_bucketed_table", "sql_view_query",
     "scan_python_datasource", "scan_json_corrupt", "ing_scd2_history",
     "ing_merge_upsert", "ing_pipeline_e2e", "ing_dq_summary",
     "ing_dq_quarantine", "scan_merge_schema", "ing_compact_small_files",
     "win_row_number", "win_rank", "win_dense_rank", "win_ntile",
-    # re-certification: greens last hash-graded in round 3 (29)
+    # re-certification: greens last hash-graded in round 3 (25 —
+    # agg_unpivot moved to the output-changed front; the three
+    # longest-held r3 greens llm_dedup_exact / llm_dedup_ngram_jaccard
+    # / llm_sim_topk rotate to round 8 to make room)
     "fn_date", "fn_math", "fn_case_when", "fn_array", "fn_array_explode",
     "fn_map_json", "fn_struct", "fn_higher_order", "fn_variant",
-    "agg_pivot", "agg_unpivot", "agg_percentiles", "win_cume_dist",
+    "agg_pivot", "agg_percentiles", "win_cume_dist",
     "join_skew_salted", "udf_scalar_pandas", "udf_grouped_agg",
     "udf_grouped_map", "udf_python_udtf", "udf_arrow_scalar",
     "evt_tumbling", "evt_sliding", "evt_session", "evt_dedup_stateful",
     "evt_stateful_counter", "evt_interval_join", "evt_foreach_batch_sink",
-    "llm_dedup_exact", "llm_dedup_ngram_jaccard", "llm_sim_topk",
 ]
 
 #: The window the driver grades THIS round — tests assert against this
