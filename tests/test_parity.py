@@ -105,3 +105,44 @@ def test_window_fronts_every_stale_hash_signal():
     }
     front = set(plans._CURRENT_WINDOW[:10])
     assert stale <= front, f"stale-signal keys not fronted: {sorted(stale - front)}"
+
+
+def test_window_derivation_policy():
+    """derive_window is a pure function of (registry, history): stale
+    oracle keys front in registry order, declared output-changed keys
+    follow, and backfill is oldest-green-first — exercised on a
+    synthetic history so the policy itself is pinned, not just this
+    round's instance of it."""
+    from data_ingest_utils_spark.plans.window import derive_window
+
+    queries = {k: None for k in ["a", "b", "c", "d", "e", "f"]}
+    oracles = {k: "sql" for k in ["a", "b", "c", "d", "e"]}  # f rows-only
+    history = {
+        "a": {"round": 3, "hash_match": True, "green_round": 3},
+        "b": {"round": 5, "hash_match": False, "green_round": 2},  # regressed
+        "c": {"round": 6, "hash_match": True, "green_round": 6},
+        "d": {"round": 2, "hash_match": True, "green_round": 2},
+        # e: never graded -> stale
+        "f": {"round": 4, "hash_match": False, "green_round": None},
+    }
+    w = derive_window(queries, oracles, history=history,
+                      output_changed=["c"], size=5)
+    # stale (b regressed, e never graded) in registry order, then the
+    # declared output-changed c, then greens oldest-first (d r2, a r3).
+    assert w == ["b", "e", "c", "d", "a"]
+    # rows-only f never takes a slot while oracle greens remain.
+    assert "f" not in w
+
+
+def test_window_output_changed_consumed():
+    """Every OUTPUT_CHANGED key actually exists in the registry and
+    sits in the fronted region — a typo'd key would otherwise be
+    silently dropped by the derivation."""
+    from data_ingest_utils_spark import plans
+    from data_ingest_utils_spark.plans.window import OUTPUT_CHANGED
+
+    missing = [k for k in OUTPUT_CHANGED if k not in QUERIES]
+    assert not missing, f"OUTPUT_CHANGED keys not in registry: {missing}"
+    front = plans._CURRENT_WINDOW[:10 + len(OUTPUT_CHANGED)]
+    not_fronted = [k for k in OUTPUT_CHANGED if k not in front]
+    assert not not_fronted, f"output-changed keys not fronted: {not_fronted}"
