@@ -14,7 +14,9 @@ file-listing warmup), then best-of-6 per query (two bursts of 3).
 the BASELINE.md Spark column.  When ``.scale/sf1.0`` exists (generated
 by tools/make_scale_data.py), the heaviest shapes (HEAVY_SF1 — 6 since
 round 7's join_skew_stress) also run at ~sf1.0 and land on the same
-line as ``queries_sf1``/``value_sf1``/``sf1``.
+line as ``queries_sf1``/``value_sf1``/``sf1`` — per-query MEDIAN of
+``SF1_REPEATS`` (default 3) timed passes, with per-query bests in
+``queries_sf1_best``.
 All diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
 
@@ -23,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -63,10 +66,15 @@ HEAVY_SF1 = [
     # the pathological-skew class the other shapes can't exercise.
     "join_skew_stress",
 ]
-# One timed pass by default: the sf1 shapes are data-dominated (1.5–55 s
-# each), so single-run noise is proportionally small and the whole bench
-# stays inside a few minutes; raise via env for tighter local studies.
-SF1_REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPS", "1")))
+# Median-of-3 by default (VERDICT r7 #1): the documented host
+# CPU-steal noise band (BASELINE.md:97-105, same-plan totals vary up
+# to ~3×) means a single sf1 run can land anywhere in that band — the
+# round-7 committed artifact caught llm_dedup_ngram_banded at 28.5 s
+# when the session's best was 15.8 s.  The committed ``queries_sf1``
+# numbers are per-query MEDIANS across reps (robust to one noisy rep
+# in either direction); per-query bests ride along as
+# ``queries_sf1_best`` so the warm floor stays visible.
+SF1_REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPS", "3")))
 
 # Best-of-6, taken as TWO back-to-back bursts of 3 reps per query
 # (burst 2 runs after every other query's burst 1).  Within a burst,
@@ -124,7 +132,7 @@ def main() -> int:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1.0"),
     )
     if os.path.isdir(sf1_dir):
-        sf1_best: dict[str, float] = {k: float("inf") for k in HEAVY_SF1}
+        sf1_reps: dict[str, list[float]] = {k: [] for k in HEAVY_SF1}
         for rep in range(SF1_REPEATS):
             for key in HEAVY_SF1:
                 t0 = time.perf_counter()
@@ -136,12 +144,22 @@ def main() -> int:
                 QUERIES[key](spark, sf1_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                sf1_best[key] = min(sf1_best[key], time.perf_counter() - t0)
+                sf1_reps[key].append(time.perf_counter() - t0)
             print(f"bench: sf1 rep {rep + 1}/{SF1_REPEATS} done", file=sys.stderr)
-        sf1_timings = {k: round(sf1_best[k], 4) for k in HEAVY_SF1}
+        sf1_timings = {
+            k: round(statistics.median(sf1_reps[k]), 4) for k in HEAVY_SF1
+        }
+        sf1_best = {k: round(min(sf1_reps[k]), 4) for k in HEAVY_SF1}
         for key in HEAVY_SF1:
-            print(f"bench: sf1 {key} = {sf1_timings[key]:.3f}s", file=sys.stderr)
+            reps_s = "/".join(f"{t:.2f}" for t in sf1_reps[key])
+            print(
+                f"bench: sf1 {key} = median {sf1_timings[key]:.3f}s "
+                f"best {sf1_best[key]:.3f}s (reps {reps_s})",
+                file=sys.stderr,
+            )
         payload["queries_sf1"] = sf1_timings
+        payload["queries_sf1_best"] = sf1_best
+        payload["sf1_reps"] = SF1_REPEATS
         payload["value_sf1"] = round(sum(sf1_timings.values()), 4)
         payload["sf1"] = _sf_from_dir(sf1_dir)
     else:

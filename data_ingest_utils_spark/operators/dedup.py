@@ -152,7 +152,8 @@ def _shingle_hash_arrays(
 
 
 def _verify_pairs_array(
-    cands: DataFrame, hv: DataFrame, id_col: str, threshold: float
+    cands: DataFrame, hv: DataFrame, id_col: str, threshold: float,
+    broadcast_arrays: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard confirmation of candidate pairs via the per-pair
     ``array_intersect`` shape: attach both docs' DISTINCT shingle-hash
@@ -162,13 +163,45 @@ def _verify_pairs_array(
     intersection join can't emit them, and at threshold=0.0 they would
     otherwise appear with jaccard=0.0).  Shared by
     :func:`ngram_jaccard_banded` and :func:`minhash_jaccard_verified`
-    so the two verify stages can't drift."""
+    so the two verify stages can't drift.
+
+    ``broadcast_arrays`` picks the attach strategy (results are
+    byte-identical either way — only the physical join changes):
+
+    - ``False`` (shuffle attach — the unbounded-corpus default): two
+      sort-merge/shuffle joins; the intermediate after the first join
+      carries one ~KB hash array PER CANDIDATE PAIR through the
+      second join's exchange.  Round-7 stage profile at sf1
+      (BASELINE.md:80-95): that second exchange shuffled ~5 GB for
+      3.47 M candidates and dominated the key's 15-28 s runtime.
+    - ``True`` (broadcast attach): ``hv`` — one row per DOC, not per
+      pair — broadcasts once and BOTH attaches become map-side
+      broadcast-hash joins, so the pair stream never re-shuffles and
+      each doc's array ships once per executor instead of once per
+      pair.  Correct whenever the per-doc array table fits the
+      broadcast budget (callers gate on doc count; ~2 KB/doc at the
+      3-gram default ⇒ 1 M docs ≈ 2 GB, inside Spark's 8 GB cap on
+      this 128 GB driver).  At 100 TB corpus scale the gate fails
+      closed to the shuffle shape, whose candidate-bounded asymptotics
+      are the scale story.  On a single-host local master the
+      exchange it saves is not a network hop, and the broadcast build
+      costs more than the copy — the auto-gate therefore only ever
+      broadcasts on distributed masters (measured A/B in
+      :func:`_resolve_broadcast_verify`).
+    """
+    maybe_b = F.broadcast if broadcast_arrays else (lambda d: d)
     return (
         cands.join(
-            hv.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("hva")), "doc_a"
+            maybe_b(
+                hv.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("hva"))
+            ),
+            "doc_a",
         )
         .join(
-            hv.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("hvb")), "doc_b"
+            maybe_b(
+                hv.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("hvb"))
+            ),
+            "doc_b",
         )
         .withColumn("inter", F.size(F.array_intersect("hva", "hvb")))
         .filter(F.col("inter") > 0)
@@ -183,6 +216,40 @@ def _verify_pairs_array(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+#: Auto-gate ceiling for broadcasting the per-doc shingle-hash-array
+#: table in the verify stage: ~2 KB/doc at the 3-gram default ⇒ 1 M
+#: docs ≈ 2 GB serialized — comfortably inside Spark's 8 GB broadcast
+#: cap on this driver, far outside it at 100 TB corpus scale (gate
+#: fails closed to the shuffle attach).
+BROADCAST_VERIFY_MAX_DOCS = 1_000_000
+
+
+def _resolve_broadcast_verify(
+    df: DataFrame, flag: bool | None, max_docs: int, id_col: str,
+    master: str | None = None,
+) -> bool:
+    """``flag`` if explicit, else auto: broadcast iff the session is
+    DISTRIBUTED and the doc count fits ``max_docs``.
+
+    The broadcast attach exists to save a network exchange (the
+    per-pair array re-shuffle); on a ``local[*]`` master there is no
+    network — the "shuffle" is a same-host memory/disk copy — while
+    the broadcast still pays its build (materialize ``hv``, collect to
+    driver, rebroadcast).  Measured A/B at sf1 on local[32]
+    (4 alternating reps, round 8): shuffle attach median 11.5 s vs
+    broadcast 13.7 s for the identical result, so local mode resolves
+    to the shuffle shape.  On a real cluster the trade inverts —
+    ~5 GB cross-node exchange vs an ~80 MB broadcast — and the count
+    probe (one id-only job, footer-served on bare parquet scans)
+    gates eligibility."""
+    if flag is not None:
+        return flag
+    master = master or df.sparkSession.sparkContext.master
+    if master.startswith("local"):
+        return False
+    return df.select(id_col).count() <= max_docs
 
 
 def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, id_col: str,
@@ -385,6 +452,8 @@ def ngram_jaccard_banded(
     unit: str = "token",
     hamming_max: int | None = None,
     verify: str = "array",
+    broadcast_verify: bool | None = None,
+    broadcast_max_docs: int = BROADCAST_VERIFY_MAX_DOCS,
 ) -> DataFrame:
     """Exact n-gram Jaccard scored ONLY over SimHash-band candidate
     pairs — the 100 TB shape of :func:`ngram_jaccard_pairs`.
@@ -421,6 +490,15 @@ def ngram_jaccard_banded(
     shape's inner join can never see them; the array shape filters
     ``inter > 0`` explicitly), so the outputs are byte-identical at
     EVERY threshold including 0.0.
+
+    ``broadcast_verify`` (array shape only): ``None`` auto-broadcasts
+    the per-doc hash-array table into both attach joins on DISTRIBUTED
+    masters when the doc count is within ``broadcast_max_docs`` — the
+    pair stream then never re-shuffles, replacing the per-pair array
+    network exchange with one per-executor array ship.  Local masters
+    keep the shuffle attach (measured faster — no network to save; see
+    :func:`_resolve_broadcast_verify` for the A/B numbers).
+    ``True``/``False`` force the choice (and skip the count probe).
     """
     if verify not in ("array", "explode"):
         raise ValueError(f"verify={verify!r} must be 'array' or 'explode'")
@@ -441,7 +519,8 @@ def ngram_jaccard_banded(
         )
         return _jaccard_from_inter(inter, sizes, id_col, threshold)
     hv = _shingle_hash_arrays(df, n, id_col)
-    return _verify_pairs_array(cands, hv, id_col, threshold)
+    bcast = _resolve_broadcast_verify(df, broadcast_verify, broadcast_max_docs, id_col)
+    return _verify_pairs_array(cands, hv, id_col, threshold, broadcast_arrays=bcast)
 
 
 def connected_components(
@@ -653,6 +732,8 @@ def minhash_jaccard_verified(
     num_perm: int = 16,
     bands: int = 16,
     shingle_n: int = 3,
+    broadcast_verify: bool | None = None,
+    broadcast_max_docs: int = BROADCAST_VERIFY_MAX_DOCS,
 ) -> DataFrame:
     """Two-stage near-dedup mirroring production stacks: banded-MinHash
     candidate pairs (cheap, near-linear, recall dialed by bands/rows)
@@ -660,7 +741,10 @@ def minhash_jaccard_verified(
 
     The verify stage is candidate-bounded and uses the per-pair
     ``array_intersect`` shape (see :func:`ngram_jaccard_banded` — no
-    exploded pair × shingle intermediate; byte-identical scores).
+    exploded pair × shingle intermediate; byte-identical scores), with
+    the same ``broadcast_verify`` auto-gate: small-corpus runs attach
+    the arrays via broadcast-hash joins (no per-pair re-shuffle),
+    100 TB corpora fail the gate closed to the shuffle attach.
     Output is (doc_a, doc_b, jaccard ≥ threshold) with exact 4-dp
     scores — downstream ``connected_components`` + keep-min-id
     completes the dedup.
@@ -676,7 +760,12 @@ def minhash_jaccard_verified(
     )
     cands = minhash_band_candidates(base, "text", id_col, num_perm, bands, shingle_n)
     hv = _shingle_hash_arrays(base, shingle_n, id_col)
-    return _verify_pairs_array(cands, hv, id_col, threshold)
+    # Gate on the UNFILTERED doc count (df, not base): counting base
+    # would evaluate the shingle filter — a full tokenize pass — while
+    # df's id-only count is footer-served; df bounds base from above,
+    # so the gate only ever errs toward the scale-safe shuffle attach.
+    bcast = _resolve_broadcast_verify(df, broadcast_verify, broadcast_max_docs, id_col)
+    return _verify_pairs_array(cands, hv, id_col, threshold, broadcast_arrays=bcast)
 
 
 def minhash_lsh_pairs(
@@ -708,11 +797,14 @@ def minhash_lsh_pairs(
     duplicates are still reported (a short doc can only pair with
     another short doc — shingle and token feature spaces are disjoint
     under the same HashingTF, which is the intended blocking).  Docs
-    with no tokens at all can never appear in the output: they carry a
-    per-doc-unique dummy feature (distance 1.0 to everything) rather
-    than being filtered, because MinHashLSH rejects zero vectors and
-    Catalyst may evaluate its hash UDF ahead of any derived-column
-    filter (see the blank-doc comment in the body).
+    with no tokens at all never appear in the output: they carry a
+    per-doc-unique dummy feature (distance 1.0 to everything w.h.p.)
+    rather than being filtered, because MinHashLSH rejects zero
+    vectors and Catalyst may evaluate its hash UDF ahead of any
+    derived-column filter; since HashingTF folds the dummy into 2^18
+    buckets, a bucket collision could still fake a sub-1.0 distance,
+    so a final anti-filter on the blank flag (computed from the raw
+    text, never the hashed features) makes the drop structural.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -724,9 +816,15 @@ def minhash_lsh_pairs(
     # distance predicate and may evaluate the LSH hash UDF first, which
     # rejects the zero vector of an empty token set.  Instead, blank
     # docs get a PER-DOC-UNIQUE dummy token: the vector is valid, and
-    # the unique feature set has Jaccard distance 1.0 to everything, so
-    # blank docs can never appear in the output (for max_distance < 1)
-    # — the documented drop contract, enforced by construction.
+    # the unique feature set has Jaccard distance 1.0 to everything
+    # WITH HIGH PROBABILITY — HashingTF folds the dummy into
+    # num_features buckets, so a collision with another doc's only
+    # feature (or another dummy) can fake distance < 1 at p ≈
+    # O(1/num_features) per pair (ADVICE r7).  The `_blank` flag below
+    # — computed from the raw text, never the hashed features, so no
+    # Catalyst reordering can evaluate LSH hashes on it — turns the
+    # documented drop contract back into a structural guarantee via a
+    # plain post-join filter on both sides.
     sh = shingles(F.col(text_col), shingle_n)
     tok = F.array_distinct(F.array_remove(tokens(F.col(text_col)), ""))
     blank_token = F.array(F.concat(F.lit("\x00blank\x00"), F.col(id_col).cast("string")))
@@ -736,6 +834,7 @@ def minhash_lsh_pairs(
         .when(F.size(tok) > 0, tok)
         .otherwise(blank_token)
         .alias("_tokens"),
+        ((F.size(sh) <= 0) & (F.size(tok) <= 0)).alias("_blank"),
     )
     tf = HashingTF(inputCol="_tokens", outputCol="_features", numFeatures=num_features)
     featurized = tf.transform(shingled)
@@ -747,7 +846,8 @@ def minhash_lsh_pairs(
         featurized, featurized, max_distance, distCol="jaccard_dist"
     )
     return (
-        pairs.select(
+        pairs.filter(~F.col("datasetA._blank") & ~F.col("datasetB._blank"))
+        .select(
             F.col(f"datasetA.{id_col}").alias("doc_a"),
             F.col(f"datasetB.{id_col}").alias("doc_b"),
             F.round("jaccard_dist", 4).alias("jaccard_dist"),

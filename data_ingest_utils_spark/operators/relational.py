@@ -26,14 +26,23 @@ def ensure_parallelism(df: DataFrame, key: str) -> DataFrame:
     extra shuffle never appears at scale.
 
     The signal is the PHYSICAL scan partition count
-    (``df.rdd.getNumPartitions()`` — triggers physical planning but no
-    job), not ``len(df.inputFiles())``: a few-large-files layout
-    (e.g. 16 × 31 GB parquet on a 64-core cluster) splits into
-    thousands of scan partitions and must NOT be re-shuffled just
-    because the file count is small.  In-memory test frames report
-    their existing partitioning the same way.
+    (``df.rdd.getNumPartitions()``), not ``len(df.inputFiles())``: a
+    few-large-files layout (e.g. 16 × 31 GB parquet on a 64-core
+    cluster) splits into thousands of scan partitions and must NOT be
+    re-shuffled just because the file count is small.  In-memory test
+    frames report their existing partitioning the same way.
+
+    Cost note (ADVICE r7): the probe runs no job, but it DOES force a
+    full physical-planning pass (plus the Python↔JVM plan round-trip)
+    on every call — including the 100 TB no-op path.  That is a
+    per-operator-call driver cost, deliberately accepted for the
+    correctness of the few-large-files case above; the one free
+    short-circuit is ``defaultParallelism <= 1``, where no
+    repartition could ever help.
     """
     spark = df.sparkSession
+    if spark.sparkContext.defaultParallelism <= 1:
+        return df
     if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
     return df

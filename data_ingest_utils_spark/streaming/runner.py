@@ -72,13 +72,20 @@ def run_available_now(
     advanced the watermark past it.
     """
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{table_name}_")
+    conf = df.sparkSession.conf
     # recentProgress is a ring buffer capped at
     # spark.sql.streaming.numRecentProgressUpdates (default 100):
     # a >100-file source under maxFilesPerTrigger=1 would silently
     # drop the EARLY micro-batches' metrics and undercount
     # numRowsDroppedByWatermark sums.  Raise the cap before the query
-    # starts (read at query start) so every batch's progress survives.
-    df.sparkSession.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    # starts (read at query start), and RESTORE the prior value after
+    # the drain — the raise is scoped to this query; leaving it set
+    # would make every later streaming query on the shared session
+    # retain up to 10000 progress objects (ADVICE r7: slow leak in
+    # long-lived sessions).
+    _PROGRESS_CAP = "spark.sql.streaming.numRecentProgressUpdates"
+    prior_cap = conf.get(_PROGRESS_CAP, None)
+    conf.set(_PROGRESS_CAP, "10000")
     query = (
         df.writeStream.format("memory")
         .queryName(table_name)
@@ -93,6 +100,14 @@ def run_available_now(
     finally:
         if query.isActive:  # pragma: no cover - timeout path
             query.stop()
+        # Restore AFTER the query is fully stopped — the cap is read
+        # at query start, so this can't retroactively shrink the
+        # finished query's buffer, but restoring early could race a
+        # concurrent start elsewhere on the session.
+        if prior_cap is None:
+            conf.unset(_PROGRESS_CAP)
+        else:
+            conf.set(_PROGRESS_CAP, prior_cap)
         # One-shot drains never resume — drop the checkpoint (also on
         # the timeout path) so repeated runs don't accumulate state
         # dirs under /tmp.  (Resume tests manage their OWN checkpoint

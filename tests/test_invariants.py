@@ -720,6 +720,47 @@ def test_verify_pairs_array_drops_zero_overlap_candidates(spark):
     assert out == {(1, 3)}
 
 
+def test_verify_broadcast_and_shuffle_attach_identical(spark, planted_docs):
+    """The broadcast_verify gate changes ONLY the physical attach
+    strategy: forced-broadcast and forced-shuffle runs of the banded
+    verify must return identical (doc_a, doc_b, jaccard) sets, and the
+    broadcast run's physical plan must attach both arrays via
+    broadcast-hash joins (no per-pair array re-shuffle)."""
+    bcast_df = dd.ngram_jaccard_banded(
+        planted_docs, threshold=0.0, broadcast_verify=True
+    )
+    shuf = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd.ngram_jaccard_banded(
+            planted_docs, threshold=0.0, broadcast_verify=False
+        ).collect()
+    }
+    bcast = {(r.doc_a, r.doc_b, r.jaccard) for r in bcast_df.collect()}
+    assert bcast == shuf and len(bcast) > 0
+    plan = bcast_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_verify_broadcast_auto_gate(spark):
+    """Auto mode: local masters always take the shuffle attach (no
+    network exchange to save — measured slower with broadcast);
+    distributed masters broadcast iff the doc count fits
+    broadcast_max_docs, so the 100 TB path fails closed to shuffle."""
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    # this suite runs on local[*]: auto resolves to shuffle
+    assert dd._resolve_broadcast_verify(docs, None, 100, "doc_id") is False
+    # distributed master: count-gated
+    cluster = "spark://host:7077"
+    assert dd._resolve_broadcast_verify(docs, None, 100, "doc_id", cluster) is True
+    assert dd._resolve_broadcast_verify(docs, None, 4, "doc_id", cluster) is False
+    # explicit flags skip the probe entirely
+    assert dd._resolve_broadcast_verify(docs, True, 0, "doc_id") is True
+    assert dd._resolve_broadcast_verify(docs, False, 10**9, "doc_id", cluster) is False
+
+
 def test_minhash_paths_drop_empty_and_whitespace_docs(spark):
     """split('', ' ') is [''] — empty/whitespace docs must be DROPPED
     (documented contract), not collapsed onto the shared {''} feature

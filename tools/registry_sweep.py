@@ -52,7 +52,21 @@ def main() -> int:
 
     # Explicit module-flag assignment — the ONLY place the profile is
     # threaded into plan bodies (never ambient env: a stray exported
-    # var must not change what the correctness driver grades).
+    # var must not change what the correctness driver grades).  The
+    # --profile flag does default from SPARK_GRAFT_SWEEP_PROFILE, so
+    # make the resolved value AND its source visible in the sweep's
+    # stderr (ADVICE r7): an env-derived 'scale' run must never read
+    # as an exact-profile sweep.
+    src = (
+        "--profile flag"
+        if any(a.startswith("--profile") for a in sys.argv[1:])
+        else (
+            "SPARK_GRAFT_SWEEP_PROFILE env"
+            if "SPARK_GRAFT_SWEEP_PROFILE" in os.environ
+            else "default"
+        )
+    )
+    print(f"sweep: profile={args.profile} (from {src})", file=sys.stderr)
     llm.SWEEP_PROFILE = args.profile
 
     keys = [k for k in args.keys.split(",") if k] or list(QUERIES)
