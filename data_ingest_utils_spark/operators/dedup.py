@@ -828,7 +828,11 @@ def minhash_lsh_pairs(
     sh = shingles(F.col(text_col), shingle_n)
     tok = F.array_distinct(F.array_remove(tokens(F.col(text_col)), ""))
     blank_token = F.array(F.concat(F.lit("\x00blank\x00"), F.col(id_col).cast("string")))
-    shingled = df.select(
+    # Parallelism guard BEFORE featurization: the shingle + HashingTF +
+    # minhash work is per-row CPU, and a single-file source scan would
+    # run it all on one core (measured r8: the signature pipeline alone
+    # was ~9 s single-threaded at sf0.1).
+    shingled = _ensure_parallelism(df, id_col).select(
         id_col,
         F.when(F.size(sh) > 0, sh)
         .when(F.size(tok) > 0, tok)
@@ -841,9 +845,25 @@ def minhash_lsh_pairs(
     lsh = MinHashLSH(
         inputCol="_features", outputCol="_sig", numHashTables=num_hash_tables, seed=42
     )
-    model = lsh.fit(featurized)
+    model = lsh.fit(featurized)  # no data pass — draws hash coefficients only
+    # Materialize the signed frame ONCE before the self-join.
+    # approxSimilarityJoin explodes both sides per hash table and
+    # re-executes each side's lineage; with datasetA == datasetB and
+    # an uncached input, the full scan → shingle → HashingTF → minhash
+    # pipeline runs ~3× inside one job (measured r8 at sf0.1: 28 s
+    # total vs 2.6 s for the join over a materialized frame — the
+    # whole key dropped 34 s → ~6 s).  localCheckpoint is bounded:
+    # one row per DOC (features + signatures, ~2 KB at the defaults),
+    # MEMORY_AND_DISK on executors — the standard LSH-join shape at
+    # any scale, and it truncates lineage for the downstream join.
+    # ``_tokens`` is dropped first: approxSimilarityJoin's candidate
+    # distinct shuffles full row structs, and the raw shingle strings
+    # (~8 KB/doc) would quadruple that exchange as dead weight.
+    signed = (
+        model.transform(featurized).drop("_tokens").localCheckpoint(eager=True)
+    )
     pairs = model.approxSimilarityJoin(
-        featurized, featurized, max_distance, distCol="jaccard_dist"
+        signed, signed, max_distance, distCol="jaccard_dist"
     )
     return (
         pairs.filter(~F.col("datasetA._blank") & ~F.col("datasetB._blank"))

@@ -148,6 +148,13 @@ def cosine_pairs_lsh(
         numHashTables=num_hash_tables, seed=42,
     )
     model = lsh.fit(feats)
+    # Materialize ONCE before the self-join: approxSimilarityJoin
+    # explodes both sides per hash table and re-executes each side's
+    # lineage — with an uncached input the normalize + hash pipeline
+    # runs ~3× inside one job (same pathology measured on the MinHash
+    # twin: 34 s → ~5 s at sf0.1; see dedup.minhash_lsh_pairs).
+    # Bounded: one row per vector, MEMORY_AND_DISK on executors.
+    feats = model.transform(feats).localCheckpoint(eager=True)
     # Euclidean-distance candidates at the cosine-equivalent radius;
     # exact cosine recomputed per pair below.  The radius backs off by
     # half a 4-dp rounding step so pairs whose ROUNDED cosine meets
