@@ -459,11 +459,21 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE (Spark 4.x) building a dense month spine from
     the data's own bounds, then LEFT JOIN so zero-order months still
     appear — the gap-free calendar backbone reports need.  The
-    recursion is driver-cheap (one row per month, ~100 iterations cap)
+    recursion is driver-cheap data-wise (a handful of rows per level)
     while the join/agg stays fully distributed; contrast evt_gap_fill
     which builds its spine via sequence()+explode.  Bounded by
     spark.sql.cteRecursionLevelLimit, so runaway recursion fails fast
-    rather than spinning."""
+    rather than spinning.
+
+    The recursion is UNROLLED 4 months per level: each Spark recursion
+    level is a separate driver-orchestrated micro-plan, so a
+    1-month-per-level spine paid ~84 plan/execute round-trips for
+    ~0 bytes of data each (measured 18.8 s in the r7 sweep — pure
+    driver latency).  Seeding the anchor with the first 4 months and
+    stepping +4 per level yields the identical month set in a quarter
+    of the levels; the batching dial is the anchor width, the shape
+    every recursive-CTE user should reach for when per-level data is
+    tiny."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_rc_orders")
     return spark.sql(
         """
@@ -472,9 +482,12 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
           FROM v_rc_orders),
         months(m) AS (
-          SELECT lo FROM bounds
+          SELECT explode(sequence(lo, least(hi, lo + INTERVAL 3 MONTH),
+                                  INTERVAL 1 MONTH)) AS m
+          FROM bounds
           UNION ALL
-          SELECT m + INTERVAL 1 MONTH FROM months CROSS JOIN bounds WHERE m < hi)
+          SELECT m + INTERVAL 4 MONTH FROM months CROSS JOIN bounds
+          WHERE m + INTERVAL 4 MONTH <= hi)
         SELECT m AS month_start,
                CAST(count(o_orderkey) AS BIGINT) AS n_orders,
                round(coalesce(sum(o_totalprice), 0), 6) AS revenue
