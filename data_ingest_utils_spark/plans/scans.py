@@ -188,6 +188,65 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "scan_sqlite_partitioned",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+    """,
+)
+def scan_sqlite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel range-partitioned pull from a LIVE SQL engine: the
+    customer table is staged into a sqlite3 database, then read back
+    through the sql_partitioned Python data source — one executor-side
+    connection + ranged SELECT per partition, with the per-partition
+    WHERE clauses generated by the SAME planner documented for
+    read_jdbc (sources/jdbc.range_partition_predicates).  This
+    upgrades SURVEY §2a's scan_jdbc from documented-only to
+    executed-and-oracle-checked partition logic (VERDICT r7 #5): no
+    JDBC jar exists in the sandbox, but the planning the jar would
+    consume is exactly what runs here.  Fixture staging collects the
+    source rows driver-side (bounded: one small dim-sized table, same
+    class as the binaryFile fixture); at 100 TB the database IS the
+    remote system and staging disappears."""
+    import sqlite3
+
+    from data_ingest_utils_spark.sources.pydatasource import register
+
+    register(spark)
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .collect()
+    )
+    os.makedirs(SCRATCH, exist_ok=True)
+    db = f"{SCRATCH}/sqlite_src_{os.path.basename(sf_dir.rstrip('/'))}.db"
+    with sqlite3.connect(f"{db}.tmp") as con:
+        con.execute("DROP TABLE IF EXISTS customer")
+        con.execute(
+            "CREATE TABLE customer "
+            "(c_custkey INTEGER, c_nationkey INTEGER, c_acctbal REAL)"
+        )
+        con.executemany(
+            "INSERT INTO customer VALUES (?, ?, ?)",
+            [(r.c_custkey, r.c_nationkey, r.c_acctbal) for r in rows],
+        )
+        con.commit()
+    os.replace(f"{db}.tmp", db)  # atomic: executors never see a half-built db
+    lo = min(r.c_custkey for r in rows)
+    hi = max(r.c_custkey for r in rows)
+    return (
+        spark.read.format("sql_partitioned")
+        .schema("c_custkey bigint, c_nationkey bigint, c_acctbal double")
+        .option("path", db)
+        .option("table", "customer")
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi))
+        .option("numPartitions", "4")
+        .load()
+    )
+
+
+@plan(
     "scan_json_corrupt",
     oracle="SELECT 25 AS n_good, 3 AS n_corrupt",
 )

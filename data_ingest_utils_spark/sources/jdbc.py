@@ -2,9 +2,13 @@
 
 SURVEY.md §2a ``scan_jdbc``: the classic ingestion-utility path
 (RDBMS → data-lake table).  Not declared in ``queries()`` because the
-sandbox has no database or JDBC driver jar; the implementation below
-is the real production shape and is unit-tested only for argument
-construction.
+sandbox has no database or JDBC driver jar; ``read_jdbc`` below is the
+real production shape.  The range-partition PLANNING, however, is
+factored into :func:`range_partition_predicates` and executed for
+real by the sqlite3-backed Python data source
+(sources/pydatasource.SqlPartitionedDataSource, registry key
+``scan_sqlite_partitioned``) — the same per-partition WHERE clauses
+Spark's JDBC relation generates, driving live SQL pulls on executors.
 
 100 TB notes: a single-JDBC-connection read is a driver bottleneck;
 production pulls ALWAYS set (partitionColumn, lowerBound, upperBound,
@@ -17,6 +21,50 @@ via the WHERE clause of ``dbtable``-as-subquery.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def range_partition_predicates(
+    column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+) -> list[str | None]:
+    """Per-partition WHERE clauses for a parallel range-partitioned
+    SQL pull — the contract of Spark's JDBC ``partitionColumn``
+    options (documented in the JDBC data source guide):
+
+    - stride = upper/n − lower/n (integer arithmetic), n clamped so
+      every stride is ≥ 1;
+    - the FIRST partition is unbounded below and also picks up NULLs
+      (``col < x OR col IS NULL``), the LAST is unbounded above, so
+      rows OUTSIDE [lower, upper) are still read — the bounds shape
+      parallelism, they never filter;
+    - interior partitions are half-open ``lo <= col AND col < hi`` —
+      disjoint and complete by construction.
+
+    ``[None]`` (single full-scan partition) comes back when the range
+    can't support more than one stride.  Shared by the sqlite-backed
+    Python data source so the planning logic the sandbox can't
+    exercise through a JDBC jar is still executed and oracle-checked
+    end-to-end.
+    """
+    if num_partitions <= 1 or upper_bound <= lower_bound:
+        return [None]
+    n = min(num_partitions, max(1, upper_bound - lower_bound))
+    stride = upper_bound // n - lower_bound // n
+    preds: list[str | None] = []
+    current = lower_bound
+    for i in range(n):
+        lb = f"{column} >= {current}" if i > 0 else None
+        current += stride
+        ub = f"{column} < {current}" if i < n - 1 else None
+        if lb is not None and ub is not None:
+            preds.append(f"{lb} AND {ub}")
+        elif lb is not None:
+            preds.append(lb)
+        else:
+            preds.append(f"{ub} OR {column} IS NULL")
+    return preds
 
 
 def read_jdbc(

@@ -199,6 +199,51 @@ def test_jdbc_reader_argument_construction(spark, monkeypatch):
         read_jdbc(FakeSpark(), "jdbc:x", "t", partition_column="id")
 
 
+def test_range_partition_predicates_contract():
+    """The shared JDBC-style partition planner: disjoint half-open
+    interior ranges, first partition unbounded below + NULL pickup,
+    last unbounded above (out-of-bounds rows are READ, not filtered),
+    and degenerate ranges collapse to one full-scan partition."""
+    from data_ingest_utils_spark.sources.jdbc import range_partition_predicates
+
+    preds = range_partition_predicates("id", 0, 100, 4)
+    assert preds == [
+        "id < 25 OR id IS NULL",
+        "id >= 25 AND id < 50",
+        "id >= 50 AND id < 75",
+        "id >= 75",
+    ]
+    # every integer (and NULL) lands in exactly one partition —
+    # including values outside [lower, upper)
+    for v in (-10, 0, 24, 25, 74, 75, 99, 100, 10**9):
+        hits = sum(
+            1 for p in preds
+            if eval(  # predicates are pure int comparisons by construction
+                p.replace("id IS NULL", "False").replace("id", str(v))
+                .replace("AND", "and").replace("OR", "or")
+            )
+        )
+        assert hits == 1, (v, preds)
+    assert range_partition_predicates("id", 0, 0, 4) == [None]
+    assert range_partition_predicates("id", 5, 100, 1) == [None]
+    # more partitions than range width: clamp, never a zero stride
+    assert range_partition_predicates("id", 0, 2, 8) == [
+        "id < 1 OR id IS NULL", "id >= 1",
+    ]
+
+
+def test_sqlite_partitioned_scan_partition_count(spark):
+    """scan_sqlite_partitioned plans exactly numPartitions executor
+    tasks (ranged SELECTs), and the union of partitions returns every
+    source row exactly once."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    df = QUERIES["scan_sqlite_partitioned"](spark, SF_T2)
+    assert df.rdd.getNumPartitions() == 4
+    n = df.count()
+    assert n == df.select("c_custkey").distinct().count() > 0
+
+
 def test_stratified_sample_rates(spark):
     """sel_sample_stratified draws ~10% per stratum (seeded)."""
     from data_ingest_utils_spark.plans import QUERIES
