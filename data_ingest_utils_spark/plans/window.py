@@ -44,17 +44,20 @@ from pathlib import Path
 
 #: Keys whose output changed since their last hash-green driver row —
 #: the one manual declaration left (semantic knowledge the artifacts
-#: can't encode).  Append when an edit changes a key's certified
-#: values/schema; prune entries once re-graded (they become ordinary
-#: greens and the backfill cadence takes over).
+#: can't encode).  Append ``(key, round_declared)`` when an edit
+#: changes a key's certified values/schema; entries are SELF-PRUNING:
+#: once the key has a hash-green row from ``round_declared`` or later
+#: (i.e. the driver certified the NEW form), the entry stops fronting
+#: and the ordinary backfill cadence takes over — so the list is
+#: append-only history, never a maintenance burden.
 #:
 #: Round 8: ``udf_cogrouped_map`` — its rounding moved from Python
 #: ``round()`` to JVM ``F.round`` in the round-7 hardening (same class
 #: as the four keys fronted in _R7_WINDOW) but was classified
 #: output-identical at the time and left out of the window; ADVICE r7
 #: flagged the policy gap, so it re-grades this round.
-OUTPUT_CHANGED: list[str] = [
-    "udf_cogrouped_map",
+OUTPUT_CHANGED: list[tuple[str, int]] = [
+    ("udf_cogrouped_map", 8),
 ]
 
 #: Driver truncation point — grades per round observed in every
@@ -113,8 +116,15 @@ def derive_window(
         k for k in queries
         if k in oracles and not (history.get(k) or {}).get("hash_match")
     ]
+    # self-pruning: an output-changed key keeps fronting only until a
+    # hash-green row from its declaration round (or later) certifies
+    # the new form
+    still_changed = [
+        k for k, declared in changed
+        if ((history.get(k) or {}).get("green_round") or -1) < declared
+    ]
     fronted = stale + [
-        k for k in changed if k in queries and k not in stale
+        k for k in still_changed if k in queries and k not in stale
     ]
     pos = {k: i for i, k in enumerate(queries)}
     backfill = sorted(

@@ -126,23 +126,38 @@ def test_window_derivation_policy():
         "f": {"round": 4, "hash_match": False, "green_round": None},
     }
     w = derive_window(queries, oracles, history=history,
-                      output_changed=["c"], size=5)
+                      output_changed=[("c", 7)], size=5)
     # stale (b regressed, e never graded) in registry order, then the
-    # declared output-changed c, then greens oldest-first (d r2, a r3).
+    # declared output-changed c (green r6 < declared r7 -> fronts),
+    # then greens oldest-first (d r2, a r3).
     assert w == ["b", "e", "c", "d", "a"]
     # rows-only f never takes a slot while oracle greens remain.
     assert "f" not in w
+    # self-pruning: once c is hash-green AT/after its declaration
+    # round, the entry stops fronting and c rejoins the backfill (its
+    # r7 green is the newest, so it sorts last among the greens).
+    history["c"] = {"round": 7, "hash_match": True, "green_round": 7}
+    w2 = derive_window(queries, oracles, history=history,
+                       output_changed=[("c", 7)], size=5)
+    assert w2 == ["b", "e", "d", "a", "c"]
 
 
 def test_window_output_changed_consumed():
-    """Every OUTPUT_CHANGED key actually exists in the registry and
-    sits in the fronted region — a typo'd key would otherwise be
-    silently dropped by the derivation."""
+    """Every OUTPUT_CHANGED key actually exists in the registry, and
+    every NOT-yet-repruned entry (no hash-green at/after its declared
+    round) sits in the fronted region — a typo'd key would otherwise
+    be silently dropped by the derivation."""
     from data_ingest_utils_spark import plans
     from data_ingest_utils_spark.plans.window import OUTPUT_CHANGED
+    from data_ingest_utils_spark.plans.window import load_driver_history
 
-    missing = [k for k in OUTPUT_CHANGED if k not in QUERIES]
+    missing = [k for k, _ in OUTPUT_CHANGED if k not in QUERIES]
     assert not missing, f"OUTPUT_CHANGED keys not in registry: {missing}"
-    front = plans._CURRENT_WINDOW[:10 + len(OUTPUT_CHANGED)]
-    not_fronted = [k for k in OUTPUT_CHANGED if k not in front]
+    history = load_driver_history()
+    pending = [
+        k for k, declared in OUTPUT_CHANGED
+        if ((history.get(k) or {}).get("green_round") or -1) < declared
+    ]
+    front = plans._CURRENT_WINDOW[:10 + len(pending)]
+    not_fronted = [k for k in pending if k not in front]
     assert not not_fronted, f"output-changed keys not fronted: {not_fronted}"
