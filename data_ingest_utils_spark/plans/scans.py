@@ -212,27 +212,48 @@ def scan_sqlite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingest_utils_spark.sources.pydatasource import register
 
     register(spark)
-    rows = (
-        load_table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_nationkey", "c_acctbal")
-        .collect()
-    )
     os.makedirs(SCRATCH, exist_ok=True)
     db = f"{SCRATCH}/sqlite_src_{os.path.basename(sf_dir.rstrip('/'))}.db"
-    with sqlite3.connect(f"{db}.tmp") as con:
-        con.execute("DROP TABLE IF EXISTS customer")
-        con.execute(
-            "CREATE TABLE customer "
-            "(c_custkey INTEGER, c_nationkey INTEGER, c_acctbal REAL)"
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    # Stage once per sf_dir and REUSE while fresh: the source parquet
+    # is immutable testdata, so a staged db whose row count matches is
+    # byte-equivalent to a rebuild — re-collecting 15 k rows per sweep
+    # call was pure fixture overhead (~9 s/call at sf0.1).  A count
+    # mismatch (partial/stale file) triggers a rebuild through the
+    # atomic-replace path below, so executors never see a torn db.
+    n_src = src.count()
+    bounds: tuple[int, int] | None = None
+    if os.path.exists(db):
+        try:
+            with sqlite3.connect(db) as con:
+                n_db, lo, hi = con.execute(
+                    "SELECT count(*), min(c_custkey), max(c_custkey) FROM customer"
+                ).fetchone()
+            if n_db == n_src and lo is not None:
+                bounds = (lo, hi)
+        except sqlite3.Error:
+            bounds = None
+    if bounds is None:
+        rows = src.collect()
+        with sqlite3.connect(f"{db}.tmp") as con:
+            con.execute("DROP TABLE IF EXISTS customer")
+            con.execute(
+                "CREATE TABLE customer "
+                "(c_custkey INTEGER, c_nationkey INTEGER, c_acctbal REAL)"
+            )
+            con.executemany(
+                "INSERT INTO customer VALUES (?, ?, ?)",
+                [(r.c_custkey, r.c_nationkey, r.c_acctbal) for r in rows],
+            )
+            con.commit()
+        os.replace(f"{db}.tmp", db)  # atomic: executors never see a half-built db
+        bounds = (
+            min(r.c_custkey for r in rows),
+            max(r.c_custkey for r in rows),
         )
-        con.executemany(
-            "INSERT INTO customer VALUES (?, ?, ?)",
-            [(r.c_custkey, r.c_nationkey, r.c_acctbal) for r in rows],
-        )
-        con.commit()
-    os.replace(f"{db}.tmp", db)  # atomic: executors never see a half-built db
-    lo = min(r.c_custkey for r in rows)
-    hi = max(r.c_custkey for r in rows)
+    lo, hi = bounds
     return (
         spark.read.format("sql_partitioned")
         .schema("c_custkey bigint, c_nationkey bigint, c_acctbal double")
@@ -524,12 +545,14 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql.cteRecursionLevelLimit, so runaway recursion fails fast
     rather than spinning.
 
-    The recursion is UNROLLED 4 months per level: each Spark recursion
+    The recursion is UNROLLED 8 months per level: each Spark recursion
     level is a separate driver-orchestrated micro-plan, so a
     1-month-per-level spine paid ~84 plan/execute round-trips for
     ~0 bytes of data each (measured 18.8 s in the r7 sweep — pure
-    driver latency).  Seeding the anchor with the first 4 months and
-    stepping +4 per level yields the identical month set in a quarter
+    driver latency; driver micro-jobs are also the surface most
+    exposed to host CPU-steal, so fewer levels means less noise
+    variance too).  Seeding the anchor with the first 8 months and
+    stepping +8 per level yields the identical month set in an eighth
     of the levels; the batching dial is the anchor width, the shape
     every recursive-CTE user should reach for when per-level data is
     tiny."""
@@ -541,12 +564,12 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
           FROM v_rc_orders),
         months(m) AS (
-          SELECT explode(sequence(lo, least(hi, lo + INTERVAL 3 MONTH),
+          SELECT explode(sequence(lo, least(hi, lo + INTERVAL 7 MONTH),
                                   INTERVAL 1 MONTH)) AS m
           FROM bounds
           UNION ALL
-          SELECT m + INTERVAL 4 MONTH FROM months CROSS JOIN bounds
-          WHERE m + INTERVAL 4 MONTH <= hi)
+          SELECT m + INTERVAL 8 MONTH FROM months CROSS JOIN bounds
+          WHERE m + INTERVAL 8 MONTH <= hi)
         SELECT m AS month_start,
                CAST(count(o_orderkey) AS BIGINT) AS n_orders,
                round(coalesce(sum(o_totalprice), 0), 6) AS revenue
