@@ -175,13 +175,17 @@ def _verify_pairs_array(
       (BASELINE.md:80-95): that second exchange shuffled ~5 GB for
       3.47 M candidates and dominated the key's 15-28 s runtime.
     - ``True`` (broadcast attach): ``hv`` — one row per DOC, not per
-      pair — broadcasts once and BOTH attaches become map-side
+      pair — is broadcast into BOTH attaches, which become map-side
       broadcast-hash joins, so the pair stream never re-shuffles and
-      each doc's array ships once per executor instead of once per
-      pair.  Correct whenever the per-doc array table fits the
-      broadcast budget (callers gate on doc count; ~2 KB/doc at the
-      3-gram default ⇒ 1 M docs ≈ 2 GB, inside Spark's 8 GB cap on
-      this 128 GB driver).  At 100 TB corpus scale the gate fails
+      each doc's array ships once per executor (per side) instead of
+      once per pair.  NOTE the two attaches key on different columns
+      (doc_a vs doc_b), so Spark builds TWO hashed relations —
+      exchange reuse cannot merge differently-keyed builds — and real
+      broadcast memory is ~2× the table size: ~2 KB/doc at the 3-gram
+      default ⇒ 1 M docs ≈ 2 GB serialized ≈ 4 GB of broadcast state,
+      inside the per-broadcast 8 GB cap and comfortable on this
+      128 GB driver; tune ``broadcast_max_docs`` down on smaller
+      drivers.  At 100 TB corpus scale the gate fails
       closed to the shuffle shape, whose candidate-bounded asymptotics
       are the scale story.  On a single-host local master the
       exchange it saves is not a network hop, and the broadcast build
@@ -220,9 +224,12 @@ def _verify_pairs_array(
 
 #: Auto-gate ceiling for broadcasting the per-doc shingle-hash-array
 #: table in the verify stage: ~2 KB/doc at the 3-gram default ⇒ 1 M
-#: docs ≈ 2 GB serialized — comfortably inside Spark's 8 GB broadcast
-#: cap on this driver, far outside it at 100 TB corpus scale (gate
-#: fails closed to the shuffle attach).
+#: docs ≈ 2 GB serialized PER SIDE — the two attach joins key on
+#: different columns, so ~4 GB of total broadcast state at the
+#: ceiling (each build inside Spark's per-broadcast 8 GB cap; fine on
+#: this 128 GB driver, tune down on smaller ones).  Far outside any
+#: budget at 100 TB corpus scale — the gate fails closed to the
+#: shuffle attach.
 BROADCAST_VERIFY_MAX_DOCS = 1_000_000
 
 
@@ -249,7 +256,10 @@ def _resolve_broadcast_verify(
     master = master or df.sparkSession.sparkContext.master
     if master.startswith("local"):
         return False
-    return df.select(id_col).count() <= max_docs
+    # limit(max_docs + 1) bounds the probe's work by the GATE, not the
+    # corpus: a plain count would scan the full id column at exactly
+    # the 100 TB scale where the answer is a foregone "too big".
+    return df.select(id_col).limit(max_docs + 1).count() <= max_docs
 
 
 def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, id_col: str,

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -213,7 +214,12 @@ def scan_sqlite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     os.makedirs(SCRATCH, exist_ok=True)
-    db = f"{SCRATCH}/sqlite_src_{os.path.basename(sf_dir.rstrip('/'))}.db"
+    # Cache key = full-path digest, not basename: two trees ending in
+    # the same leaf dir (e.g. different fixture roots both named
+    # sf0.1) must never serve each other's staged rows through the
+    # row-count probe below.
+    sf_tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    db = f"{SCRATCH}/sqlite_src_{sf_tag}.db"
     src = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
@@ -231,8 +237,8 @@ def scan_sqlite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_db, lo, hi = con.execute(
                     "SELECT count(*), min(c_custkey), max(c_custkey) FROM customer"
                 ).fetchone()
-            if n_db == n_src and lo is not None:
-                bounds = (lo, hi)
+            if n_db == n_src:
+                bounds = (lo, hi) if lo is not None else (0, 0)
         except sqlite3.Error:
             bounds = None
     if bounds is None:
@@ -249,9 +255,12 @@ def scan_sqlite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             con.commit()
         os.replace(f"{db}.tmp", db)  # atomic: executors never see a half-built db
+        # empty source: planner collapses to one full-scan partition
+        # (bounds equal) and the scan correctly returns zero rows
         bounds = (
-            min(r.c_custkey for r in rows),
-            max(r.c_custkey for r in rows),
+            (min(r.c_custkey for r in rows), max(r.c_custkey for r in rows))
+            if rows
+            else (0, 0)
         )
     lo, hi = bounds
     return (

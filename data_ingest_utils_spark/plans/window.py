@@ -100,7 +100,7 @@ def derive_window(
     queries: dict,
     oracles: dict,
     history: dict[str, dict] | None = None,
-    output_changed: list[str] | None = None,
+    output_changed: list[tuple[str, int]] | None = None,
     size: int = WINDOW_SIZE,
 ) -> list[str]:
     """The first-``size`` registry ordering for this round, per the

@@ -86,19 +86,24 @@ def run_available_now(
     _PROGRESS_CAP = "spark.sql.streaming.numRecentProgressUpdates"
     prior_cap = conf.get(_PROGRESS_CAP, None)
     conf.set(_PROGRESS_CAP, "10000")
-    query = (
-        df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # start() sits INSIDE the try: a start-time AnalysisException
+    # (invalid plan, sink/mode mismatch) must still restore the cap
+    # and drop the checkpoint dir, or the leak this scoping exists to
+    # prevent comes back on exactly the failure path.
+    query = None
     try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
         if not query.awaitTermination(timeout_sec):
             raise TimeoutError(f"stream {table_name} did not drain in {timeout_sec}s")
     finally:
-        if query.isActive:  # pragma: no cover - timeout path
+        if query is not None and query.isActive:  # pragma: no cover - timeout path
             query.stop()
         # Restore AFTER the query is fully stopped — the cap is read
         # at query start, so this can't retroactively shrink the

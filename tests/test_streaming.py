@@ -568,3 +568,22 @@ def test_stateful_counter_correct_across_arrow_chunks(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_run_available_now_start_failure_restores_session(spark):
+    """A start-time failure (invalid output mode) must still restore
+    the progress-cap conf and remove the checkpoint dir — the leak
+    path the round-8 review caught: start() outside the try/finally
+    skipped both cleanups exactly when the query never ran."""
+    import glob
+
+    import pytest as _pytest
+
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    cap = "spark.sql.streaming.numRecentProgressUpdates"
+    before = spark.conf.get(cap, None)
+    ckpts_before = set(glob.glob("/tmp/ckpt_failmode_*"))
+    with _pytest.raises(Exception):
+        run_available_now(sdf, "failmode", output_mode="not_a_mode", timeout_sec=10)
+    assert spark.conf.get(cap, None) == before
+    assert set(glob.glob("/tmp/ckpt_failmode_*")) == ckpts_before
