@@ -84,8 +84,18 @@ def simhash64(
         raise ValueError(f"unit={unit!r} must be 'token' or 'shingle'")
     if hash_fn not in ("xxhash64", "sha256"):
         raise ValueError(f"hash_fn={hash_fn!r} must be 'xxhash64' or 'sha256'")
+    # split('', ' ') is [''] — empty tokens must be REMOVED, matching
+    # the module's documented blank-doc contract (minhash_signatures /
+    # minhash_lsh_pairs): without this, every blank/whitespace doc
+    # hashes the single '' feature to the identical signature, all
+    # four bands collide, and simhash_band_candidates emits a
+    # QUADRATIC blowup of blank-doc pairs (round-8 review finding —
+    # reproduced).  Docs with no nonempty features drop here (explode
+    # of an empty array emits nothing), the same drop the verify
+    # stage's inner join would apply later — but now the band shuffle
+    # never sees them either.
     feats = (
-        tokens(F.col(text_col))
+        F.array_remove(tokens(F.col(text_col)), "")
         if unit == "token"
         else shingles(F.col(text_col), n)
     )
@@ -128,11 +138,6 @@ def simhash64(
     return out
 
 
-# Shared parallelism guard (operators/relational.py) — measured round 7
-# (sf0.1, 5 000 docs, local[32]): MinHash signatures 13.7 s → 0.9 s.
-_ensure_parallelism = ensure_parallelism
-
-
 def _shingle_hash_arrays(
     df: DataFrame, n: int, id_col: str, text_col: str = "text"
 ) -> DataFrame:
@@ -143,7 +148,7 @@ def _shingle_hash_arrays(
     scale).  The join-key payload of the array-verify shape; docs with
     no shingles are dropped, matching the exploded formulation's
     inner-join semantics."""
-    return _ensure_parallelism(df, id_col).select(
+    return ensure_parallelism(df, id_col).select(
         id_col,
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
@@ -260,6 +265,31 @@ def _resolve_broadcast_verify(
     # corpus: a plain count would scan the full id column at exactly
     # the 100 TB scale where the answer is a foregone "too big".
     return df.select(id_col).limit(max_docs + 1).count() <= max_docs
+
+
+def _verify_pairs_explode(
+    cands: DataFrame, df: DataFrame, n: int, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard confirmation via the candidate-bounded
+    two-equi-join EXPLODE shape: join candidates to doc_a's distinct
+    shingles, match on (doc_b, shingle), hash-agg the intersection —
+    per-row state O(1), the fallback for UNBOUNDED documents where
+    collected shingle arrays could not sit in a row.  Shared by
+    :func:`ngram_jaccard_length_blocked` and
+    :func:`ngram_jaccard_banded` (``verify="explode"``) so the two
+    explode-verify stages can't drift — the twin of
+    :func:`_verify_pairs_array`, byte-identical output at every
+    threshold (zero-intersection pairs never survive the inner join).
+    """
+    sh = distinct_shingles(df.select(id_col, "text"), n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, id_col, threshold)
 
 
 def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, id_col: str,
@@ -389,15 +419,7 @@ def ngram_jaccard_length_blocked(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = distinct_shingles(df.select(id_col, "text"), n, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    inter = (
-        cands.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col(id_col).alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return _jaccard_from_inter(inter, sizes, id_col, threshold)
+    return _verify_pairs_explode(cands, df, n, id_col, threshold)
 
 
 def simhash_band_candidates(
@@ -516,18 +538,7 @@ def ngram_jaccard_banded(
         df, id_col=id_col, unit=unit, n=n, hamming_max=hamming_max
     )
     if verify == "explode":
-        sh = distinct_shingles(df.select(id_col, "text"), n, id_col)
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-        inter = (
-            cands.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
-            .join(
-                sh.select(F.col(id_col).alias("doc_b"), "shingle"),
-                ["doc_b", "shingle"],
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
-        )
-        return _jaccard_from_inter(inter, sizes, id_col, threshold)
+        return _verify_pairs_explode(cands, df, n, id_col, threshold)
     hv = _shingle_hash_arrays(df, n, id_col)
     bcast = _resolve_broadcast_verify(df, broadcast_verify, broadcast_max_docs, id_col)
     return _verify_pairs_array(cands, hv, id_col, threshold, broadcast_arrays=bcast)
@@ -666,7 +677,7 @@ def minhash_signatures(
     # set instead of being dropped as documented
     tok = F.array_distinct(F.array_remove(tokens(F.col(text_col)), ""))
     based = (
-        _ensure_parallelism(df, id_col)
+        ensure_parallelism(df, id_col)
         .select(
             id_col, F.when(F.size(sh) > 0, sh).otherwise(tok).alias("_sh")
         )
@@ -842,7 +853,7 @@ def minhash_lsh_pairs(
     # minhash work is per-row CPU, and a single-file source scan would
     # run it all on one core (measured r8: the signature pipeline alone
     # was ~9 s single-threaded at sf0.1).
-    shingled = _ensure_parallelism(df, id_col).select(
+    shingled = ensure_parallelism(df, id_col).select(
         id_col,
         F.when(F.size(sh) > 0, sh)
         .when(F.size(tok) > 0, tok)

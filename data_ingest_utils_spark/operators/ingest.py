@@ -154,7 +154,16 @@ def with_audit(df: DataFrame, load_id: str = "", deterministic: bool = False) ->
         )
     else:
         src = F.input_file_name()
-        row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+        # xxhash64 SKIPS null inputs (same semantics as concat_ws the
+        # deterministic branch guards against), so ('a', NULL) and
+        # (NULL, 'a') would collide on values alone (round-8 review —
+        # reproduced).  Prefixing per-column null flags disambiguates
+        # WHICH columns were NULL while staying one codegen'd
+        # expression: the flag ints always participate in the hash.
+        row_hash = F.xxhash64(
+            *[F.isnull(c).cast("int") for c in df.columns],
+            *[F.col(c) for c in df.columns],
+        )
     return (
         df.withColumn("_audit_source_file", src)
         .withColumn("_audit_row_hash", row_hash)

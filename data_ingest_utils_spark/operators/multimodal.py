@@ -118,6 +118,14 @@ def sample_frames(
     partition parallelism) is the production plumbing.  Deterministic
     ⇒ fully oracle-checkable despite running in Python.
     """
+    # Fail fast at CALL time — inside the closure these surface as an
+    # opaque per-task PythonException (range() step 0 /
+    # ZeroDivisionError) only after the job has scanned and shipped
+    # payload batches (same policy as extract_features' dim check).
+    if every <= 0:
+        raise ValueError(f"every={every} must be >= 1")
+    if frame_bytes <= 0:
+        raise ValueError(f"frame_bytes={frame_bytes} must be >= 1")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

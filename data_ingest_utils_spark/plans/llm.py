@@ -81,9 +81,12 @@ _SIMHASH_ORACLE = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ), th AS (
+      -- empty terms removed, mirroring the Spark side's
+      -- array_remove(tokens, '') (blank-doc contract): split('', ' ')
+      -- yields [''] in both engines
       SELECT doc_id,
              ('0x' || substr(sha256(term), 1, 16))::UBIGINT AS h
-      FROM toks
+      FROM toks WHERE term <> ''
     ), bits AS (
       SELECT doc_id,
              {bit_sums}

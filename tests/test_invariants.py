@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_ingest_utils_spark.operators import dedup as dd
+from data_ingest_utils_spark.operators import ingest as ing
 from data_ingest_utils_spark.operators import similarity as sim
 from tests.conftest import SF_T2
 
@@ -804,6 +805,50 @@ def test_verify_broadcast_auto_gate(spark):
     # explicit flags skip the probe entirely
     assert dd._resolve_broadcast_verify(docs, True, 0, "doc_id") is True
     assert dd._resolve_broadcast_verify(docs, False, 10**9, "doc_id", cluster) is False
+
+
+def test_simhash_band_candidates_drop_blank_docs(spark):
+    """Blank/whitespace docs must never produce band-candidate pairs:
+    before the round-8 fix every blank doc hashed the single ''
+    feature to the identical signature and all four bands collided —
+    a quadratic blowup on blank-heavy corpora (reproduced: 4 docs, 2
+    blank + 1 whitespace -> 3 bogus pairs)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, " "), (3, "real tokens here okay"), (4, "")],
+        "doc_id long, text string",
+    )
+    assert dd.simhash_band_candidates(docs).count() == 0
+    sigs = dd.simhash64(docs)
+    assert {r.doc_id for r in sigs.collect()} == {3}
+
+
+def test_with_audit_default_hash_distinguishes_null_position(spark):
+    """xxhash64 skips null inputs, so without the per-column null
+    flags ('a', NULL) and (NULL, 'a') collide on the default row
+    fingerprint (round-8 review — reproduced)."""
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"), (3, "a", "a"), (4, None, None)],
+        "id long, x string, y string",
+    )
+    hashes = [
+        r[0]
+        for r in ing.with_audit(df.select("x", "y"))
+        .select("_audit_row_hash")
+        .collect()
+    ]
+    assert len(set(hashes)) == len(hashes), hashes
+
+
+def test_sample_frames_validates_params(spark):
+    """every/frame_bytes must fail fast at call time, not as an opaque
+    per-task PythonException after the payload scan."""
+    from data_ingest_utils_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, bytearray(b"abc"))], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="every"):
+        mm.sample_frames(df, every=0)
+    with pytest.raises(ValueError, match="frame_bytes"):
+        mm.sample_frames(df, frame_bytes=0)
 
 
 def test_minhash_paths_drop_empty_and_whitespace_docs(spark):
