@@ -45,10 +45,21 @@ def _norm(a: Column) -> Column:
 
 
 def _cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity with a NULLIF denominator: a zero-norm vector
-    yields NULL instead of raising ANSI DIVIDE_BY_ZERO (Spark 4
-    default) — callers filter/ignore NULL rows."""
-    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+    """Cosine similarity with a NULL contract for BOTH degenerate
+    inputs: a zero-norm vector yields NULL via the NULLIF denominator
+    (instead of raising ANSI DIVIDE_BY_ZERO, the Spark 4 default), and
+    a NaN result — a NaN element from a failed encoder — is folded to
+    NULL via nanvl.  The fold matters because Spark's comparison
+    semantics treat NaN as LARGER than every value: ``NaN >= t`` is
+    true and NaN sorts FIRST under desc, so without it a single
+    poisoned vector passes every threshold filter and displaces real
+    neighbors at rank 1 (round-8 review — reproduced), while SQL
+    oracles drop the same pairs via ``NOT isnan``.  NULL instead
+    fails ``>=`` filters and sorts last under Spark's default
+    desc-nulls-last — the drop semantics every caller and oracle
+    already assume."""
+    cos = _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+    return F.nanvl(cos, F.lit(None).cast("double"))
 
 
 #: Public pairwise-cosine column helper (the two-column counterpart of

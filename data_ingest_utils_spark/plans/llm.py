@@ -11,7 +11,7 @@ xxhash-banded dedup) are rows-only with invariants in unit tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingest_utils_spark.operators import dedup as dd
@@ -822,19 +822,25 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join at 100 TB (cells bound the pair space; nprobe>1 = union of
     cell joins)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # Exclude zero-norm vectors PER ROW, before the pair join: their
-    # cosine is NULL, and desc ordering puts NULLs last, so in a cell
-    # with <= 3 neighbors a NULL row would still earn rnk <= 3 while
-    # the oracle's NaN guard drops the pair.  Filtering per row is
-    # O(n·d); a per-pair isNotNull filter on the cosine column would
-    # make Catalyst evaluate the interpreted cosine lambdas TWICE per
-    # pair (filter + projection — measured 1.8x on the sweep).
+    # Exclude zero-norm AND NaN-poisoned vectors PER ROW, before the
+    # pair join: their cosine is NULL/NaN, and in a cell with <= 3
+    # neighbors such a row would still earn rnk <= 3 while the
+    # oracle's NaN guard drops the pair.  The isnan leg is load-
+    # bearing (round-8 review — reproduced): one NaN element makes
+    # sq_norm NaN, and Spark evaluates NaN > 0 as TRUE (NaN is larger
+    # than everything in comparison semantics), so the norm filter
+    # alone passes poisoned vectors whose NaN cos_sim then sorted
+    # FIRST under desc and displaced every real neighbor.  Filtering
+    # per row is O(n·d); a per-pair isNotNull filter on the cosine
+    # column would make Catalyst evaluate the interpreted cosine
+    # lambdas TWICE per pair (filter + projection — measured 1.8x on
+    # the sweep).
     sq_norm = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    emb = emb.filter(sq_norm > 0)
+    emb = emb.filter((sq_norm > 0) & ~F.isnan(sq_norm))
     a = emb.select("vec_id", "label", F.col("embedding").alias("_va"))
     b = emb.select(
         F.col("vec_id").alias("nbr_id"), "label", F.col("embedding").alias("_vb")
@@ -1047,8 +1053,6 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_pack_sequences_sharded_equals_global) with every window
     partition bounded by shard size instead of one global partition."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
     n = tx.token_count(F.col("text")).cast("long")
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t = docs.select("doc_id", n.alias("n")).withColumn("cum", F.sum("n").over(w))
@@ -1131,17 +1135,12 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit phrasing — count + rank, two shuffles total,
     both on hash-sized keys."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("lang", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= 2
-    )
-    bigrams = toks.select(
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-            )
-        ).alias("bigram"),
+    # tx.shingles(text, 2) builds the identical 'w1 w2' strings as the
+    # oracle's range/|| transform (raw-split tokens, sub-2-token docs
+    # yield an empty array that explode drops) — one shared shingle
+    # implementation instead of a hand-rolled expr twin.
+    bigrams = docs.select(
+        "lang", F.explode(tx.shingles(F.col("text"), 2)).alias("bigram")
     )
     counted = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
     return topk_per_group(
@@ -1313,8 +1312,6 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one window rank per source (WindowGroupLimit doesn't
     apply — full enumeration — but the partition key is the shuffle
     key, one exchange) + one hash agg."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     keep_every = 1 + (F.substring("source", 4, 10).cast("int") % 4)
     rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
@@ -1358,8 +1355,6 @@ def llm_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = docs.groupBy((F.col("doc_id") % 16).alias("shard")).agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
     )
-    from pyspark.sql import Window
-
     total = F.sum("sum_chars").over(Window.partitionBy())
     return shards.select(
         "shard",
@@ -1661,8 +1656,6 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining-data pass; swap the filter predicates for model-based
     quality scores and the plan is unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
     kept = d.filter(
         (F.col("n_chars") >= 40)
         & F.col("lang").isin("en", "fr", "es", "de")
@@ -1709,8 +1702,6 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
     )
-    from pyspark.sql import Window
-
     total_w = Window.partitionBy()
     cum_w = (
         Window.partitionBy()

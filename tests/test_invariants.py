@@ -807,6 +807,51 @@ def test_verify_broadcast_auto_gate(spark):
     assert dd._resolve_broadcast_verify(docs, False, 10**9, "doc_id", cluster) is False
 
 
+def test_cosine_nan_contract(spark):
+    """A NaN element (failed encoder) must yield NULL cosine — Spark
+    treats NaN as larger than everything, so without the nanvl fold a
+    poisoned vector passes every >= threshold filter and sorts FIRST
+    under desc, displacing real neighbors (round-8 review —
+    reproduced on llm_knn_join and llm_embed_near_dup)."""
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [nan, 1.0]), (2, [1.0, 0.0], [1.0, 0.0]),
+         (3, [0.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {r.id: r.c for r in df.select(
+        "id", sim.pairwise_cosine(F.col("a"), F.col("b")).alias("c")
+    ).collect()}
+    assert rows[1] is None        # NaN element -> NULL, not NaN
+    assert abs(rows[2] - 1.0) < 1e-12
+    assert rows[3] is None        # zero norm -> NULL (existing contract)
+    # and NULL fails a threshold filter, matching the SQL oracles'
+    # NOT isnan guards
+    kept = df.filter(
+        sim.pairwise_cosine(F.col("a"), F.col("b")) >= 0.4
+    ).count()
+    assert kept == 1
+
+
+def test_knn_join_drops_nan_poisoned_vectors(spark, monkeypatch):
+    """llm_knn_join's per-row guard must exclude NaN-poisoned vectors:
+    NaN sq_norm passes `> 0` (NaN compares larger than everything), so
+    the isnan leg is load-bearing."""
+    from data_ingest_utils_spark.plans import llm as llm_plans
+
+    nan = float("nan")
+    emb = spark.createDataFrame(
+        [(1, "c0", [1.0, 0.0]), (2, "c0", [0.9, 0.1]),
+         (3, "c0", [nan, 1.0]), (4, "c0", [0.0, 1.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    monkeypatch.setattr(llm_plans, "load_table", lambda s, d, t: emb)
+    out = llm_plans.llm_knn_join(spark, "ignored").collect()
+    ids = {r.vec_id for r in out} | {r.nbr_id for r in out}
+    assert 3 not in ids, out
+    assert all(r.cos_sim is not None for r in out)
+
+
 def test_simhash_band_candidates_drop_blank_docs(spark):
     """Blank/whitespace docs must never produce band-candidate pairs:
     before the round-8 fix every blank doc hashed the single ''
