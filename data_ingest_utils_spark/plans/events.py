@@ -24,6 +24,7 @@ from data_ingest_utils_spark.streaming.transforms import (
     session_agg,
     sliding_agg,
     tumbling_agg,
+    watermarked_tumbling,
 )
 
 
@@ -120,7 +121,6 @@ def evt_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_streaming.py with a crafted out-of-order
     micro-batch sequence, and the engine's drop accounting is surfaced
     by evt_late_data_metrics."""
-    from data_ingest_utils_spark.streaming.transforms import watermarked_tumbling
 
     # the SAME transform the streaming tests and evt_late_data_metrics
     # run — the one-code-path batch/stream property by construction
@@ -215,43 +215,50 @@ def evt_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch is the escape hatch for sinks without native
     streaming writers (JDBC upserts, MERGE INTO); the batch write
     inside inherits all batch optimizations."""
+    import glob
     import os
     import shutil
-    import tempfile
     import uuid
 
     from data_ingest_utils_spark.plans.scans import SCRATCH
+    from data_ingest_utils_spark.streaming.runner import drain_available_now
 
     # Per-invocation token on BOTH scratch dirs (same isolation as
     # evt_late_data_metrics, ADVICE r6): concurrent invocations must
     # not rmtree each other's staged source or appended sink batches.
     run_id = uuid.uuid4().hex[:12]
     out = f"{SCRATCH}/fes_out_{run_id}"
-    # The file stream source wants a DIRECTORY; stage the fixture file
-    # into a scratch source dir (read-only testdata stays untouched).
+    # The file stream source wants a DIRECTORY; stage the fixture into
+    # a scratch source dir (read-only testdata stays untouched).
+    # Layout-agnostic (round-8 review): driver fixtures are single
+    # FILES, but Spark-written fixtures (e.g. .scale/sf1.0) are
+    # DIRECTORIES of part files — copy part files flat either way, so
+    # the sweep over scaled data doesn't die on IsADirectoryError.
     src = f"{SCRATCH}/fes_src_{run_id}"
     os.makedirs(src)
-    shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    fixture = f"{sf_dir}/events.parquet"
+    parts = (
+        sorted(glob.glob(f"{fixture}/*.parquet"))
+        if os.path.isdir(fixture)
+        else [fixture]
+    )
+    for i, part in enumerate(parts):
+        shutil.copyfile(part, f"{src}/events_{i:05d}.parquet")
     stream = spark.readStream.schema(
         "event_id long, user_id long, event_type string, value double"
     ).parquet(src)
-    # One-shot drain: the checkpoint is never resumed, so drop it in a
-    # finally (repeated grading runs would otherwise accumulate state
-    # dirs under /tmp); src/out are uuid-fresh, so they are cleaned in
-    # the same finally after the aggregate is computed eagerly.
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_fes_")
+    # Shared one-shot drain (streaming/runner.py): checkpoint tmpdir,
+    # progress-cap scope, start/await/stop/cleanup — one copy of the
+    # plumbing instead of a drifting inline twin.  src/out are
+    # uuid-fresh, cleaned after the aggregate is computed eagerly.
     try:
-        q = (
-            stream.writeStream.foreachBatch(
+        drain_available_now(
+            stream,
+            lambda w: w.foreachBatch(
                 lambda batch_df, _id: batch_df.write.mode("append").parquet(out)
-            )
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
+            ),
+            name="fes",
         )
-        if not q.awaitTermination(120):
-            q.stop()
-            raise TimeoutError("evt_foreach_batch_sink: stream did not drain in 120s")
         rows = (
             spark.read.parquet(out)
             .groupBy("event_type")
@@ -259,7 +266,6 @@ def evt_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
-        shutil.rmtree(checkpoint, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, "event_type string, n long")
@@ -756,6 +762,7 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
+    import time
     import uuid
 
     from data_ingest_utils_spark.plans.scans import SCRATCH
@@ -763,7 +770,6 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_parquet_stream,
         run_available_now,
     )
-    from data_ingest_utils_spark.streaming.transforms import watermarked_tumbling
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -807,7 +813,7 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming run / metric reads would otherwise leak the scratch
     # dir, any mid-crash _stage* dirs, and the session temp view.
     try:
-        base = __import__("time").time() - 1000
+        base = time.time() - 1000
         for i, bdf in enumerate(batches):
             tmp = f"{src}_stage{i}"
             bdf.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -17,8 +17,11 @@ real checkpoint dir).
 
 from __future__ import annotations
 
+import contextlib
 import shutil
 import tempfile
+import threading
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -71,52 +74,98 @@ def run_available_now(
     is only dropped when it arrives >= 2 batches after the event that
     advanced the watermark past it.
     """
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{table_name}_")
-    conf = df.sparkSession.conf
-    # recentProgress is a ring buffer capped at
-    # spark.sql.streaming.numRecentProgressUpdates (default 100):
-    # a >100-file source under maxFilesPerTrigger=1 would silently
-    # drop the EARLY micro-batches' metrics and undercount
-    # numRowsDroppedByWatermark sums.  Raise the cap before the query
-    # starts (read at query start), and RESTORE the prior value after
-    # the drain — the raise is scoped to this query; leaving it set
-    # would make every later streaming query on the shared session
-    # retain up to 10000 progress objects (ADVICE r7: slow leak in
-    # long-lived sessions).
-    _PROGRESS_CAP = "spark.sql.streaming.numRecentProgressUpdates"
-    prior_cap = conf.get(_PROGRESS_CAP, None)
-    conf.set(_PROGRESS_CAP, "10000")
-    # start() sits INSIDE the try: a start-time AnalysisException
-    # (invalid plan, sink/mode mismatch) must still restore the cap
-    # and drop the checkpoint dir, or the leak this scoping exists to
-    # prevent comes back on exactly the failure path.
-    query = None
+    query = drain_available_now(
+        df,
+        lambda w: w.format("memory").queryName(table_name).outputMode(output_mode),
+        name=table_name,
+        timeout_sec=timeout_sec,
+    )
+    return [p.asDict() if hasattr(p, "asDict") else p for p in query.recentProgress]
+
+
+_PROGRESS_CAP = "spark.sql.streaming.numRecentProgressUpdates"
+_CAP_LOCK = threading.Lock()
+_CAP_DEPTH = 0
+_CAP_PRIOR: str | None = None
+
+
+@contextlib.contextmanager
+def _progress_cap_scope(conf):
+    """Refcounted scope for the progress-cap raise.
+
+    recentProgress is a ring buffer capped at
+    spark.sql.streaming.numRecentProgressUpdates (default 100): a
+    >100-file source under maxFilesPerTrigger=1 would silently drop
+    the EARLY micro-batches' metrics and undercount
+    numRowsDroppedByWatermark sums, so drains raise the cap before the
+    query starts (the conf is read at query start) and restore it
+    after — leaving it raised would make every later streaming query
+    on the shared session retain up to 10000 progress objects (ADVICE
+    r7: slow leak in long-lived sessions).
+
+    The refcount + lock make the save/set/restore safe under
+    CONCURRENT drains on one session (a plain read-modify-restore
+    pair can strand the 10000 cap, or restore the default mid-drain
+    and undercount a sibling — round-8 review): the FIRST scope in
+    saves the prior value, the LAST one out restores it, and every
+    nested/overlapping drain inside just rides the raised cap.
+    Python-side only — out-of-process writers to the same conf are
+    outside its reach, like any session conf.
+    """
+    global _CAP_DEPTH, _CAP_PRIOR
+    with _CAP_LOCK:
+        if _CAP_DEPTH == 0:
+            _CAP_PRIOR = conf.get(_PROGRESS_CAP, None)
+            conf.set(_PROGRESS_CAP, "10000")
+        _CAP_DEPTH += 1
     try:
-        query = (
-            df.writeStream.format("memory")
-            .queryName(table_name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not query.awaitTermination(timeout_sec):
-            raise TimeoutError(f"stream {table_name} did not drain in {timeout_sec}s")
+        yield
     finally:
-        if query is not None and query.isActive:  # pragma: no cover - timeout path
-            query.stop()
-        # Restore AFTER the query is fully stopped — the cap is read
-        # at query start, so this can't retroactively shrink the
-        # finished query's buffer, but restoring early could race a
-        # concurrent start elsewhere on the session.
-        if prior_cap is None:
-            conf.unset(_PROGRESS_CAP)
-        else:
-            conf.set(_PROGRESS_CAP, prior_cap)
-        # One-shot drains never resume — drop the checkpoint (also on
-        # the timeout path) so repeated runs don't accumulate state
-        # dirs under /tmp.  (Resume tests manage their OWN checkpoint
-        # and don't go through this helper's cleanup path.)
-        shutil.rmtree(checkpoint, ignore_errors=True)
-    progress = [p.asDict() if hasattr(p, "asDict") else p for p in query.recentProgress]
-    return progress
+        with _CAP_LOCK:
+            _CAP_DEPTH -= 1
+            if _CAP_DEPTH == 0:
+                if _CAP_PRIOR is None:
+                    conf.unset(_PROGRESS_CAP)
+                else:
+                    conf.set(_PROGRESS_CAP, _CAP_PRIOR)
+
+
+def drain_available_now(
+    df: DataFrame,
+    configure: Callable,
+    name: str = "drain",
+    timeout_sec: int = 120,
+):
+    """Shared one-shot availableNow drain: checkpoint tmpdir +
+    progress-cap scope + start/await/stop + checkpoint cleanup, with
+    the sink-specific writer options supplied by ``configure(writer)``
+    (memory sink, foreachBatch, …).  Returns the finished query (for
+    recentProgress).  This is the ONE copy of the drain plumbing —
+    evt_foreach_batch_sink used to carry a drifted inline twin
+    (round-8 review).
+
+    start() sits INSIDE the try: a start-time AnalysisException
+    (invalid plan, sink/mode mismatch) must still restore the cap and
+    drop the checkpoint dir.  The cap restore happens after the query
+    is fully stopped — the cap is read at query start, so the order
+    can't shrink a finished query's buffer.  One-shot drains never
+    resume, so the checkpoint is dropped in the same finally (resume
+    tests manage their OWN checkpoint and don't come through here).
+    """
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    query = None
+    with _progress_cap_scope(df.sparkSession.conf):
+        try:
+            query = (
+                configure(df.writeStream)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not query.awaitTermination(timeout_sec):
+                raise TimeoutError(f"stream {name} did not drain in {timeout_sec}s")
+        finally:
+            if query is not None and query.isActive:  # pragma: no cover - timeout
+                query.stop()
+            shutil.rmtree(checkpoint, ignore_errors=True)
+    return query

@@ -29,33 +29,38 @@ COUNTER_OUTPUT_SCHEMA = "user_id long, event_id long, n_so_far long"
 COUNTER_STATE_SCHEMA = "n long"
 
 
+def _cumcount_batch(chunks: list, n: int, user_key) -> tuple:
+    """Concat-ALL-Arrow-chunks-then-sort + vectorized cumcount —
+    shared by the applyInPandasWithState counter (:func:`_counter_fn`)
+    and the transformWithStateInPandas twin so the critical
+    cross-chunk ordering fix lives in ONE place (round-8 review): a
+    group larger than spark.sql.execution.arrow.maxRecordsPerBatch
+    arrives as multiple chunks in shuffle-arrival order, and per-chunk
+    sorts would assign running counts in the wrong global
+    (ts, event_id) order (measured: 40/40 rows wrong at batch size
+    10).  Returns (out_frame, new_count)."""
+    import numpy as np
+
+    if not chunks:
+        return pd.DataFrame(columns=["user_id", "event_id", "n_so_far"]), n
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+    out = pd.DataFrame(
+        {
+            "user_id": np.full(len(pdf), user_key, dtype="int64"),
+            "event_id": pdf["event_id"].astype("int64").to_numpy(),
+            "n_so_far": n + np.arange(1, len(pdf) + 1, dtype="int64"),
+        }
+    )
+    return out, n + len(pdf)
+
+
 def _counter_fn(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    import numpy as np
-
     (n,) = state.get if state.exists else (0,)
-    # Concat ALL Arrow chunks BEFORE sorting: a group larger than
-    # spark.sql.execution.arrow.maxRecordsPerBatch arrives as multiple
-    # chunks in shuffle-arrival order, and per-chunk sorts would
-    # assign running counts in the wrong global (ts, event_id) order
-    # (measured: 40/40 rows wrong on a 40-row group at batch size 10).
-    # The count itself is a vectorized cumcount, not a Python loop.
-    chunks = [p for p in pdfs if len(p)]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
-        out = pd.DataFrame(
-            {
-                "user_id": np.full(len(pdf), key[0], dtype="int64"),
-                "event_id": pdf["event_id"].astype("int64").to_numpy(),
-                "n_so_far": n + np.arange(1, len(pdf) + 1, dtype="int64"),
-            }
-        )
-        n += len(pdf)
-    else:
-        out = pd.DataFrame(columns=["user_id", "event_id", "n_so_far"])
+    out, n = _cumcount_batch([p for p in pdfs if len(p)], n, key[0])
     state.update((n,))
     yield out
 
@@ -98,26 +103,10 @@ def running_counter_tws(events: DataFrame) -> DataFrame:
             self._count = handle.getValueState("count", "n long")
 
         def handleInputRows(self, key, rows, timerValues):
-            import numpy as np
-
             n = self._count.get()[0] if self._count.exists() else 0
-            # concat-then-sort + vectorized cumcount — same cross-chunk
-            # ordering fix as _counter_fn above
-            chunks = [p for p in rows if len(p)]
-            if chunks:
-                pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                    ["ts", "event_id"]
-                )
-                out = pd.DataFrame(
-                    {
-                        "user_id": np.full(len(pdf), key[0], dtype="int64"),
-                        "event_id": pdf["event_id"].astype("int64").to_numpy(),
-                        "n_so_far": n + np.arange(1, len(pdf) + 1, dtype="int64"),
-                    }
-                )
-                n += len(pdf)
-            else:
-                out = pd.DataFrame(columns=["user_id", "event_id", "n_so_far"])
+            # shared concat-then-sort cumcount — the cross-chunk
+            # ordering fix lives in _cumcount_batch, one copy
+            out, n = _cumcount_batch([p for p in rows if len(p)], n, key[0])
             self._count.update((n,))
             yield out
 
@@ -135,8 +124,10 @@ def running_counter_tws(events: DataFrame) -> DataFrame:
 #: Funnel output: running per-user totals (update mode — totals are
 #: monotonic, so the latest row per user is the answer).
 FUNNEL_OUTPUT_SCHEMA = "user_id long, n_purchases long, n_converted long"
-#: Per-user state: last signup event time (µs; -1 = none seen) and the
-#: running purchase/conversion totals.
+#: Per-user state: last signup event time (µs; NULL = none seen — a
+#: genuine value sentinel, not -1, because pre-epoch signup timestamps
+#: are legitimately negative and must still convert; round-8 review)
+#: and the running purchase/conversion totals.
 FUNNEL_STATE_SCHEMA = "last_signup_us long, n_purchases long, n_converted long"
 
 #: 30-minute conversion window, in microseconds.
@@ -149,7 +140,7 @@ def _funnel_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     last_signup_us, n_p, n_c = (
-        state.get if state.exists else (-1, 0, 0)
+        state.get if state.exists else (None, 0, 0)
     )
     # Concat ALL Arrow chunks before the single sort (same cross-chunk
     # ordering fix as _counter_fn): a signup arriving in a later chunk
@@ -166,7 +157,10 @@ def _funnel_fn(
                 last_signup_us = ts_us
             elif etype == "purchase":
                 n_p += 1
-                if last_signup_us >= 0 and ts_us - last_signup_us <= _FUNNEL_GAP_US:
+                if (
+                    last_signup_us is not None
+                    and ts_us - last_signup_us <= _FUNNEL_GAP_US
+                ):
                     n_c += 1
     state.update((last_signup_us, n_p, n_c))
     yield pd.DataFrame(
