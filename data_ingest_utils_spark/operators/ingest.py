@@ -121,12 +121,15 @@ def with_audit(df: DataFrame, load_id: str = "", deterministic: bool = False) ->
     """Attach load metadata: source file, a stable per-row content hash,
     and an optional load id.
 
-    Default fingerprint is ``xxhash64`` over all columns — the cheap
-    JVM-side 64-bit hash (used again by dedup operators) — plus the
-    full ``input_file_name()`` path.  ``deterministic=True`` swaps in a
+    Default fingerprint is ``xxhash64`` over all NON-audit columns
+    (``_audit_*`` from a prior ingest are excluded, so re-auditing is
+    idempotent on content) — the cheap JVM-side 64-bit hash (used
+    again by dedup operators) — plus the full ``input_file_name()``
+    path (NULL, not ``''``, for non-file-backed frames such as JDBC
+    pulls).  ``deterministic=True`` swaps in a
     cross-engine-reproducible form: the source file reduced to its
     basename (env-independent) and ``sha256`` over a chr(31)-joined,
-    length-prefixed string serialization of all columns ('N' for NULL,
+    length-prefixed string serialization of the same columns ('N' for NULL,
     'V<charlen>:<value>' otherwise — NULL distinct from every value,
     and a value containing the delimiter can't shift bytes across
     field boundaries) — so an external engine (e.g. a DuckDB audit
@@ -135,6 +138,13 @@ def with_audit(df: DataFrame, load_id: str = "", deterministic: bool = False) ->
     between engines — use it on int/string/date frames, or pre-format
     floats explicitly.
     """
+    # Re-audit safety (round-8 review): hash only NON-audit columns,
+    # or a frame already carrying _audit_* (re-ingest, a pipeline spec
+    # listing with_audit twice) would fold the STALE hash/source/load
+    # values into the new fingerprint — two rows with identical
+    # business content but different prior loads would then get
+    # different "content" hashes and break downstream CDC/dedup.
+    content_cols = [c for c in df.columns if not c.startswith("_audit_")]
     if deterministic:
         src = F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
         # Unambiguous field serialization: 'N' for NULL (concat_ws
@@ -150,7 +160,7 @@ def with_audit(df: DataFrame, load_id: str = "", deterministic: bool = False) ->
             )
 
         row_hash = F.sha2(
-            F.concat_ws("\x1f", *[_field(c) for c in df.columns]), 256
+            F.concat_ws("\x1f", *[_field(c) for c in content_cols]), 256
         )
     else:
         src = F.input_file_name()
@@ -161,9 +171,14 @@ def with_audit(df: DataFrame, load_id: str = "", deterministic: bool = False) ->
         # WHICH columns were NULL while staying one codegen'd
         # expression: the flag ints always participate in the hash.
         row_hash = F.xxhash64(
-            *[F.isnull(c).cast("int") for c in df.columns],
-            *[F.col(c) for c in df.columns],
+            *[F.isnull(c).cast("int") for c in content_cols],
+            *[F.col(c) for c in content_cols],
         )
+    # Non-file-backed frames (JDBC pulls, Python data sources, in-memory
+    # frames) have no input file: input_file_name() returns '' there,
+    # and a silently-empty-string lineage column reads like data —
+    # surface the absence as NULL instead (round-8 review).
+    src = F.nullif(src, F.lit(""))
     return (
         df.withColumn("_audit_source_file", src)
         .withColumn("_audit_row_hash", row_hash)

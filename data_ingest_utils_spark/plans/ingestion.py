@@ -6,6 +6,9 @@ so the DuckDB oracle can hash-match the transform semantics.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -335,9 +338,7 @@ def ing_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date_too_old": F.year("o_orderdate") < 1992,
     }
     tags = [F.when(pred, F.lit(name)) for name, pred in rules.items()]
-    any_violation = None
-    for pred in rules.values():
-        any_violation = pred if any_violation is None else (any_violation | pred)
+    any_violation = reduce(operator.or_, rules.values())
     return (
         o.filter(any_violation)
         .select("o_orderkey", F.concat_ws(",", *tags).alias("violations"))
@@ -363,9 +364,17 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ``region`` column — read back with mergeSchema=true; old rows
     surface NULL for the added column.  The standard additive-column
     lake upgrade, no rewrite of historical files."""
+    import shutil
+
     from data_ingest_utils_spark.plans.scans import SCRATCH
 
     path = f"{SCRATCH}/evolving_nation"
+    # rmtree the PARENT first (round-8 review): per-subdirectory
+    # overwrite only replaces batch=v1/batch=v2 — a stale sibling
+    # partition dir from an aborted or older-version run would ride
+    # back in through partition discovery and silently shift the
+    # pinned counts (same guard class as scan_json_corrupt).
+    shutil.rmtree(path, ignore_errors=True)
     nation = load_table(spark, sf_dir, "nation")
     v1 = nation.select("n_nationkey")
     v2 = nation.select(
@@ -515,12 +524,13 @@ def ing_type_infer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps while DuckDB does not; double TRY_CAST agrees as-is.
     One union-scan + one hash agg: a single pass at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    sample = None
-    for col in ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"):
-        part = li.select(
-            F.lit(col).alias("col"), F.col(col).cast("string").alias("s")
-        )
-        sample = part if sample is None else sample.unionByName(part)
+    sample = reduce(
+        DataFrame.unionByName,
+        [
+            li.select(F.lit(col).alias("col"), F.col(col).cast("string").alias("s"))
+            for col in ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        ],
+    )
     int_like = F.col("s").rlike("^-?[0-9]+$")
     ts_like = (
         F.col("s").try_cast("timestamp").isNotNull()
@@ -692,8 +702,6 @@ def ing_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds fields).  All leaves are simple projections, so column
     pruning still reaches the scan; from_json is the only parse cost
     and runs JVM-side."""
-    from data_ingest_utils_spark.operators.ingest import flatten_structs
-
     ev = load_table(spark, sf_dir, "events")
     nested = ev.select(
         "event_id",
@@ -706,4 +714,4 @@ def ing_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.from_json("props", "k long").alias("props"),
         ).alias("payload"),
     )
-    return flatten_structs(nested)
+    return ing.flatten_structs(nested)

@@ -51,6 +51,13 @@ def range_partition_predicates(
     if num_partitions <= 1 or upper_bound <= lower_bound:
         return [None]
     n = min(num_partitions, max(1, upper_bound - lower_bound))
+    if n == 1:
+        # the clamp can collapse a multi-partition request to one
+        # (range width 1): that single partition must be the full
+        # unbounded scan, not a WHERE built from two absent bounds
+        # (round-8 review: the else-branch interpolated a literal
+        # Python 'None' into SQL here)
+        return [None]
     stride = upper_bound // n - lower_bound // n
     preds: list[str | None] = []
     current = lower_bound

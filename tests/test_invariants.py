@@ -231,6 +231,10 @@ def test_range_partition_predicates_contract():
     assert range_partition_predicates("id", 0, 2, 8) == [
         "id < 1 OR id IS NULL", "id >= 1",
     ]
+    # width-1 range collapses to ONE full-scan partition — the else
+    # branch must never interpolate absent bounds into SQL (round-8
+    # review: this returned the literal string 'None OR id IS NULL')
+    assert range_partition_predicates("id", 5, 6, 4) == [None]
 
 
 def test_sqlite_partitioned_scan_partition_count(spark):
@@ -850,6 +854,23 @@ def test_knn_join_drops_nan_poisoned_vectors(spark, monkeypatch):
     ids = {r.vec_id for r in out} | {r.nbr_id for r in out}
     assert 3 not in ids, out
     assert all(r.cos_sim is not None for r in out)
+
+
+def test_with_audit_reaudit_is_content_idempotent(spark):
+    """Re-auditing an already-audited frame must hash only the
+    business columns: folding stale _audit_* values into the new
+    fingerprint would give identical content different hashes per
+    prior load (round-8 review).  Both branches, and the non-file
+    source column surfaces NULL, not ''."""
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    for det in (False, True):
+        once = ing.with_audit(df, load_id="A", deterministic=det)
+        twice = ing.with_audit(once, load_id="B", deterministic=det)
+        h1 = once.select("_audit_row_hash").first()[0]
+        h2 = twice.select("_audit_row_hash").first()[0]
+        assert h1 == h2, f"deterministic={det}"
+        # in-memory frame: no input file -> NULL lineage, not ''
+        assert twice.select("_audit_source_file").first()[0] is None
 
 
 def test_simhash_band_candidates_drop_blank_docs(spark):
