@@ -244,3 +244,106 @@ def test_prop_packing_conserves_tokens(spark, ns, seq_len):
         assert 0 < per_seq.iloc[-1] <= seq_len
     else:
         assert out.empty
+
+
+@given(
+    lo=st.integers(-1_000_000, 1_000_000),
+    width=st.integers(0, 10_000),
+    n=st.integers(1, 64),
+)
+@settings(max_examples=60, deadline=None)
+def test_prop_range_partition_predicates_cover_exactly_once(lo, width, n):
+    """The JDBC-style range planner's structural contract, checked
+    through REAL SQL evaluation (sqlite — the same engine the
+    scan_sqlite_partitioned key pulls through): for ARBITRARY bounds
+    the per-partition WHERE clauses are exhaustive and mutually
+    exclusive over every probe value — boundary integers, values far
+    outside [lower, upper), and NULL — so a partitioned pull never
+    drops or duplicates a row.  Generalizes the hand-picked cases in
+    test_invariants.test_range_partition_predicates_contract, and
+    pins the floor-division stride on NEGATIVE bounds (where a
+    truncating-division port would zero the stride)."""
+    import sqlite3
+
+    from data_ingest_utils_spark.sources.jdbc import range_partition_predicates
+
+    hi = lo + width
+    preds = range_partition_predicates("id", lo, hi, n)
+    assert 1 <= len(preds) <= max(1, n)
+    if preds == [None]:
+        return  # single full scan: trivially exhaustive + exclusive
+
+    # probes: all stride boundaries +/-1, bounds, extremes, and NULL
+    probes: set[int | None] = {lo - 1, lo, hi - 1, hi, hi + 1,
+                               -(10**12), 10**12, None}
+    for p in preds:
+        for tok in p.replace("(", " ").replace(")", " ").split():
+            if tok.lstrip("-").isdigit():
+                v = int(tok)
+                probes.update((v - 1, v, v + 1))
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (pk INTEGER PRIMARY KEY, id INTEGER)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(sorted(probes, key=repr)))
+    )
+    matched: list[set[int]] = [
+        {pk for (pk,) in con.execute(f"SELECT pk FROM t WHERE {p}")}
+        for p in preds
+    ]
+    con.close()
+    all_pks = set(range(len(probes)))
+    hit_counts = {pk: sum(pk in m for m in matched) for pk in all_pks}
+    assert all(c == 1 for c in hit_counts.values()), {
+        "preds": preds,
+        "multi_or_missed": {pk: c for pk, c in hit_counts.items() if c != 1},
+    }
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee".split()), max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@SETTINGS
+def test_prop_minhash_signature_paths_identical(spark, docs):
+    """The two MinHash signature paths — text-based
+    ``minhash_signatures`` and the round-8 cached-array derivation
+    ``_signatures_from_hash_arrays`` ∘ ``_shingle_hash_arrays`` — must
+    produce bit-identical signatures for every doc that has shingles
+    (the cached path's claim: min over the DISTINCT shingle-hash set
+    equals min over the shingle multiset, under the same per-
+    permutation re-hash).  Sub-shingle docs are excluded: the
+    standalone path falls back to token sets for them while the
+    pipeline path drops them before candidates (documented)."""
+    from data_ingest_utils_spark.operators.dedup import (
+        _shingle_hash_arrays,
+        _signatures_from_hash_arrays,
+        minhash_signatures,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    num_perm, shingle_n = 8, 3
+
+    via_text = {
+        r.doc_id: tuple(r[f"mh{i}"] for i in range(num_perm))
+        for r in minhash_signatures(
+            df, "text", "doc_id", num_perm, shingle_n
+        ).collect()
+    }
+    hv = _shingle_hash_arrays(
+        df.select("doc_id", "text"), shingle_n, "doc_id"
+    )
+    via_arrays = {
+        r.doc_id: tuple(r[f"mh{i}"] for i in range(num_perm))
+        for r in _signatures_from_hash_arrays(
+            hv, "doc_id", num_perm
+        ).collect()
+    }
+    with_shingles = {i for i, toks in enumerate(docs) if len(toks) >= shingle_n}
+    assert set(via_arrays) == with_shingles
+    for doc_id in with_shingles:
+        assert via_arrays[doc_id] == via_text[doc_id], doc_id
