@@ -4,12 +4,27 @@
 inline blobs — the parquet row holds (uri, byte_size, sha256, modality)
 and small payloads only; decode/feature-extraction runs as Arrow-
 batched ``mapInPandas`` so bytes never round-trip through Python
-row-by-row.  The decode step itself is STUBBED (no image/audio libs in
-this container): ``decode_stub=True`` produces a deterministic fake
-feature vector from the payload hash; ``decode_stub=False`` raises
-NotImplementedError where a real libjpeg/ffmpeg call would go.  The
-Spark-side plumbing — schema, batching, partitioning — is real and
-tested.
+row-by-row.
+
+Decode tiers (round 8 split):
+
+- **REAL decoders** — :func:`decode_image_features` (binary PPM/P6
+  images: :func:`parse_ppm` header parse + numpy pixel statistics)
+  and :func:`decode_audio_features` (RIFF/WAV PCM audio via
+  :func:`parse_wav` on the stdlib ``wave`` module).  Both
+  are genuine byte-level format decoders with zero external
+  dependencies, so the decode path itself — not just the plumbing —
+  executes and is oracle-checked (llm_image_decode /
+  llm_audio_decode run them over deterministic fixtures whose pixel/
+  sample statistics have closed-form SQL).
+- **Stubbed decoders** — compressed formats (JPEG/PNG/MP4/...) need
+  libjpeg/ffmpeg, absent in this container: ``decode_stub=True``
+  produces a deterministic fake feature vector from the payload
+  hash; ``decode_stub=False`` raises NotImplementedError where the
+  real codec call would go.
+
+The Spark-side plumbing — schema, batching, partitioning — is shared
+by both tiers and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -151,3 +166,152 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
 
     return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ------------------------------------------------- real decoders (r8)
+
+#: Output schema of the PPM image decoder.
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+#: Output schema of the WAV audio decoder.
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("rms_amp", T.DoubleType()),
+    ]
+)
+
+
+def parse_ppm(raw: bytes):
+    """Decode a binary PPM (P6) image: ``(width, height, pixels)``
+    with ``pixels`` a ``(height, width, 3)`` uint8 numpy array.
+
+    A REAL byte-level image decode (netpbm is a standard interchange
+    format): magic check, whitespace-delimited header fields, 8-bit
+    raster.  Malformed payloads raise ``ValueError`` — the caller
+    decides quarantine vs fail (llm_image_decode fails fast: its
+    fixtures are generated).  Kept dependency-free on purpose; a
+    JPEG/PNG tier would swap this function for a libjpeg call and
+    keep every Spark-side line unchanged.
+    """
+    import numpy as np
+
+    if raw[:2] != b"P6":
+        raise ValueError(f"not a binary PPM (P6) payload: magic={raw[:2]!r}")
+    # header = magic + 3 whitespace-separated ints; the raster starts
+    # one byte after the maxval token
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(raw[start:pos]))
+    pos += 1  # the single whitespace byte terminating the header
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
+    need = width * height * 3
+    raster = raw[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"PPM raster truncated: need {need} bytes, have {len(raster)}"
+        )
+    return width, height, np.frombuffer(raster, dtype=np.uint8).reshape(
+        height, width, 3
+    )
+
+
+def parse_wav(raw: bytes):
+    """Decode a RIFF/WAV PCM payload: ``(n_samples, sample_rate,
+    samples)`` with ``samples`` an int16 numpy array (mono).
+
+    A REAL audio decode via the stdlib ``wave`` module — RIFF chunk
+    walk, fmt parse, PCM frames.  16-bit mono only (the fixture
+    contract); anything else raises ``ValueError``.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(raw), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError(
+                    f"only 16-bit mono WAV supported, got channels="
+                    f"{w.getnchannels()} sampwidth={w.getsampwidth()}"
+                )
+            n = w.getnframes()
+            rate = w.getframerate()
+            frames = w.readframes(n)
+    except wave.Error as exc:
+        raise ValueError(f"not a PCM WAV payload: {exc}") from exc
+    return n, rate, np.frombuffer(frames, dtype="<i2")
+
+
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode over binary payloads:
+    ``(doc_id, payload)`` → per-image (width, height, per-channel mean)
+    via :func:`parse_ppm`.  Same mapInPandas shape as the stubbed
+    :func:`extract_features` — swapping the stub for a real codec
+    changes only the per-payload Python, never the plan."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = parse_ppm(bytes(payload))
+                means = px.reshape(-1, 3).mean(axis=0)  # float64-exact sums
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode over binary payloads:
+    ``(doc_id, payload)`` → per-clip (n_samples, sample_rate, mean
+    amplitude, RMS amplitude) via :func:`parse_wav`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "n_samples", "sample_rate",
+                                   "mean_amp", "rms_amp")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n, rate, s = parse_wav(bytes(payload))
+                s64 = s.astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["mean_amp"].append(float(s64.mean()) if n else None)
+                out["rms_amp"].append(
+                    float(np.sqrt((s64 * s64).mean())) if n else None
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

@@ -570,6 +570,171 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_media_fixtures(
+    spark: SparkSession, sf_dir: str, kind: str
+) -> tuple[str, list[int]]:
+    """Write 64 deterministic media objects (binary PPM images or PCM
+    WAV clips) for ``doc_id < 64`` into scratch and return (dir,
+    doc_ids).  FIXTURE GENERATION, same class as scan_binaryfile's
+    driver loop — the measured operator is the distributed binaryFile
+    scan + mapInPandas decode that reads these back.  The pixel/sample
+    formulas are pure integer arithmetic so the decoded statistics
+    have closed-form SQL oracles (the decode itself is thereby
+    certified, not just the plumbing)."""
+    import io
+    import shutil
+    import struct
+    import wave
+
+    from data_ingest_utils_spark.plans.scans import SCRATCH
+
+    doc_ids = sorted(
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id")
+        .collect()
+    )
+    path = f"{SCRATCH}/media_{kind}"
+    shutil.rmtree(path, ignore_errors=True)
+    import os
+
+    os.makedirs(path)
+    for d in doc_ids:
+        if kind == "ppm":
+            w, h = 16, 12
+            raster = bytes(
+                (d + 3 * x + 5 * y + 77 * c) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            payload = b"P6\n%d %d\n255\n" % (w, h) + raster
+            fname = f"{path}/img_{d}.ppm"
+        else:
+            samples = [
+                ((d * 31 + i * 17) % 65536) - 32768 for i in range(1000)
+            ]
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(16000)
+                wv.writeframes(struct.pack("<1000h", *samples))
+            payload = buf.getvalue()
+            fname = f"{path}/clip_{d}.wav"
+        with open(fname, "wb") as fh:
+            fh.write(payload)
+    return path, doc_ids
+
+
+@plan(
+    "llm_image_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT d.doc_id, x.range AS x, y.range AS y
+      FROM d, range(16) x, range(12) y
+    )
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(12 AS INTEGER) AS height,
+           round(avg((doc_id + 3*x + 5*y) % 256), 6)       AS mean_r,
+           round(avg((doc_id + 3*x + 5*y + 77) % 256), 6)  AS mean_g,
+           round(avg((doc_id + 3*x + 5*y + 154) % 256), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def llm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: 64 binary PPM (P6) objects staged
+    on disk, read back through the distributed ``binaryFile`` source,
+    and DECODED — magic/header parse + numpy pixel statistics — in
+    Arrow-batched mapInPandas (operators/multimodal.parse_ppm).  The
+    fixture pixel formula ``(doc_id + 3x + 5y + 77c) % 256`` is pure
+    integer arithmetic, so the per-channel means have a closed-form
+    SQL oracle: the driver hash-certifies the DECODER's output, which
+    upgrades the multimodal story from pointer-ware + stub to a real
+    byte-level codec (compressed formats remain the documented
+    NotImplementedError tier — no libjpeg in the sandbox).  Sums of
+    ≤192 uint8 values are float64-exact on both engines, so ROUND(…,6)
+    is collision-free.  100 TB: same plan as any media lake scan —
+    executors list + read objects in parallel, decode runs where the
+    bytes land, only (id, scalar features) ever shuffles."""
+    path, _ = _stage_media_fixtures(spark, sf_dir, "ppm")
+    payloads = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    feats = mm.decode_image_features(payloads)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@plan(
+    "llm_audio_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 31 + i.range * 17) % 65536) - 32768 AS v
+      FROM d, range(1000) i
+    )
+    SELECT doc_id,
+           CAST(1000 AS BIGINT) AS n_samples,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           round(avg(v), 6) AS mean_amp,
+           round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms_amp
+    FROM s GROUP BY doc_id
+    """,
+)
+def llm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: 64 RIFF/WAV PCM clips (16-bit
+    mono, 1000 samples at 16 kHz, sample formula ``((doc_id·31 +
+    i·17) mod 65536) − 32768``) staged on disk, read through
+    ``binaryFile``, and decoded with the stdlib ``wave`` module inside
+    Arrow-batched mapInPandas (operators/multimodal.parse_wav) —
+    header fields (frame count, sample rate) plus mean and RMS
+    amplitude.  Closed-form SQL oracle certifies the decoded values;
+    sums of 1000 int16s (and their squares, < 2^40) are float64-exact
+    on both engines, and sqrt is IEEE-deterministic, so ROUND(…,6)
+    pins the hash.  The audio twin of llm_image_decode — together
+    they retire the 'decoders are stubs' gap for every format the
+    sandbox can express without external codec libraries."""
+    path, _ = _stage_media_fixtures(spark, sf_dir, "wav")
+    payloads = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    feats = mm.decode_audio_features(payloads)
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms_amp", 6).alias("rms_amp"),
+    )
+
+
 @plan(
     "llm_lang_partition",
     oracle="""

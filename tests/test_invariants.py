@@ -952,3 +952,63 @@ def test_extract_features_validates_dim(spark):
     packed = mm.pack_payload(df)
     with pytest.raises(ValueError, match=r"dim=9"):
         mm.extract_features(packed, dim=9)
+
+
+def test_parse_ppm_known_image():
+    """The real PPM decoder against a hand-built 2x1 image: header
+    fields and every pixel byte recovered exactly; malformed payloads
+    (bad magic, truncated raster, 16-bit maxval) raise ValueError
+    rather than poisoning downstream statistics."""
+    import numpy as np
+    import pytest
+
+    from data_ingest_utils_spark.operators import multimodal as mm
+
+    raw = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    w, h, px = mm.parse_ppm(raw)
+    assert (w, h) == (2, 1)
+    assert px.shape == (1, 2, 3)
+    assert px.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+    assert float(px.reshape(-1, 3).mean(axis=0)[0]) == 25.0  # (10+40)/2
+
+    with pytest.raises(ValueError, match="magic"):
+        mm.parse_ppm(b"P5\n2 1\n255\n" + bytes(2))
+    with pytest.raises(ValueError, match="truncated"):
+        mm.parse_ppm(b"P6\n2 1\n255\n" + bytes(5))
+    with pytest.raises(ValueError, match="maxval"):
+        mm.parse_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+    assert np.issubdtype(px.dtype, np.uint8)
+
+
+def test_parse_wav_known_clip():
+    """The real WAV decoder against a stdlib-written 4-sample clip:
+    frame count, rate, and int16 samples recovered exactly; non-WAV
+    bytes and unsupported layouts (stereo) raise ValueError."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from data_ingest_utils_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(struct.pack("<4h", -32768, -1, 0, 32767))
+    n, rate, s = mm.parse_wav(buf.getvalue())
+    assert (n, rate) == (4, 8000)
+    assert s.tolist() == [-32768, -1, 0, 32767]
+
+    with pytest.raises(ValueError, match="WAV"):
+        mm.parse_wav(b"definitely not a riff chunk")
+    stereo = io.BytesIO()
+    with wave.open(stereo, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    with pytest.raises(ValueError, match="mono"):
+        mm.parse_wav(stereo.getvalue())
