@@ -347,3 +347,49 @@ def test_prop_minhash_signature_paths_identical(spark, docs):
     assert set(via_arrays) == with_shingles
     for doc_id in with_shingles:
         assert via_arrays[doc_id] == via_text[doc_id], doc_id
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prop_connected_components_match_union_find(spark, edges):
+    """The distributed min-label-propagation + pointer-jumping
+    component finder against an INDEPENDENT reference (pure-Python
+    union-find) on random graphs — self-loops, parallel/reversed
+    duplicate edges, multiple components, and chains included.  Both
+    must produce identical {vertex: min-vertex-of-component} maps;
+    this pins the iterative algorithm itself, where the fixture
+    oracles only pin one corpus-derived graph shape per run."""
+    from data_ingest_utils_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    for v in parent:
+        root = find(v)
+        expected.setdefault(root, []).append(v)
+    want = {
+        v: min(members)
+        for members in expected.values()
+        for v in members
+    }
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.v: r.component for r in connected_components(df).collect()
+    }
+    assert got == want
