@@ -199,8 +199,9 @@ def parse_ppm(raw: bytes):
     with ``pixels`` a ``(height, width, 3)`` uint8 numpy array.
 
     A REAL byte-level image decode (netpbm is a standard interchange
-    format): magic check, whitespace-delimited header fields, 8-bit
-    raster.  Malformed payloads raise ``ValueError`` — the caller
+    format): magic check, whitespace-delimited header fields (with
+    ``#`` end-of-line comments per the spec), 8-bit raster.  EVERY
+    malformed payload raises ``ValueError`` (fuzz-asserted) — the caller
     decides quarantine vs fail (llm_image_decode fails fast: its
     fixtures are generated).  Kept dependency-free on purpose; a
     JPEG/PNG tier would swap this function for a libjpeg call and
@@ -215,14 +216,26 @@ def parse_ppm(raw: bytes):
     fields: list[int] = []
     pos = 2
     while len(fields) < 3:
-        while pos < len(raw) and raw[pos : pos + 1].isspace():
-            pos += 1
+        # skip whitespace AND netpbm '#' comments (run to end-of-line)
+        while pos < len(raw):
+            if raw[pos : pos + 1].isspace():
+                pos += 1
+            elif raw[pos : pos + 1] == b"#":
+                nl = raw.find(b"\n", pos)
+                pos = len(raw) if nl < 0 else nl + 1
+            else:
+                break
         start = pos
         while pos < len(raw) and not raw[pos : pos + 1].isspace():
             pos += 1
         if start == pos:
             raise ValueError("truncated PPM header")
-        fields.append(int(raw[start:pos]))
+        try:
+            fields.append(int(raw[start:pos]))
+        except ValueError:
+            raise ValueError(
+                f"non-numeric PPM header field: {raw[start:pos]!r}"
+            ) from None
     pos += 1  # the single whitespace byte terminating the header
     width, height, maxval = fields
     if maxval != 255:
@@ -261,8 +274,12 @@ def parse_wav(raw: bytes):
             n = w.getnframes()
             rate = w.getframerate()
             frames = w.readframes(n)
-    except wave.Error as exc:
-        raise ValueError(f"not a PCM WAV payload: {exc}") from exc
+    # wave raises bare EOFError (not wave.Error) on truncated chunks —
+    # fold both into the module's ValueError contract so a dirty
+    # payload surfaces as a classifiable decode error in executors,
+    # never a bare EOFError mid-task
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"not a PCM WAV payload: {exc!r}") from exc
     return n, rate, np.frombuffer(frames, dtype="<i2")
 
 

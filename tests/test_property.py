@@ -393,3 +393,42 @@ def test_prop_connected_components_match_union_find(spark, edges):
         r.v: r.component for r in connected_components(df).collect()
     }
     assert got == want
+
+
+@given(raw=st.binary(max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_prop_media_parsers_never_leak_foreign_errors(raw):
+    """Decoder dirty-payload contract, fuzzed: for ARBITRARY bytes,
+    parse_ppm / parse_wav either return a well-shaped result or raise
+    ValueError — never EOFError / struct.error / IndexError, which
+    would surface in executors as unclassifiable task failures instead
+    of a quarantine-able decode error (wave.open raises bare EOFError
+    on truncated chunks — found by this fuzz and folded into the
+    contract)."""
+    from data_ingest_utils_spark.operators import multimodal as mm
+
+    for fn in (mm.parse_ppm, mm.parse_wav):
+        try:
+            out = fn(raw)
+        except ValueError:
+            continue
+        assert len(out) == 3
+
+
+@given(raw=st.binary(max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_prop_ppm_roundtrip_after_valid_header(raw):
+    """Any byte raster round-trips through parse_ppm when wrapped in a
+    canonical header (incl. a '#' comment line, which the netpbm spec
+    allows anywhere in the header): dims and every pixel byte come
+    back exactly."""
+    from data_ingest_utils_spark.operators import multimodal as mm
+
+    n_px = len(raw) // 3
+    if n_px == 0:
+        return
+    body = raw[: n_px * 3]
+    payload = b"P6\n# fuzz comment\n%d 1\n255\n" % n_px + body
+    w, h, px = mm.parse_ppm(payload)
+    assert (w, h) == (n_px, 1)
+    assert px.tobytes() == body
