@@ -8,13 +8,14 @@ row-by-row.
 
 Decode tiers (round 8 split):
 
-- **REAL decoders** — :func:`decode_image_features` (binary PPM/P6
-  images: :func:`parse_ppm` header parse + numpy pixel statistics)
-  and :func:`decode_audio_features` (RIFF/WAV PCM audio via
-  :func:`parse_wav` on the stdlib ``wave`` module).  Both
-  are genuine byte-level format decoders with zero external
-  dependencies, so the decode path itself — not just the plumbing —
-  executes and is oracle-checked (llm_image_decode /
+- **REAL decoders** — :func:`decode_image_features`
+  (magic-dispatched :func:`parse_image`: binary PPM/P6 header parse
+  and 24-bit BMP with bottom-up BGR rows + 4-byte row padding, both
+  to one numpy RGB contract) and :func:`decode_audio_features`
+  (RIFF/WAV PCM audio via :func:`parse_wav` on the stdlib ``wave``
+  module).  All are genuine byte-level format decoders with zero
+  external dependencies, so the decode path itself — not just the
+  plumbing — executes and is oracle-checked (llm_image_decode /
   llm_audio_decode run them over deterministic fixtures whose pixel/
   sample statistics have closed-form SQL).
 - **Stubbed decoders** — compressed formats (JPEG/PNG/MP4/...) need
@@ -286,16 +287,18 @@ def parse_wav(raw: bytes):
 def decode_image_features(df: DataFrame) -> DataFrame:
     """Arrow-batched REAL image decode over binary payloads:
     ``(doc_id, payload)`` → per-image (width, height, per-channel mean)
-    via :func:`parse_ppm`.  Same mapInPandas shape as the stubbed
-    :func:`extract_features` — swapping the stub for a real codec
-    changes only the per-payload Python, never the plan."""
+    via :func:`parse_image` — magic-dispatched PPM or BMP, so a mixed-
+    container lake directory decodes in one pass.  Same mapInPandas
+    shape as the stubbed :func:`extract_features` — swapping the stub
+    for a real codec changes only the per-payload Python, never the
+    plan."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {k: [] for k in ("doc_id", "width", "height",
                                    "mean_r", "mean_g", "mean_b")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, px = parse_ppm(bytes(payload))
+                w, h, px = parse_image(bytes(payload))
                 means = px.reshape(-1, 3).mean(axis=0)  # float64-exact sums
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
@@ -332,3 +335,63 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+def parse_bmp(raw: bytes):
+    """Decode a 24-bit uncompressed BMP: ``(width, height, pixels)``
+    with ``pixels`` a ``(height, width, 3)`` uint8 RGB array.
+
+    A REAL decode of the mainstream Windows bitmap container:
+    BITMAPFILEHEADER magic + data offset, BITMAPINFOHEADER dims/bpp/
+    compression, then the raster — stored BOTTOM-UP in BGR order with
+    every row padded to a 4-byte boundary, all of which this parser
+    undoes.  24-bit BI_RGB only; anything else (or any truncation)
+    raises ``ValueError`` per the module's decode-error contract.
+    """
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"BM":
+        raise ValueError(f"not a BMP payload: magic={raw[:2]!r}")
+    if len(raw) < 54:
+        raise ValueError(f"truncated BMP header: {len(raw)} bytes")
+    data_offset = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", raw, 14)
+    planes, bpp = struct.unpack_from("<HH", raw, 26)
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit BI_RGB BMP supported, got bpp={bpp} "
+            f"compression={compression}"
+        )
+    if width <= 0 or height == 0 or planes != 1:
+        raise ValueError(f"bad BMP dims: {width}x{height} planes={planes}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    need = row_size * height
+    raster = raw[data_offset : data_offset + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"BMP raster truncated: need {need} bytes, have {len(raster)}"
+        )
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(height, row_size)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return width, height, np.ascontiguousarray(bgr[..., ::-1])  # BGR→RGB
+
+
+def parse_image(raw: bytes):
+    """Magic-dispatched image decode: PPM (P6) or BMP — the container
+    the payload actually is, not what its filename claims.  The
+    per-format parsers share one output contract (width, height, RGB
+    uint8 array), so downstream feature code is format-blind."""
+    if raw[:2] == b"P6":
+        return parse_ppm(raw)
+    if raw[:2] == b"BM":
+        return parse_bmp(raw)
+    raise ValueError(f"unrecognized image container: magic={raw[:2]!r}")

@@ -601,16 +601,44 @@ def _stage_media_fixtures(
 
     os.makedirs(path)
     for d in doc_ids:
-        if kind == "ppm":
+        if kind == "image":
+            # SAME pixel formula in two real containers: even doc_ids
+            # as binary PPM (P6), odd as 24-bit BMP (bottom-up BGR
+            # rows, 4-byte-padded) — the oracle certifies that both
+            # decode to identical statistics, i.e. the format handling
+            # itself is what's being checked
             w, h = 16, 12
-            raster = bytes(
-                (d + 3 * x + 5 * y + 77 * c) % 256
-                for y in range(h)
-                for x in range(w)
-                for c in range(3)
-            )
-            payload = b"P6\n%d %d\n255\n" % (w, h) + raster
-            fname = f"{path}/img_{d}.ppm"
+            px = lambda x, y, c: (d + 3 * x + 5 * y + 77 * c) % 256  # noqa: E731
+            if d % 2 == 0:
+                raster = bytes(
+                    px(x, y, c)
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                payload = b"P6\n%d %d\n255\n" % (w, h) + raster
+                fname = f"{path}/img_{d}.ppm"
+            else:
+                row_size = (w * 3 + 3) & ~3
+                pad = b"\x00" * (row_size - w * 3)
+                raster = b"".join(
+                    bytes(
+                        b_
+                        for x in range(w)
+                        for b_ in (px(x, y, 2), px(x, y, 1), px(x, y, 0))
+                    )
+                    + pad
+                    for y in reversed(range(h))  # bottom-up row order
+                )
+                payload = (
+                    struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII",
+                        40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0,
+                    )
+                    + raster
+                )
+                fname = f"{path}/img_{d}.bmp"
         else:
             samples = [
                 ((d * 31 + i * 17) % 65536) - 32768 for i in range(1000)
@@ -646,27 +674,31 @@ def _stage_media_fixtures(
     """,
 )
 def llm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end-to-end: 64 binary PPM (P6) objects staged
-    on disk, read back through the distributed ``binaryFile`` source,
-    and DECODED — magic/header parse + numpy pixel statistics — in
-    Arrow-batched mapInPandas (operators/multimodal.parse_ppm).  The
-    fixture pixel formula ``(doc_id + 3x + 5y + 77c) % 256`` is pure
-    integer arithmetic, so the per-channel means have a closed-form
-    SQL oracle: the driver hash-certifies the DECODER's output, which
-    upgrades the multimodal story from pointer-ware + stub to a real
-    byte-level codec (compressed formats remain the documented
-    NotImplementedError tier — no libjpeg in the sandbox).  Sums of
-    ≤192 uint8 values are float64-exact on both engines, so ROUND(…,6)
-    is collision-free.  100 TB: same plan as any media lake scan —
-    executors list + read objects in parallel, decode runs where the
-    bytes land, only (id, scalar features) ever shuffles."""
-    path, _ = _stage_media_fixtures(spark, sf_dir, "ppm")
+    """REAL image decode end-to-end over a MIXED-FORMAT lake dir: 64
+    objects staged on disk — even doc_ids as binary PPM (P6), odd as
+    24-bit BMP (bottom-up BGR rows, 4-byte row padding) — read back
+    through the distributed ``binaryFile`` source and DECODED by the
+    magic-dispatched parser (operators/multimodal.parse_image) inside
+    Arrow-batched mapInPandas.  Both containers carry the SAME pixel
+    formula ``(doc_id + 3x + 5y + 77c) % 256`` (pure integer
+    arithmetic), so ONE closed-form SQL oracle certifies that both
+    decoders — including BMP's row-flip, channel-swap, and padding
+    handling — produce identical statistics: the driver hash-grades
+    the codecs themselves, which upgrades the multimodal story from
+    pointer-ware + stub to real byte-level decoding (compressed
+    formats remain the documented NotImplementedError tier — no
+    libjpeg in the sandbox).  Sums of ≤192 uint8 values are
+    float64-exact on both engines, so ROUND(…,6) is collision-free.
+    100 TB: same plan as any media lake scan — executors list + read
+    objects in parallel, decode runs where the bytes land, only
+    (id, scalar features) ever shuffles."""
+    path, _ = _stage_media_fixtures(spark, sf_dir, "image")
     payloads = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.ppm")
+        .option("pathGlobFilter", "img_*")
         .load(path)
         .select(
-            F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm$", 1)
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.(?:ppm|bmp)$", 1)
             .cast("long")
             .alias("doc_id"),
             F.col("content").alias("payload"),

@@ -1012,3 +1012,50 @@ def test_parse_wav_known_clip():
         wv.writeframes(struct.pack("<4h", 1, 2, 3, 4))
     with pytest.raises(ValueError, match="mono"):
         mm.parse_wav(stereo.getvalue())
+
+
+def test_parse_bmp_known_image():
+    """The real BMP decoder against a hand-built 2x2 24-bit bitmap:
+    bottom-up row order flipped back, BGR swapped to RGB, and the
+    2-byte row padding stripped; unsupported layouts (8-bit, RLE) and
+    bad magic raise ValueError.  parse_image dispatches PPM vs BMP on
+    the magic, not the filename."""
+    import struct
+
+    import pytest
+
+    from data_ingest_utils_spark.operators import multimodal as mm
+
+    # image rows (top-down RGB): [[R0,G0,B0],[R1,G1,B1]] / [[R2..],[R3..]]
+    want = [
+        [[10, 11, 12], [20, 21, 22]],
+        [[30, 31, 32], [40, 41, 42]],
+    ]
+    row_size = (2 * 3 + 3) & ~3  # 8: two padding bytes per row
+    raster = b""
+    for y in (1, 0):  # bottom-up storage
+        row = b"".join(
+            bytes((px[2], px[1], px[0])) for px in want[y]  # BGR
+        )
+        raster += row + b"\x00" * (row_size - len(row))
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster),
+                      2835, 2835, 0, 0)
+        + raster
+    )
+    w, h, px = mm.parse_bmp(payload)
+    assert (w, h) == (2, 2)
+    assert px.tolist() == want
+    # dispatcher: same payload through parse_image
+    assert mm.parse_image(payload)[2].tolist() == want
+
+    with pytest.raises(ValueError, match="magic"):
+        mm.parse_bmp(b"XX" + payload[2:])
+    bad_bpp = payload[:28] + struct.pack("<H", 8) + payload[30:]
+    with pytest.raises(ValueError, match="24-bit"):
+        mm.parse_bmp(bad_bpp)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.parse_bmp(payload[:-3])
+    with pytest.raises(ValueError, match="unrecognized"):
+        mm.parse_image(b"\x89PNG\r\n")
