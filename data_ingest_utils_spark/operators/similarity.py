@@ -423,13 +423,21 @@ def semdedup(
         F.col("_nrm").alias("_b_nrm"),
         F.col("cell").alias("_b_cell"),
     )
+    # nanvl: a NaN element (failed encoder) makes the dot product NaN,
+    # and Spark evaluates NaN >= threshold as TRUE (NaN is larger than
+    # everything) — without the fold one poisoned vector would mark
+    # every later same-cell id as a duplicate.  Folded to NULL, the
+    # filter drops the pair: the same NULL contract as pairwise_cosine
+    # (the norms here are precomputed, so _cosine itself can't be
+    # reused without re-deriving them per pair).
+    pair_cos = F.nanvl(
+        _dot(F.col("_a_vec"), F.col("_b_vec"))
+        / F.nullif(F.col("_a_nrm") * F.col("_b_nrm"), F.lit(0.0)),
+        F.lit(None).cast("double"),
+    )
     dup_ids = (
         a.join(b, (F.col("_a_cell") == F.col("_b_cell")) & (F.col("_a_id") < F.col("_b_id")))
-        .filter(
-            _dot(F.col("_a_vec"), F.col("_b_vec"))
-            / F.nullif(F.col("_a_nrm") * F.col("_b_nrm"), F.lit(0.0))
-            >= threshold
-        )
+        .filter(pair_cos >= threshold)
         .select(F.col("_b_id").alias(id_col))
         .distinct()
     )

@@ -1059,3 +1059,25 @@ def test_parse_bmp_known_image():
         mm.parse_bmp(payload[:-3])
     with pytest.raises(ValueError, match="unrecognized"):
         mm.parse_image(b"\x89PNG\r\n")
+
+
+def test_semdedup_nan_vector_poisons_nothing(spark):
+    """A NaN-element vector (failed encoder) must not mark same-cell
+    neighbors as duplicates: its pair cosine is NaN, and Spark
+    evaluates NaN >= threshold as TRUE unless folded to NULL — the
+    round-8 pairwise_cosine contract, applied to semdedup's inline
+    precomputed-norm filter."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0 — must be kept
+        (2, [float("nan"), 1.0, 0.0, 0.0]),  # poisoned
+        (3, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to all — must be kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n_cells=1 forces every vector into ONE cell, so each poisoned
+    # pair (0,2), (1,2), (2,3) is definitely generated — pre-fix,
+    # NaN >= 0.95 evaluated TRUE and dropped vectors 2 and 3
+    out = {r.vec_id: r.is_kept for r in
+           sim.semdedup(df, threshold=0.95, n_cells=1, iters=1).collect()}
+    # NO vector may be dropped: there is no real cosine >= 0.95 pair
+    assert all(out.values()), out
