@@ -11,13 +11,15 @@ Decode tiers (round 8 split):
 - **REAL decoders** — :func:`decode_image_features`
   (magic-dispatched :func:`parse_image`: binary PPM/P6 header parse
   and 24-bit BMP with bottom-up BGR rows + 4-byte row padding, both
-  to one numpy RGB contract) and :func:`decode_audio_features`
+  to one numpy RGB contract), :func:`decode_audio_features`
   (RIFF/WAV PCM audio via :func:`parse_wav` on the stdlib ``wave``
-  module).  All are genuine byte-level format decoders with zero
-  external dependencies, so the decode path itself — not just the
-  plumbing — executes and is oracle-checked (llm_image_decode /
-  llm_audio_decode run them over deterministic fixtures whose pixel/
-  sample statistics have closed-form SQL).
+  module), and :func:`decode_video_features` (YUV4MPEG2 raw video —
+  stream-header tags + per-FRAME planes via :func:`parse_y4m`).
+  All are genuine byte-level format decoders with zero external
+  dependencies, so the decode path itself — not just the plumbing —
+  executes and is oracle-checked (llm_image_decode /
+  llm_audio_decode / llm_video_decode run them over deterministic
+  fixtures whose pixel/sample statistics have closed-form SQL).
 - **Stubbed decoders** — compressed formats (JPEG/PNG/MP4/...) need
   libjpeg/ffmpeg, absent in this container: ``decode_stub=True``
   produces a deterministic fake feature vector from the payload
@@ -395,3 +397,105 @@ def parse_image(raw: bytes):
     if raw[:2] == b"BM":
         return parse_bmp(raw)
     raise ValueError(f"unrecognized image container: magic={raw[:2]!r}")
+
+
+#: Output schema of the Y4M video decoder.
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("mean_luma_f0", T.DoubleType()),
+    ]
+)
+
+
+def parse_y4m(raw: bytes):
+    """Decode a YUV4MPEG2 (Y4M) video stream: ``(width, height,
+    frames)`` with ``frames`` a ``(n_frames, height, width)`` uint8
+    luma array.
+
+    A REAL decode of the standard uncompressed video interchange
+    container (the ffmpeg/mplayer raw format): ``YUV4MPEG2`` stream
+    header with space-separated tagged parameters (W/H/C...), then one
+    ``FRAME`` header + raw plane bytes per frame.  ``Cmono``
+    (luma-only) streams only — the fixture contract; chroma-subsampled
+    layouts raise ``ValueError`` like every other unsupported-layout
+    branch in this module.
+    """
+    import numpy as np
+
+    magic = b"YUV4MPEG2"
+    if raw[: len(magic)] != magic:
+        raise ValueError(f"not a Y4M payload: magic={raw[:9]!r}")
+    nl = raw.find(b"\n", len(magic))
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    width = height = None
+    colorspace = b"C420"  # Y4M default when no C tag is present
+    for tag in raw[len(magic) : nl].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        try:
+            if key == b"W":
+                width = int(val)
+            elif key == b"H":
+                height = int(val)
+        except ValueError:
+            raise ValueError(f"bad Y4M header tag: {tag!r}") from None
+        if key == b"C":
+            colorspace = tag
+    if not width or not height or width < 0 or height < 0:
+        raise ValueError(f"bad Y4M dims: W={width} H={height}")
+    if colorspace != b"Cmono":
+        raise ValueError(
+            f"only Cmono Y4M supported, got {colorspace!r}"
+        )
+    frame_size = width * height
+    frames = []
+    pos = nl + 1
+    while pos < len(raw):
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad Y4M frame marker at offset {pos}")
+        fnl = raw.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated Y4M frame header")
+        plane = raw[fnl + 1 : fnl + 1 + frame_size]
+        if len(plane) != frame_size:
+            raise ValueError(
+                f"Y4M frame truncated: need {frame_size}, have {len(plane)}"
+            )
+        frames.append(np.frombuffer(plane, dtype=np.uint8).reshape(height, width))
+        pos = fnl + 1 + frame_size
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return width, height, np.stack(frames)
+
+
+def decode_video_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL video decode over binary payloads:
+    ``(doc_id, payload)`` → per-clip (dims, frame count, whole-clip and
+    first-frame mean luma) via :func:`parse_y4m`.  The video leg of the
+    real-decoder tier — same mapInPandas plumbing as image/audio."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_frames",
+                                   "mean_luma", "mean_luma_f0")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = parse_y4m(bytes(payload))
+                f64 = frames.astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["mean_luma"].append(float(f64.mean()))
+                out["mean_luma_f0"].append(float(f64[0].mean()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, VIDEO_FEATURE_SCHEMA)

@@ -639,6 +639,19 @@ def _stage_media_fixtures(
                     + raster
                 )
                 fname = f"{path}/img_{d}.bmp"
+        elif kind == "y4m":
+            # luma-only YUV4MPEG2 clips: 8 frames of 16x12, luma
+            # (doc_id + 3x + 5y + 11f) % 256 — the standard raw video
+            # interchange container, decodable without ffmpeg
+            w, h, n_frames = 16, 12, 8
+            payload = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (w, h)
+            for f_ in range(n_frames):
+                payload += b"FRAME\n" + bytes(
+                    (d + 3 * x + 5 * y + 11 * f_) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+            fname = f"{path}/clip_{d}.y4m"
         else:
             samples = [
                 ((d * 31 + i * 17) % 65536) - 32768 for i in range(1000)
@@ -764,6 +777,64 @@ def llm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         F.round("mean_amp", 6).alias("mean_amp"),
         F.round("rms_amp", 6).alias("rms_amp"),
+    )
+
+
+@plan(
+    "llm_video_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    px AS (
+      SELECT d.doc_id, x.range AS x, y.range AS y, f.range AS f
+      FROM d, range(16) x, range(12) y, range(8) f
+    )
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(12 AS INTEGER) AS height,
+           CAST(8 AS INTEGER) AS n_frames,
+           round(avg((doc_id + 3*x + 5*y + 11*f) % 256), 6) AS mean_luma,
+           round(avg(CASE WHEN f = 0
+                          THEN (doc_id + 3*x + 5*y) % 256 END), 6)
+             AS mean_luma_f0
+    FROM px GROUP BY doc_id
+    """,
+)
+def llm_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: 64 luma-only YUV4MPEG2 clips
+    (8 frames of 16x12, the ffmpeg/mplayer raw interchange container)
+    staged on disk, read through the distributed ``binaryFile``
+    source, and decoded — stream-header tag parse + per-FRAME plane
+    extraction — by operators/multimodal.parse_y4m inside
+    Arrow-batched mapInPandas.  The luma formula ``(doc_id + 3x + 5y
+    + 11f) % 256`` gives whole-clip and first-frame means a
+    closed-form SQL oracle, so the driver hash-certifies the video
+    container handling itself.  Completes the real-decoder triad:
+    image (PPM/BMP), audio (WAV), video (Y4M) — every modality the
+    sandbox can express without external codec libraries; compressed
+    codecs remain the documented NotImplementedError tier.  Sums of
+    1536 uint8 values are float64-exact on both engines, so
+    ROUND(…,6) is collision-free.  100 TB: decode runs where the
+    bytes land; only (id, scalar features) shuffles."""
+    path, _ = _stage_media_fixtures(spark, sf_dir, "y4m")
+    payloads = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.y4m")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"clip_(\d+)\.y4m$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    feats = mm.decode_video_features(payloads)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("mean_luma_f0", 6).alias("mean_luma_f0"),
     )
 
 

@@ -1081,3 +1081,33 @@ def test_semdedup_nan_vector_poisons_nothing(spark):
            sim.semdedup(df, threshold=0.95, n_cells=1, iters=1).collect()}
     # NO vector may be dropped: there is no real cosine >= 0.95 pair
     assert all(out.values()), out
+
+
+def test_parse_y4m_known_clip():
+    """The real Y4M decoder against a hand-built 2-frame 2x2 mono
+    clip: header tags parsed, per-FRAME planes extracted exactly;
+    truncated frames, chroma-subsampled streams, and bad magic raise
+    ValueError."""
+    import pytest
+
+    from data_ingest_utils_spark.operators import multimodal as mm
+
+    payload = (
+        b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n"
+        b"FRAME\n" + bytes([1, 2, 3, 4]) +
+        b"FRAME\n" + bytes([5, 6, 7, 8])
+    )
+    w, h, frames = mm.parse_y4m(payload)
+    assert (w, h) == (2, 2)
+    assert frames.shape == (2, 2, 2)
+    assert frames[0].tolist() == [[1, 2], [3, 4]]
+    assert frames[1].tolist() == [[5, 6], [7, 8]]
+
+    with pytest.raises(ValueError, match="magic"):
+        mm.parse_y4m(b"RIFFYUV4MPEG2")
+    with pytest.raises(ValueError, match="Cmono"):
+        mm.parse_y4m(b"YUV4MPEG2 W2 H2 C420\nFRAME\n" + bytes(6))
+    with pytest.raises(ValueError, match="truncated|marker"):
+        mm.parse_y4m(b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + bytes(3))
+    with pytest.raises(ValueError, match="no frames"):
+        mm.parse_y4m(b"YUV4MPEG2 W2 H2 Cmono\n")

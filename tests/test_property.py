@@ -407,7 +407,8 @@ def test_prop_media_parsers_never_leak_foreign_errors(raw):
     contract)."""
     from data_ingest_utils_spark.operators import multimodal as mm
 
-    for fn in (mm.parse_ppm, mm.parse_bmp, mm.parse_image, mm.parse_wav):
+    for fn in (mm.parse_ppm, mm.parse_bmp, mm.parse_image, mm.parse_y4m,
+               mm.parse_wav):
         try:
             out = fn(raw)
         except ValueError:
