@@ -411,3 +411,17 @@ def test_clusters_scale_profile_swaps_candidate_source(spark, monkeypatch):
     monkeypatch.setattr(llm_plans, "SWEEP_PROFILE", "scale")
     QUERIES["llm_dedup_clusters"](spark, SF_T2)
     assert calls == ["exact", "banded"]
+
+
+@pytest.mark.parametrize(
+    "key", ["llm_image_decode", "llm_audio_decode", "llm_video_decode"]
+)
+def test_media_decode_runs_in_scan_stage(spark, key):
+    """The real-decoder keys must decode WHERE THE BYTES LAND: a
+    binaryFile scan feeding MapInPandas with NO Exchange anywhere —
+    at 100 TB shuffling payload bytes to decode them elsewhere would
+    multiply the job's network cost by the media volume.  Only
+    (id, scalar features) may ever leave the scan stage."""
+    plan = _plan(spark, key)
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
