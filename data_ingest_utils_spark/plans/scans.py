@@ -538,7 +538,7 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT m + INTERVAL 1 MONTH FROM months CROSS JOIN bounds WHERE m < hi)
     SELECT m AS month_start,
            CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0), 6) AS revenue
+           round(coalesce(sum(o_totalprice), 0), 2) AS revenue
     FROM months LEFT JOIN orders
       ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
     GROUP BY m
@@ -564,7 +564,12 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     stepping +8 per level yields the identical month set in an eighth
     of the levels; the batching dial is the anchor width, the shape
     every recursive-CTE user should reach for when per-level data is
-    tiny."""
+    tiny.
+
+    Revenue rounds at 2 dp (cents): the ~5e8 monthly sums cross
+    ROUND(…,6)'s half-step under accumulation-order ulp at sf0.1
+    (matched-scale probe, round 8) — same hardening as
+    agg_hash_group's money sums."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_rc_orders")
     return spark.sql(
         """
@@ -581,7 +586,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE m + INTERVAL 8 MONTH <= hi)
         SELECT m AS month_start,
                CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-               round(coalesce(sum(o_totalprice), 0), 6) AS revenue
+               round(coalesce(sum(o_totalprice), 0), 2) AS revenue
         FROM months LEFT JOIN v_rc_orders
           ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
         GROUP BY m

