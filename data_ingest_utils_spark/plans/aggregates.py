@@ -120,18 +120,23 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_filtered",
     oracle="""
     SELECT o_orderpriority,
-           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 6) AS f_total,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS f_total,
            count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
            count(*) AS n_all
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional (pivot-style) aggregation via sum(CASE WHEN …)."""
+    """Conditional (pivot-style) aggregation via sum(CASE WHEN …).
+
+    f_total rounds at 2 dp (cents): the filtered money sum reaches
+    ~2.2e9 at sf0.1 and ~2.5e10 at sf1, where accumulation-order ulp
+    crosses ROUND(…,6)'s half-step (sf1 matched-scale probe, round 8:
+    4 cells off by ≤8e-6) — the standing money-sum hardening."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 6
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
         ).alias("f_total"),
         F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("n_open"),
         F.count("*").alias("n_all"),

@@ -68,10 +68,14 @@ from pathlib import Path
 #: under accumulation-order ulp (max |Δ| 2e-6 over 38 cells) — the
 #: same money-sum class as the four r7-hardened keys, missed then
 #: because the probe only covered the bench shapes.
+#: Round 8 (final session, cont.): ``agg_filtered`` — f_total hardened
+#: 6 dp → 2 dp after the sf1 (100×) probe showed its ~2.5e10 filtered
+#: money sum off by ≤8e-6 across 4 cells; same class as above.
 OUTPUT_CHANGED: list[tuple[str, int]] = [
     ("udf_cogrouped_map", 8),
     ("fn_try_arithmetic", 8),
     ("sql_recursive_cte", 8),
+    ("agg_filtered", 8),
 ]
 
 #: Driver truncation point — grades per round observed in every

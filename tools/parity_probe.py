@@ -55,8 +55,19 @@ def main() -> int:
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
+        # testdata dirs hold one file per table; Spark-written scale
+        # dirs (tools/make_scale_data.py) hold a DIRECTORY of part
+        # files under the same name — glob in that case.  A missing
+        # table (e.g. embeddings at sf1) just skips its view; keys
+        # that need it fail individually instead of blocking the run.
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            print(f"probe: no {t} table at {args.sf} — skipped", file=sys.stderr)
+            continue
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     fails: list[tuple[str, str]] = []
