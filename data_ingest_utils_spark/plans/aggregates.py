@@ -181,13 +181,19 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
     SELECT c_mktsegment, n_name,
-           count(*) AS n_rows, round(sum(c_acctbal), 6) AS sum_bal
+           count(*) AS n_rows, round(sum(c_acctbal), 2) AS sum_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets via the SQL entry point (EP3)."""
+    """Explicit grouping sets via the SQL entry point (EP3).
+
+    sum_bal rounds at 2 dp (cents): the grand-total () grouping set
+    sums every customer's balance (~6.8e8 at sf1), where
+    accumulation-order ulp crosses ROUND(…,6)'s half-step (sf1
+    matched-scale probe, round 8: 1 cell off by 1e-6) — the standing
+    money-sum hardening."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).createOrReplaceTempView(
@@ -196,7 +202,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_mktsegment, n_name,
-               count(*) AS n_rows, round(sum(c_acctbal), 6) AS sum_bal
+               count(*) AS n_rows, round(sum(c_acctbal), 2) AS sum_bal
         FROM _gs_customer_nation
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
         """

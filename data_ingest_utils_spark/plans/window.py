@@ -76,6 +76,7 @@ OUTPUT_CHANGED: list[tuple[str, int]] = [
     ("fn_try_arithmetic", 8),
     ("sql_recursive_cte", 8),
     ("agg_filtered", 8),
+    ("agg_grouping_sets", 8),
 ]
 
 #: Driver truncation point — grades per round observed in every
