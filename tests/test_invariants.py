@@ -569,6 +569,60 @@ def test_kmeans_sse_monotone_and_deterministic(spark):
     assert {r.vec_id: r.cell for r in a2.collect()} == cells1
 
 
+def test_kmeans_assign_matches_literal_form(spark):
+    """The r9 broadcast-model assign (centroids as a one-row DATA
+    DataFrame, transform-index argmin) must reproduce the pre-r9
+    literal-expression argmin bit-for-bit: identical cell per vector
+    AND identical final SSE double (the sum of the very sq_dist
+    values the new plan computes).  The arithmetic (zip_with
+    squared-diff, left-fold sum, (d, id) struct tie-break) is
+    unchanged — only the plan shape moved, so any drift here is a
+    bug, not tolerance."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    assigned, cents, sse = sim.kmeans_fit_predict(emb, k=8, iters=2)
+
+    def sq_dist_to(c):  # the pre-r9 O(k·dim) literal-expression form
+        clit = F.array(*[F.lit(v) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(sq_dist_to(c).alias("d"), F.lit(ci).alias("c"))
+                for ci, c in enumerate(cents)
+            ]
+        )
+    )
+    literal = emb.select(
+        "vec_id", best["c"].alias("cell"), best["d"].alias("sq_dist")
+    )
+    lit_cells = {r.vec_id: r.cell for r in literal.collect()}
+    new_cells = {r.vec_id: r.cell for r in assigned.collect()}
+    assert new_cells == lit_cells
+    lit_sse = literal.agg(F.sum("sq_dist")).collect()[0][0]
+    assert float(lit_sse) == sse[-1]
+
+
+def test_kmeans_k256_constant_plan(spark):
+    """VERDICT r8 #1 done-criterion: fitting k=256 must not blow the
+    Catalyst plan up — the centroid model rides as broadcast DATA, so
+    the optimized assignment plan stays KBs at any k (the pre-r9
+    literal form was ~190 KB of plan at k=256·dim=64 and would hit
+    millions of nodes at production cell counts)."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    assert emb.count() >= 256
+    assigned, cents, sse = sim.kmeans_fit_predict(emb, k=256, iters=1)
+    assert len(cents) == 256
+    plan = assigned._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, f"assignment plan ballooned: {len(plan)} chars"
+    for earlier, later in zip(sse, sse[1:]):
+        assert later <= earlier * (1 + 1e-9)
+
+
 def test_ivf_kmeans_recall_and_full_probe_exact(spark):
     """Learned-cell IVF: nprobe=2/8 keeps majority recall vs brute
     force on the fixture (observed 3/5), and probing ALL cells must
