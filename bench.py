@@ -65,6 +65,12 @@ HEAVY_SF1 = [
     # onto ONE join key in-plan, joined via targeted hot-key salting —
     # the pathological-skew class the other shapes can't exercise.
     "join_skew_stress",
+    # vector shape (VERDICT r8 #2): blocked embedding-cosine near-dup
+    # over the r9 scaled embeddings (20 k vectors, replica-disjoint
+    # label blocks) — the pair-join + higher-order-function dot-product
+    # stress the relational shapes can't exercise.  Norms pre-attached
+    # per side (round 9), so the pair stage is dot-only.
+    "llm_embed_near_dup",
 ]
 # Median-of-3 by default (VERDICT r7 #1): the documented host
 # CPU-steal noise band (BASELINE.md:97-105, same-plan totals vary up

@@ -69,6 +69,11 @@ def _cosine(a: Column, b: Column) -> Column:
 #: has a stable surface.
 pairwise_cosine = _cosine
 
+#: Public dot-product column helper for callers that pre-attach norms
+#: (llm_knn_join, embedding_near_dup_pairs) instead of paying
+#: per-pair norm recomputation inside :func:`pairwise_cosine`.
+vector_dot = _dot
+
 
 def cosine_to_query(df: DataFrame, vec_col: str, query: Sequence[float]) -> Column:
     """Cosine similarity of each row's vector to a literal query vector
@@ -196,15 +201,32 @@ def embedding_near_dup_pairs(
 
     ``block_col=None`` scores all pairs (oracle-checkable baseline —
     viable at fixture scale); with a block column the same plan rides
-    an equi-join (LSH bucket / IVF cell at 100 TB)."""
-    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
+    an equi-join (LSH bucket / IVF cell at 100 TB).
+
+    Each vector's norm is computed ONCE before the self-join (the
+    semdedup optimization, applied here round 9): per-pair ``_cosine``
+    re-derives both norms, which is O(pairs·dim) redundant
+    higher-order-function work — 2/3 of the pair-stage arithmetic.
+    The pair stage keeps only the dot product; cos = dot /
+    nullif(na·nb, 0) with the same nanvl NULL fold, so values are
+    bit-identical to the per-pair form (same doubles, same NULL
+    contract — the sf1 parity probe re-certified the key after this
+    change)."""
+    wn = df.withColumn("_nrm", _norm(F.col(vec_col)))
+    a = wn.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
+                  F.col("_nrm").alias("_na"),
                   *( [F.col(block_col).alias("_blk")] if block_col else [] ))
-    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
+    b = wn.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
+                  F.col("_nrm").alias("_nb"),
                   *( [F.col(block_col).alias("_blk")] if block_col else [] ))
     joined = (
         a.join(b, "_blk") if block_col else a.crossJoin(b)
     ).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _cosine(F.col("_va"), F.col("_vb"))
+    cos = F.nanvl(
+        _dot(F.col("_va"), F.col("_vb"))
+        / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
+        F.lit(None).cast("double"),
+    )
     return (
         joined.withColumn("cos_sim", F.round(cos, 4))
         .filter(F.col("cos_sim") >= threshold)

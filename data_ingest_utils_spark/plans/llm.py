@@ -1123,12 +1123,30 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     emb = emb.filter((sq_norm > 0) & ~F.isnan(sq_norm))
-    a = emb.select("vec_id", "label", F.col("embedding").alias("_va"))
+    # Precompute each vector's norm ONCE before the pair join (the
+    # semdedup/near-dup optimization, applied round 9): pairwise_cosine
+    # re-derives both norms per pair — 2/3 of the pair-stage
+    # higher-order-function arithmetic on an O(Σ|cell|²) stream.
+    # cos = dot / nullif(na·nb, 0) with the same nanvl fold is
+    # bit-identical (sqrt of the same sq_norm doubles, same order).
+    emb = emb.withColumn("_nrm", F.sqrt(sq_norm))
+    a = emb.select(
+        "vec_id", "label", F.col("embedding").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
     b = emb.select(
-        F.col("vec_id").alias("nbr_id"), "label", F.col("embedding").alias("_vb")
+        F.col("vec_id").alias("nbr_id"), "label",
+        F.col("embedding").alias("_vb"), F.col("_nrm").alias("_nb"),
     )
     pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nbr_id"))
-    cos = F.round(sim.pairwise_cosine(F.col("_va"), F.col("_vb")), 4)
+    cos = F.round(
+        F.nanvl(
+            sim.vector_dot(F.col("_va"), F.col("_vb"))
+            / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
+            F.lit(None).cast("double"),
+        ),
+        4,
+    )
     scored = pairs.select("vec_id", "nbr_id", cos.alias("cos_sim"))
     return topk_per_group(
         scored, ["vec_id"], [F.col("cos_sim").desc(), F.col("nbr_id")], 3, "rnk"

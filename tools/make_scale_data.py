@@ -25,9 +25,17 @@ Replication semantics — each replica is a self-consistent universe:
   (naive text copies would make every doc a 10-way exact duplicate and
   turn dedup benches into a 90%-dup-rate workload).  n_chars is
   recomputed from the rewritten text.
-- embeddings: intentionally skipped — replicating identical vectors
-  would plant N-way zero-distance duplicates and distort ANN benches;
-  scale vector workloads need genuinely new vectors, not copies.
+- embeddings (round 9 — VERDICT r8 task #2): vec_id strided and label
+  offset per replica (label + i·stride_label), so the coarse-cell
+  blocking keys (label = IVF cell / near-dup block) stay replica-
+  disjoint — block sizes are unchanged and block-quadratic keys
+  (llm_embed_near_dup, llm_knn_join) scale ×N, not ×N².  Replica 0
+  keeps the ORIGINAL vector bytes (planted structure intact: the
+  vec_id=0 query row and its neighbors survive verbatim); replicas
+  i>0 get per-element deterministic perturbation
+  ``v[j] + 0.02·U(vec_id, i, j)`` with U a xxhash64-derived value in
+  [-1, 1] — genuinely new vectors (no N-way zero-distance planted
+  duplicates), same magnitude profile, float32 like the fixture.
 """
 
 from __future__ import annotations
@@ -109,6 +117,40 @@ def main() -> int:
         .drop("_rep")
     )
     write(rep, "documents", 8)
+
+    emb = load_table(spark, src, "embeddings")
+    stride_v = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    stride_l = emb.agg(F.max("label")).collect()[0][0] + 1
+    erep = emb.crossJoin(spark.range(n).select(F.col("id").alias("_rep")))
+    noise = lambda x, j: (  # deterministic, in [-1, 1], float32 out
+        x.cast("double")
+        + 0.02
+        * (
+            (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), F.col("_rep"), j), F.lit(2001)
+                )
+                - 1000
+            )
+            / 1000.0
+        )
+    ).cast("float")
+    erep = (
+        erep.withColumn(
+            "embedding",
+            F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(
+                F.transform(F.col("embedding"), noise)
+            ),
+        )
+        .withColumn(
+            "vec_id", (F.col("vec_id") + F.col("_rep") * F.lit(stride_v)).cast("long")
+        )
+        .withColumn(
+            "label", (F.col("label") + F.col("_rep") * F.lit(stride_l)).cast("int")
+        )
+        .drop("_rep")
+    )
+    write(erep, "embeddings", 4)
     print(f"scale data written to {dst} (x{n} of {src})", file=sys.stderr)
     return 0
 
