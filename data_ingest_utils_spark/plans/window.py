@@ -71,12 +71,20 @@ from pathlib import Path
 #: Round 8 (final session, cont.): ``agg_filtered`` — f_total hardened
 #: 6 dp → 2 dp after the sf1 (100×) probe showed its ~2.5e10 filtered
 #: money sum off by ≤8e-6 across 4 cells; same class as above.
+#: Round 9: ``llm_dedup_ngram_jaccard`` — the quadratic exact oracle
+#: twin is now certified on the even-doc_id half of the corpus (both
+#: engine and oracle sides, VERDICT r8 #3): quarters the demo's
+#: within-block pair space so the sweep tail stops being dominated by
+#: it, while still certifying the full blocking/shingle/Jaccard
+#: pipeline on real near-dup pairs.  Result set shrinks to the pairs
+#: with both endpoints even ⇒ re-grade.
 OUTPUT_CHANGED: list[tuple[str, int]] = [
     ("udf_cogrouped_map", 8),
     ("fn_try_arithmetic", 8),
     ("sql_recursive_cte", 8),
     ("agg_filtered", 8),
     ("agg_grouping_sets", 8),
+    ("llm_dedup_ngram_jaccard", 9),
 ]
 
 #: Driver truncation point — grades per round observed in every
