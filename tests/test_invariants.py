@@ -863,6 +863,13 @@ def test_verify_broadcast_auto_gate(spark):
     # explicit flags skip the probe entirely
     assert dd._resolve_broadcast_verify(docs, True, 0, "doc_id") is True
     assert dd._resolve_broadcast_verify(docs, False, 10**9, "doc_id", cluster) is False
+    # local-cluster spawns real executor JVMs (netty shuffle/torrent
+    # broadcast over loopback) — the DISTRIBUTED arm, despite the
+    # "local" prefix; tools/broadcast_verify_ab.py executes it for
+    # real (ABCHECK_r09.json)
+    lc = "local-cluster[2,4,4096]"
+    assert dd._resolve_broadcast_verify(docs, None, 100, "doc_id", lc) is True
+    assert dd._resolve_broadcast_verify(docs, None, 4, "doc_id", lc) is False
 
 
 def test_cosine_nan_contract(spark):
