@@ -214,6 +214,14 @@ def parse_ppm(raw: bytes):
 
     if raw[:2] != b"P6":
         raise ValueError(f"not a binary PPM (P6) payload: magic={raw[:2]!r}")
+    # the magic must be FOLLOWED by whitespace (or a '#' comment) per
+    # the spec — without this check b"P642 12 ..." would merge "42"
+    # after the magic into the width token (ADVICE r8)
+    if not (raw[2:3].isspace() or raw[2:3] == b"#"):
+        raise ValueError(
+            f"malformed PPM header: magic not followed by whitespace "
+            f"({raw[:3]!r})"
+        )
     # header = magic + 3 whitespace-separated ints; the raster starts
     # one byte after the maxval token
     fields: list[int] = []
@@ -233,12 +241,12 @@ def parse_ppm(raw: bytes):
             pos += 1
         if start == pos:
             raise ValueError("truncated PPM header")
-        try:
-            fields.append(int(raw[start:pos]))
-        except ValueError:
-            raise ValueError(
-                f"non-numeric PPM header field: {raw[start:pos]!r}"
-            ) from None
+        tok = raw[start:pos]
+        # plain ASCII digits only — int() also accepts non-spec tokens
+        # like b"1_0" (underscore separators) and b"+3" (ADVICE r8)
+        if not tok.isdigit():
+            raise ValueError(f"non-numeric PPM header field: {tok!r}")
+        fields.append(int(tok))
     pos += 1  # the single whitespace byte terminating the header
     width, height, maxval = fields
     if maxval != 255:
@@ -283,6 +291,16 @@ def parse_wav(raw: bytes):
     # never a bare EOFError mid-task
     except (wave.Error, EOFError) as exc:
         raise ValueError(f"not a PCM WAV payload: {exc!r}") from exc
+    # the header's frame count must agree with the bytes actually
+    # present: a data chunk truncated at an even byte count makes
+    # readframes return fewer samples than n, silently desyncing
+    # n_samples from the sample array (ADVICE r8) — a classifiable
+    # decode error, not a silent inconsistency
+    if len(frames) != 2 * n:
+        raise ValueError(
+            f"WAV data truncated: header declares {n} frames "
+            f"({2 * n} bytes), payload has {len(frames)}"
+        )
     return n, rate, np.frombuffer(frames, dtype="<i2")
 
 
@@ -364,6 +382,14 @@ def parse_bmp(raw: bytes):
     compression = struct.unpack_from("<I", raw, 30)[0]
     if hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
+    # lower-bound the raster offset: a malformed data_offset < the
+    # file-header + info-header span (e.g. 0) would slice header bytes
+    # into the raster and silently decode garbage pixels (ADVICE r8)
+    if data_offset < 14 + hdr_size:
+        raise ValueError(
+            f"bad BMP data offset {data_offset} (header spans "
+            f"{14 + hdr_size} bytes)"
+        )
     if bpp != 24 or compression != 0:
         raise ValueError(
             f"only 24-bit BI_RGB BMP supported, got bpp={bpp} "

@@ -1038,6 +1038,16 @@ def test_parse_ppm_known_image():
         mm.parse_ppm(b"P6\n2 1\n255\n" + bytes(5))
     with pytest.raises(ValueError, match="maxval"):
         mm.parse_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+    # magic not followed by whitespace: b"P642..." must not merge
+    # "42" into the width token (ADVICE r8)
+    with pytest.raises(ValueError, match="whitespace"):
+        mm.parse_ppm(b"P642 12 255\n" + bytes(12))
+    # int() accepts b"1_0" (underscore separators) and b"+2" — the
+    # header tokens must be plain ASCII digits (ADVICE r8)
+    with pytest.raises(ValueError, match="non-numeric"):
+        mm.parse_ppm(b"P6\n1_0 1\n255\n" + bytes(30))
+    with pytest.raises(ValueError, match="non-numeric"):
+        mm.parse_ppm(b"P6\n+2 1\n255\n" + bytes(6))
     assert np.issubdtype(px.dtype, np.uint8)
 
 
@@ -1073,6 +1083,11 @@ def test_parse_wav_known_clip():
         wv.writeframes(struct.pack("<4h", 1, 2, 3, 4))
     with pytest.raises(ValueError, match="mono"):
         mm.parse_wav(stereo.getvalue())
+    # data chunk truncated at an EVEN byte count: readframes silently
+    # returns fewer samples than the header's getnframes(), desyncing
+    # n_samples from the sample array (ADVICE r8) — must raise
+    with pytest.raises(ValueError, match="truncated|WAV"):
+        mm.parse_wav(buf.getvalue()[:-2])
 
 
 def test_parse_bmp_known_image():
@@ -1118,6 +1133,15 @@ def test_parse_bmp_known_image():
         mm.parse_bmp(bad_bpp)
     with pytest.raises(ValueError, match="truncated"):
         mm.parse_bmp(payload[:-3])
+    # data_offset below the 14 + hdr_size header span (here 0) would
+    # slice header bytes into the raster and decode garbage pixels
+    # silently (ADVICE r8) — must be a classifiable decode error
+    bad_off = payload[:10] + struct.pack("<I", 0) + payload[14:]
+    with pytest.raises(ValueError, match="data offset"):
+        mm.parse_bmp(bad_off)
+    bad_off2 = payload[:10] + struct.pack("<I", 53) + payload[14:]
+    with pytest.raises(ValueError, match="data offset"):
+        mm.parse_bmp(bad_off2)
     with pytest.raises(ValueError, match="unrecognized"):
         mm.parse_image(b"\x89PNG\r\n")
 
