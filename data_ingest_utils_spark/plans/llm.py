@@ -1195,16 +1195,18 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan(
     "llm_dedup_clusters",
     oracle="""
-    WITH m AS (
+    WITH d AS (
+      SELECT * FROM documents WHERE doc_id % 2 = 0
+    ), m AS (
       SELECT doc_id, lang,
              unnest([n_chars // 256, n_chars // 256 + 1]) AS blk
-      FROM documents
+      FROM d
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM m a JOIN m b
         ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
     ), toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(text, ' ') AS t FROM d
     ), sh AS (
       SELECT DISTINCT doc_id,
              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -1253,14 +1255,25 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME downstream component code runs off banded-MinHash
     verified candidates instead, the declared 100 TB path
     (near-linear candidate volume regardless of the corpus length
-    profile)."""
+    profile).
+
+    Like its pair-scoring sibling llm_dedup_ngram_jaccard, the exact
+    oracle-twin form is certified on the even-doc_id HALF of the
+    corpus (both sides — VERDICT r8 #3's bounding, applied round 9 to
+    the second quadratic demo too): quarters the within-block pair
+    space while still hash-certifying the full
+    candidates → verify → pointer-jumping-components pipeline.  The
+    scale-profile banded form stays full-corpus — it has no
+    quadratic stage to bound."""
     docs = load_table(spark, sf_dir, "documents")
     if SWEEP_PROFILE == "scale":
         pairs = dd.minhash_jaccard_verified(
             docs, threshold=0.1, num_perm=16, bands=16, shingle_n=3
         )
     else:
-        pairs = dd.ngram_jaccard_length_blocked(docs, n=3, threshold=0.1)
+        pairs = dd.ngram_jaccard_length_blocked(
+            docs.filter(F.col("doc_id") % 2 == 0), n=3, threshold=0.1
+        )
     return dd.connected_components(pairs).select(
         F.col("v").alias("doc_id"), "component"
     )

@@ -78,6 +78,10 @@ from pathlib import Path
 #: it, while still certifying the full blocking/shingle/Jaccard
 #: pipeline on real near-dup pairs.  Result set shrinks to the pairs
 #: with both endpoints even ⇒ re-grade.
+#: Round 9 (cont.): ``llm_dedup_clusters`` — same even-half bounding
+#: applied to the second quadratic oracle-twin demo (its exact form
+#: fed the same length-blocked pair scorer); components now computed
+#: over the even-doc_id slice ⇒ re-grade.
 OUTPUT_CHANGED: list[tuple[str, int]] = [
     ("udf_cogrouped_map", 8),
     ("fn_try_arithmetic", 8),
@@ -85,6 +89,7 @@ OUTPUT_CHANGED: list[tuple[str, int]] = [
     ("agg_filtered", 8),
     ("agg_grouping_sets", 8),
     ("llm_dedup_ngram_jaccard", 9),
+    ("llm_dedup_clusters", 9),
 ]
 
 #: Driver truncation point — grades per round observed in every
