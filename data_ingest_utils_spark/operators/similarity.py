@@ -158,7 +158,12 @@ def cosine_pairs_lsh(
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
     feats = (
         df.filter(norm > 0)
-        .select(id_col, F.col(vec_col), array_to_vector(unit).alias("_v"))
+        .select(
+            id_col,
+            F.col(vec_col),
+            norm.alias("_nrm"),  # carried to the pair rescore (r9)
+            array_to_vector(unit).alias("_v"),
+        )
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="_v", outputCol="_h", bucketLength=bucket_length,
@@ -179,7 +184,17 @@ def cosine_pairs_lsh(
     euclid_t = math.sqrt(max(0.0, 2.0 * (1.0 - (threshold - 0.00005))))
     pairs = model.approxSimilarityJoin(feats, feats, euclid_t, distCol="_dist")
     a_vec, b_vec = F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")
-    cos = _cosine(a_vec, b_vec)
+    # exact rescore with the norms computed once per VECTOR above —
+    # per-pair _cosine would re-derive both norms on every LSH
+    # candidate (same class as the r9 near-dup/knn fix); identical
+    # doubles, same nanvl NULL contract
+    cos = F.nanvl(
+        _dot(a_vec, b_vec)
+        / F.nullif(
+            F.col("datasetA._nrm") * F.col("datasetB._nrm"), F.lit(0.0)
+        ),
+        F.lit(None).cast("double"),
+    )
     return (
         pairs.select(
             F.col(f"datasetA.{id_col}").alias("vec_a"),
