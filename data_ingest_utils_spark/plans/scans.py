@@ -425,7 +425,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_partition_prune",
     oracle="""
     SELECT CAST(month(o_orderdate) AS INTEGER) AS order_month,
-           count(*) AS n_orders, round(sum(o_totalprice), 6) AS revenue
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
     FROM orders
     WHERE year(o_orderdate) = 1997
     GROUP BY order_month
@@ -449,7 +449,12 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.month("o_orderdate").alias("order_month"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            # 2 dp (cents): monthly revenue sums reach ~5e9 at the sf1
+            # probe scale, where accumulation-order ulp (~magnitude x
+            # 2^-52 ~ 1e-6) crosses ROUND(...,6)'s half-step — the r9
+            # sf1 probe measured max |delta| = 1.9e-6 over 6 cells
+            # (same money-sum class as the r7/r8 hardenings)
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
 
@@ -614,8 +619,15 @@ def scan_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(f"{src}/d1")
     os.makedirs(f"{src}/d2/deep")
-    shutil.copyfile(f"{sf_dir}/region.parquet", f"{src}/d1/region.parquet")
-    shutil.copyfile(f"{sf_dir}/region.parquet", f"{src}/d2/deep/region.parquet")
+    # testdata dirs hold one file per table; Spark-written scale dirs
+    # (tools/make_scale_data.py) hold a DIRECTORY of part files under
+    # the same name — stage either layout (the r9 sf1 probe hit this).
+    # The glob below keeps only *.parquet, so a copied directory's
+    # _SUCCESS marker is never opened.
+    table = f"{sf_dir}/region.parquet"
+    copy = shutil.copytree if os.path.isdir(table) else shutil.copyfile
+    copy(table, f"{src}/d1/region.parquet")
+    copy(table, f"{src}/d2/deep/region.parquet")
     with open(f"{src}/d1/decoy.txt", "w") as fh:
         fh.write("not parquet\n")
     return (

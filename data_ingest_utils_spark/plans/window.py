@@ -90,6 +90,10 @@ OUTPUT_CHANGED: list[tuple[str, int]] = [
     ("agg_grouping_sets", 8),
     ("llm_dedup_ngram_jaccard", 9),
     ("llm_dedup_clusters", 9),
+    # Round 9 (cont.): ``scan_partition_prune`` — monthly revenue
+    # hardened 6 dp → 2 dp after the full-surface sf1 probe measured
+    # max |Δ| 1.9e-6 on the ~5e9 sums (the money-sum half-step class).
+    ("scan_partition_prune", 9),
 ]
 
 #: Driver truncation point — grades per round observed in every
