@@ -447,6 +447,18 @@ def ngram_jaccard_length_blocked(
     single-language corpus.  True 100 TB path remains
     :func:`ngram_jaccard_banded` (hash bands bound candidates
     near-linearly regardless of the corpus length profile).
+
+    Verify stage (round 9): per-pair STRING-array intersection — the
+    :func:`_verify_pairs_array` shape over distinct string shingles
+    instead of the exploded pair × shingle stream.  Length-band
+    blocking is permissive (766 k candidate pairs from 2.5 k docs at
+    sf0.1), so the exploded formulation pushed ~40 M rows through the
+    intersection shuffle (9.5 s of the key's cost); the array attach
+    joins a ONE-ROW-PER-DOC table (~1.6 KB of shingles each, AQE
+    auto-broadcasts it at fixture scale) and scores each pair in one
+    codegen stage.  Output byte-identical: distinct-shingle arrays,
+    same Jaccard arithmetic, inter > 0 matching the inner
+    intersection join's pair-drop semantics.
     """
     lb = F.floor(F.col(len_col).cast("long") / bucket_chars).cast("long")
     member = df.select(
@@ -462,7 +474,11 @@ def ngram_jaccard_length_blocked(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_pairs_explode(cands, df, n, id_col, threshold)
+    hv = df.select(
+        id_col,
+        F.array_distinct(shingles(F.col("text"), n)).alias("hv"),
+    ).filter(F.size("hv") > 0)
+    return _verify_pairs_array(cands, hv, id_col, threshold)
 
 
 def simhash_band_candidates(
