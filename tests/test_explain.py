@@ -94,6 +94,31 @@ def test_global_agg_partial_final(spark):
     assert "Exchange" in plan
 
 
+def test_kmeans_assign_broadcast_model(spark):
+    """The r9 k-means assignment ships centroids as broadcast DATA
+    (one-row DataFrame, BroadcastNestedLoopJoin attach) and computes
+    the argmin with transform-index — the plan must contain the
+    single-row broadcast attach and stay constant-size in k (the
+    pre-r9 literal form grew O(k·dim) Catalyst nodes)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from data_ingest_utils_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    assigned, _, _ = sim.kmeans_fit_predict(emb, k=8, iters=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assigned.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row model attach
+    assert "CartesianProduct" not in plan
+    # constant-size: no per-centroid expression expansion in the plan
+    assert len(plan) < 20_000, f"assign plan ballooned: {len(plan)} chars"
+
+
 def test_knn_join_not_cartesian(spark):
     """llm_knn_join rides the cell equi-join."""
     plan = _plan(spark, "llm_knn_join")
