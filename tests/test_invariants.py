@@ -607,6 +607,49 @@ def test_kmeans_assign_matches_literal_form(spark):
     assert float(lit_sse) == sse[-1]
 
 
+def test_scale_data_embedding_replication(spark, tmp_path):
+    """tools/make_scale_data's embedding replication contract (guards
+    the r9 sf1 vector-family certification): replica 0 byte-identical
+    to the source, labels replica-DISJOINT (block-quadratic keys must
+    scale ×n, not ×n²), vec_ids strided without collision, and no
+    exact-duplicate vectors planted across replicas (perturbation is
+    per-element deterministic noise, not a copy)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from tools.make_scale_data import generate
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "scale")
+    assert generate(spark, src, dst, 2) == 0
+
+    orig = spark.read.parquet(f"{src}/embeddings.parquet")
+    rep = spark.read.parquet(f"{dst}/embeddings.parquet")
+    n0 = orig.count()
+    assert rep.count() == 2 * n0
+    assert rep.select("vec_id").distinct().count() == 2 * n0
+
+    stride_l = orig.agg(F.max("label")).collect()[0][0] + 1
+    stride_v = orig.agg(F.max("vec_id")).collect()[0][0] + 1
+    r0 = rep.filter(F.col("vec_id") < stride_v)
+    r1 = rep.filter(F.col("vec_id") >= stride_v)
+    # replica 0 byte-identical (join on vec_id, arrays + labels equal)
+    joined = orig.alias("o").join(r0.alias("r"), "vec_id")
+    assert joined.count() == n0
+    assert (
+        joined.filter(
+            (F.col("o.embedding") != F.col("r.embedding"))
+            | (F.col("o.label") != F.col("r.label"))
+        ).count()
+        == 0
+    )
+    # labels replica-disjoint
+    assert r1.agg(F.min("label")).collect()[0][0] >= stride_l
+    assert r0.agg(F.max("label")).collect()[0][0] < stride_l
+    # perturbation: no vector appears twice anywhere in the output
+    assert rep.select("embedding").distinct().count() == 2 * n0
+
+
 def test_kmeans_k256_constant_plan(spark):
     """VERDICT r8 #1 done-criterion: fitting k=256 must not blow the
     Catalyst plan up — the centroid model rides as broadcast DATA, so

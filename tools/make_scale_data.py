@@ -65,9 +65,16 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from data_ingest_utils_spark.session import get_session
+
+    return generate(get_session("make-scale-data"), src, dst, n)
+
+
+def generate(spark: SparkSession, src: str, dst: str, n: int) -> int:
+    """Write the ×n replica set of ``src`` under ``dst`` — callable
+    with an existing session (tests/test_invariants.py exercises the
+    embedding replication invariants through this at tiny scale)."""
     from data_ingest_utils_spark.sources.readers import load_table
 
-    spark: SparkSession = get_session("make-scale-data")
     os.makedirs(dst, exist_ok=True)
 
     def write(df: DataFrame, name: str, parts: int) -> None:
