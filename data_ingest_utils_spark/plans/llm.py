@@ -185,7 +185,9 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     separately-graded banded key, and at full sf0.1 its demo cost
     (26-28 s) dominated the sweep tail for no extra certification
     value.  The ``doc_id % 2 = 0`` slice quarters the within-block
-    pair space (~7 s) while still certifying the full pipeline —
+    pair space (10.9 s cold / 6.8 s warm at sf0.1 with the
+    array-intersect verify, SWEEP_r09) while still certifying the
+    full pipeline —
     blocking, shingling, intersection join, Jaccard arithmetic — on
     real near-dup pairs (2 survive at sf0.01).  The OPERATOR
     (dedup.ngram_jaccard_length_blocked) is unchanged and
