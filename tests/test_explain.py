@@ -236,6 +236,34 @@ def test_partition_prune_reads_one_year(spark):
     assert "order_year" in pf, f"no partition filter in:\n{plan}"
 
 
+def test_ivf_cells_partition_pruning(spark, tmp_path):
+    """Execute the IVF 100 TB story the kmeans/ivf docstrings claim:
+    fit cells, PERSIST assignments as the table's partition column,
+    and verify a cell probe resolves to PartitionFilters (directory
+    pruning — only nprobe/n_cells of the data is ever listed), with
+    the pruned read returning exactly that cell's vectors."""
+    import contextlib
+    import io
+
+    from data_ingest_utils_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    assigned, _, _ = sim.kmeans_fit_predict(emb, k=8, iters=1)
+    path = str(tmp_path / "emb_by_cell")
+    emb.join(assigned, "vec_id").write.partitionBy("cell").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("cell") == 3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in pf, f"no cell partition filter in:\n{plan}"
+    want = {r.vec_id for r in assigned.filter(F.col("cell") == 3).collect()}
+    assert {r.vec_id for r in probed.collect()} == want and want
+
+
 def test_subquery_exists_decorrelates_to_semi_join(spark):
     """sql_subquery_exists must plan as a semi join (Catalyst
     decorrelation), never a per-row subquery or cartesian."""
