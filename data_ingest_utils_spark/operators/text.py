@@ -242,9 +242,26 @@ def min_shingle_fingerprint(df: DataFrame, n: int = 3, id_col: str = "doc_id") -
     sha256 exists bit-identically in Spark and DuckDB, so the oracle
     can verify it exactly (unlike xxhash64/murmur).  Returns one row
     per document: (id, fingerprint, n_shingles).
+
+    MAP-ONLY (round 9): per-doc ``array_min(transform(array_distinct(
+    shingles), sha256))`` — the whole fingerprint evaluates inside the
+    scan stage with ZERO shuffles.  The previous explode → global
+    distinct → groupBy form paid two full shuffles of the (id,
+    shingle) stream for a per-document reduction that never needed
+    cross-partition state; at 100 TB those exchanges would have been
+    the entire job.  Output identical: array_distinct preserves the
+    distinct set, lexicographic min commutes, and docs with < n
+    tokens are dropped (size > 0 filter) exactly as the explode's
+    inner semantics and the oracle's ``range(1, len-1)`` did.
     """
-    sh = distinct_shingles(df, n, id_col)
-    return sh.groupBy(id_col).agg(
-        F.min(F.sha2(F.col("shingle"), 256)).alias("fingerprint"),
-        F.count("*").alias("n_shingles"),
+    arr = F.array_distinct(shingles(F.col("text"), n))
+    return (
+        df.select(
+            id_col,
+            F.array_min(
+                F.transform(arr, lambda s: F.sha2(s, 256))
+            ).alias("fingerprint"),
+            F.size(arr).cast("long").alias("n_shingles"),
+        )
+        .filter(F.col("n_shingles") > 0)
     )
