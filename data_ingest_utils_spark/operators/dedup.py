@@ -474,10 +474,20 @@ def ngram_jaccard_length_blocked(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    hv = df.select(
-        id_col,
-        F.array_distinct(shingles(F.col("text"), n)).alias("hv"),
-    ).filter(F.size("hv") > 0)
+    # materialize once, then filter — BOTH attaches consume hv, and
+    # uncheckpointed the scan → tokenize → shingle lineage evaluates
+    # once per consumer (the same pathology _shingle_hash_arrays
+    # documents for the hash path; measured ~18% of the key here).
+    # One row per doc of strings (~1.6 KB at the 3-gram default) —
+    # the bounded signature-table trade again.
+    hv = (
+        df.select(
+            id_col,
+            F.array_distinct(shingles(F.col("text"), n)).alias("hv"),
+        )
+        .localCheckpoint(eager=True)
+        .filter(F.size("hv") > 0)
+    )
     return _verify_pairs_array(cands, hv, id_col, threshold)
 
 
