@@ -253,10 +253,19 @@ def min_shingle_fingerprint(df: DataFrame, n: int = 3, id_col: str = "doc_id") -
     distinct set, lexicographic min commutes, and docs with < n
     tokens are dropped (size > 0 filter) exactly as the explode's
     inner semantics and the oracle's ``range(1, len-1)`` did.
+
+    The parallelism guard matters here MORE than in the shuffle form:
+    map-only means the sha256/shingle work runs wherever the SCAN
+    runs, and a single-file source is one partition — measured 9.6 s
+    single-threaded vs ~2 s guarded on the sf0.1 fixture (the old
+    form's shuffles accidentally re-parallelized it).  At 100 TB the
+    guard is a no-op and the zero-shuffle property holds.
     """
+    from data_ingest_utils_spark.operators.relational import ensure_parallelism
+
     arr = F.array_distinct(shingles(F.col("text"), n))
     return (
-        df.select(
+        ensure_parallelism(df, id_col).select(
             id_col,
             F.array_min(
                 F.transform(arr, lambda s: F.sha2(s, 256))
