@@ -274,3 +274,88 @@ def min_shingle_fingerprint(df: DataFrame, n: int = 3, id_col: str = "doc_id") -
         )
         .filter(F.col("n_shingles") > 0)
     )
+
+
+# ------------------------------------------------------ bloom filter
+
+#: Bloom geometry for benchmark-contamination probing: 32768 bits
+#: (512 × 64-bit words, ~4 KB as a literal array) with 3 md5-derived
+#: hash functions.  At the fixtures' ~1k bench shingles the fill rate
+#: is kn/m ≈ 0.1 → false-positive rate ≈ 8e-4 — low enough to be a
+#: useful filter, high enough that false positives actually occur in
+#: the fixture corpus, so the oracle certifies the BLOOM (including
+#: its false positives), not exact membership.
+BLOOM_M = 32768
+BLOOM_K = 3
+
+
+def bloom_position(value: Column, j: int, m: int = BLOOM_M) -> Column:
+    """j-th bloom bit position of a string value: the first 48 bits of
+    ``md5(value || '#j')`` mod m.  Engine-portable by construction —
+    DuckDB reproduces it exactly as
+    ``CAST(('0x' || substr(md5(v || '#j'), 1, 12)) AS BIGINT) % m``,
+    which is what makes a bloom key hash-certifiable."""
+    hex12 = F.substring(F.md5(F.concat(value, F.lit(f"#{j}"))), 1, 12)
+    return (F.conv(hex12, 16, 10).cast("long") % m).alias(f"p{j}")
+
+
+def build_bloom(
+    values: DataFrame,
+    col: str = "shingle",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> list[int]:
+    """Build an m-bit bloom filter over a value column, returned as
+    m/64 longs.  One map + a ≤ m/64-row ``bit_or`` aggregate + a
+    bounded driver collect — the build is how a production bloom is
+    made: reduce the (small) reference set once, then ship the ~4 KB
+    word array into every probe task as a literal.  Unlike a broadcast
+    of the raw value set (llm_contamination's shape), the probe-side
+    memory is O(m) regardless of how many reference values exist."""
+    pos = values.select(
+        F.explode(
+            F.array(*[bloom_position(F.col(col), j, m) for j in range(k)])
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
+            F.expr("CAST(pos % 64 AS INT)").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(1L, b))").alias("mask"))
+        .collect()
+    )
+    bloom = [0] * (m // 64)
+    for r in words:
+        bloom[r.w] = r.mask
+    return bloom
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: list[int],
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Append a boolean ``bloom_hit`` column: true iff ALL k bloom bits
+    of ``col`` are set.  The word array rides as a literal
+    ``array<bigint>`` (~4 KB at the default geometry) and each bit
+    test is one ``element_at & shiftleft`` expression — fully
+    JVM-side, map-only, zero shuffle added to the probe scan."""
+    probed = df.withColumn(
+        "_bloom", F.array(*[F.lit(w).cast("long") for w in bloom])
+    )
+    for j in range(k):
+        probed = probed.withColumn(f"_p{j}", bloom_position(F.col(col), j, m))
+    hit = None
+    for j in range(k):
+        test = F.expr(
+            f"(element_at(_bloom, CAST(_p{j} DIV 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(_p{j} % 64 AS INT))) != 0"
+        )
+        hit = test if hit is None else (hit & test)
+    return probed.withColumn("bloom_hit", hit).drop(
+        "_bloom", *[f"_p{j}" for j in range(k)]
+    )

@@ -1061,6 +1061,78 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "llm_contamination_bloom",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) _l
+    ),
+    bpos AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(shingle || '#' || j), 1, 12)) AS BIGINT)
+               % 32768 AS pos
+      FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20) _b,
+           LATERAL (SELECT unnest(range(3)) AS j) _j
+    ),
+    cpos AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle || '#' || j), 1, 12)) AS BIGINT)
+               % 32768 AS pos
+      FROM sh, LATERAL (SELECT unnest(range(3)) AS j) _j
+      WHERE doc_id >= 20
+    ),
+    chit AS (
+      SELECT doc_id, shingle, count(bpos.pos) = 3 AS hit
+      FROM cpos LEFT JOIN bpos USING (pos)
+      GROUP BY doc_id, shingle
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_shingles,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_bloom_hits,
+           sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS flagged
+    FROM chit GROUP BY doc_id
+    """,
+)
+def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination via a REAL bloom filter — the shape
+    llm_contamination grows into when even the distinct bench-shingle
+    set is too large to broadcast as a hash relation: reduce the bench
+    shingles once into a 32768-bit bloom (512 longs, ~4 KB,
+    operators/text.build_bloom), then probe every corpus shingle
+    map-side with three md5-derived bit tests (text.bloom_probe) —
+    pure JVM expressions, ZERO corpus shuffle before the per-doc
+    aggregate, probe memory O(m) no matter how many bench shingles
+    exist.  The positions are engine-portable (md5 prefix mod m), so
+    the DuckDB oracle reproduces the bloom's exact decision boundary
+    relationally — a corpus shingle "hits" iff all 3 of its positions
+    appear in the bench position set — which means the driver
+    hash-certifies the bloom ITSELF, false positives included (at the
+    fixture's ~1k bench shingles, fpr ≈ 8e-4, and false positives do
+    occur in the corpus — they are part of the certified output).
+    100 TB: the bloom build touches only the (small) benchmark set;
+    the corpus side is a single map-only scan + one n_docs-sized
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = tx.distinct_shingles(docs, 3)
+    bench = sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
+    bloom = tx.build_bloom(bench)
+    corpus = sh.filter(F.col("doc_id") >= 20)
+    probed = tx.bloom_probe(corpus, "shingle", bloom)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            F.sum(F.col("bloom_hit").cast("int"))
+            .cast("int")
+            .alias("n_bloom_hits"),
+        )
+        .withColumn("flagged", F.col("n_bloom_hits") > 0)
+    )
+
+
+@plan(
     "llm_source_quality",
     oracle=f"""
     WITH q AS (

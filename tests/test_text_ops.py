@@ -57,3 +57,43 @@ def test_regex_token_count_pattern_with_quote(spark):
     df = spark.createDataFrame([("it's a don't list",)], "s string")
     n = df.select(tx.regex_token_count(F.col("s"), "[a-z]+'[a-z]+").alias("n")).head().n
     assert n == 2
+
+
+def test_bloom_no_false_negatives_and_word_layout(spark):
+    """Every inserted value MUST probe true (blooms have no false
+    negatives), and the built word array has the declared geometry."""
+    vals = [f"value number {i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], ["shingle"])
+    bloom = tx.build_bloom(df)
+    assert len(bloom) == tx.BLOOM_M // 64
+    assert any(w != 0 for w in bloom)
+    probed = tx.bloom_probe(df, "shingle", bloom)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
+    # helper columns are dropped, bloom_hit appended
+    assert probed.columns == ["shingle", "bloom_hit"]
+
+
+def test_bloom_low_false_positive_rate(spark):
+    """Non-members probe mostly false: at ~150 inserted values the
+    fill is tiny, so 500 disjoint probes should see ≲ a handful of
+    false positives (deterministic — md5 positions, no RNG)."""
+    members = spark.createDataFrame(
+        [(f"in {i}",) for i in range(150)], ["shingle"]
+    )
+    bloom = tx.build_bloom(members)
+    others = spark.createDataFrame(
+        [(f"out {i}",) for i in range(500)], ["shingle"]
+    )
+    fp = tx.bloom_probe(others, "shingle", bloom).filter("bloom_hit").count()
+    assert fp <= 5, f"false-positive burst: {fp}/500"
+
+
+def test_bloom_probe_is_map_only(spark):
+    """The probe adds no exchange: probing a parallelized scan keeps
+    the plan shuffle-free (the 100 TB contract of bloom_probe)."""
+    df = spark.range(0, 1000, 1, 4).select(
+        F.concat(F.lit("s"), F.col("id")).alias("shingle")
+    )
+    bloom = tx.build_bloom(df.limit(100))
+    plan = tx.bloom_probe(df, "shingle", bloom)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
