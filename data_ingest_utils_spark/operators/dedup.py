@@ -441,6 +441,13 @@ def ngram_jaccard_length_blocked(
     two-equi-join intersection (same shape as
     :func:`ngram_jaccard_banded`), which cannot double-count.
 
+    NOTE (eager side effect, ADVICE r9): building this plan runs a
+    Spark job — the shingle-array signature table is materialized
+    eagerly (``localCheckpoint``) at plan-construction time so both
+    verify attaches read it instead of re-deriving the scan→shingle
+    lineage.  Same established pattern as ``_shingle_hash_arrays``
+    and ``build_bloom``'s bounded collect.
+
     Deterministic and oracle-exact (pure SQL arithmetic — no hashing),
     while bounding the pair space to lang × length-band occupancy:
     the fix for lang-only blocking being all-pairs on a

@@ -343,19 +343,30 @@ def bloom_probe(
     of ``col`` are set.  The word array rides as a literal
     ``array<bigint>`` (~4 KB at the default geometry) and each bit
     test is one ``element_at & shiftleft`` expression — fully
-    JVM-side, map-only, zero shuffle added to the probe scan."""
-    probed = df.withColumn(
-        "_bloom", F.array(*[F.lit(w).cast("long") for w in bloom])
-    )
-    for j in range(k):
-        probed = probed.withColumn(f"_p{j}", bloom_position(F.col(col), j, m))
+    JVM-side, map-only, zero shuffle added to the probe scan.
+
+    The bit tests are built as inline expressions (no intermediate
+    ``withColumn`` helpers), so no input column can collide with
+    probe internals (ADVICE r9 — the previous form silently clobbered
+    same-named ``_bloom``/``_p{j}`` columns); only the output name
+    ``bloom_hit`` is reserved, and that collision raises."""
+    if "bloom_hit" in df.columns:
+        raise ValueError(
+            "bloom_probe: input already has a 'bloom_hit' column"
+        )
+    words = F.array(*[F.lit(w).cast("long") for w in bloom])
     hit = None
     for j in range(k):
-        test = F.expr(
-            f"(element_at(_bloom, CAST(_p{j} DIV 64 AS INT) + 1)"
-            f" & shiftleft(1L, CAST(_p{j} % 64 AS INT))) != 0"
+        p = bloom_position(F.col(col), j, m)
+        test = (
+            F.element_at(words, F.floor(p / 64).cast("int") + 1).bitwiseAND(
+                # call_function: F.shiftleft only takes a Python int
+                # for numBits; the SQL function accepts a column
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+            != 0
         )
         hit = test if hit is None else (hit & test)
-    return probed.withColumn("bloom_hit", hit).drop(
-        "_bloom", *[f"_p{j}" for j in range(k)]
-    )
+    return df.withColumn("bloom_hit", hit)

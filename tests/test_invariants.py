@@ -646,8 +646,18 @@ def test_scale_data_embedding_replication(spark, tmp_path):
     # labels replica-disjoint
     assert r1.agg(F.min("label")).collect()[0][0] >= stride_l
     assert r0.agg(F.max("label")).collect()[0][0] < stride_l
-    # perturbation: no vector appears twice anywhere in the output
+    # perturbation: no vector appears twice anywhere in the output.
+    # The global distinct-count check implicitly assumes the SOURCE
+    # has no duplicate vectors (ADVICE r9) — make that explicit so a
+    # fixture change fails here, not as a phantom product bug, and
+    # additionally compare replica-1 to replica-0 by vec_id directly.
+    assert orig.select("embedding").distinct().count() == n0
     assert rep.select("embedding").distinct().count() == 2 * n0
+    paired = orig.alias("o").join(
+        r1.withColumn("vec_id", F.col("vec_id") - stride_v).alias("p"), "vec_id"
+    )
+    assert paired.count() == n0
+    assert paired.filter(F.col("o.embedding") == F.col("p.embedding")).count() == 0
 
 
 def test_kmeans_k256_constant_plan(spark):
@@ -1239,3 +1249,33 @@ def test_parse_y4m_known_clip():
         mm.parse_y4m(b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + bytes(3))
     with pytest.raises(ValueError, match="no frames"):
         mm.parse_y4m(b"YUV4MPEG2 W2 H2 Cmono\n")
+
+
+def test_kmeans_iterations_do_not_rescan_source(spark):
+    """VERDICT r9 #2: the (id, vec) projection is localCheckpoint'ed
+    once before the Lloyd loop, so per-iteration actions (stats
+    collect + reassignment) read the materialized projection instead
+    of re-deriving the full lineage from the source scan — at 100 TB
+    the old shape re-read the corpus every iteration.  Assert the
+    final assignment plan has NO file scan (it reads the checkpoint's
+    ExistingRDD) while a plain projection of the same input does."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    assigned, _, _ = sim.kmeans_fit_predict(emb, k=8, iters=2)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    control = emb.select("vec_id")._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in control.lower()  # the probe string is valid
+    assert "parquet" not in plan.lower(), plan
+    assert "ExistingRDD" in plan or "Scan" in plan
+
+
+def test_kmeans_survives_cents_named_input(spark):
+    """ADVICE r9: an input whose vector column is literally named
+    `_cents` must not make the centroid-model attach ambiguous."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("_cents")
+    )
+    assigned, cents, sse = sim.kmeans_fit_predict(
+        emb, k=4, iters=1, vec_col="_cents"
+    )
+    assert assigned.count() == emb.count()
+    assert len(cents) == 4

@@ -97,3 +97,67 @@ def test_bloom_probe_is_map_only(spark):
     bloom = tx.build_bloom(df.limit(100))
     plan = tx.bloom_probe(df, "shingle", bloom)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_bloom_m_scaling_holds_fp_bound(spark):
+    """The m-scaling rule (VERDICT r9 #3): geometry is sized by fill
+    rate kn/m, so a real benchmark suite (more reference shingles)
+    just takes a proportionally larger m — ``build_bloom(m=...)`` —
+    and the standard bound p ≈ (1 - e^(-kn/m))^k keeps holding.
+    Deterministic: md5-derived positions, no RNG, so the observed FP
+    counts are fixed for these inputs."""
+    import math
+
+    n = 4000
+    members = spark.range(n).select(
+        F.concat(F.lit("member "), F.col("id")).alias("shingle")
+    )
+    probes = spark.range(8000).select(
+        F.concat(F.lit("probe "), F.col("id")).alias("shingle")
+    )
+
+    n_probe = 8000
+
+    def fp_count(m: int) -> tuple[int, float]:
+        bloom = tx.build_bloom(members, m=m)
+        assert len(bloom) == m // 64
+        fp = (
+            tx.bloom_probe(probes, "shingle", bloom, m=m)
+            .filter("bloom_hit")
+            .count()
+        )
+        # expected FP count at the analytic rate (1 - e^(-kn/m))^k
+        exp = n_probe * (1.0 - math.exp(-tx.BLOOM_K * n / m)) ** tx.BLOOM_K
+        return fp, exp
+
+    # Count-based bound with Poisson slack (at the big geometry the
+    # expectation is <1 FP in 8000 probes, so a relative-rate bound
+    # would flag ordinary fluctuation): observed ≤ exp + 4·sqrt(exp)+4.
+    # default fixture geometry overloaded at 4k members (kn/m ≈ 0.37)
+    fp_small, exp_small = fp_count(tx.BLOOM_M)
+    assert fp_small <= exp_small + 4 * math.sqrt(exp_small) + 4, (fp_small, exp_small)
+    # scaling m 8× restores a low fill (kn/m ≈ 0.046) and the FP count
+    # collapses with it — the rule a production suite applies
+    fp_big, exp_big = fp_count(tx.BLOOM_M * 8)
+    assert fp_big <= exp_big + 4 * math.sqrt(exp_big) + 4, (fp_big, exp_big)
+    assert fp_big < fp_small / 10.0, (fp_big, fp_small)
+
+
+def test_bloom_probe_collision_safe(spark):
+    """ADVICE r9: probe internals must not clobber same-named input
+    columns.  Inputs carrying `_bloom`/`_p0` pass through untouched;
+    only the output name `bloom_hit` is reserved (raises)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 7, 9)], "shingle string, _bloom int, _p0 int"
+    )
+    bloom = tx.build_bloom(df.select("shingle"))
+    out = tx.bloom_probe(df, "shingle", bloom)
+    assert out.columns == ["shingle", "_bloom", "_p0", "bloom_hit"]
+    row = out.head()
+    assert (row["_bloom"], row["_p0"], row.bloom_hit) == (7, 9, True)
+
+    clash = spark.createDataFrame([("a", False)], "shingle string, bloom_hit boolean")
+    with pytest.raises(ValueError, match="bloom_hit"):
+        tx.bloom_probe(clash, "shingle", bloom)
