@@ -71,6 +71,12 @@ HEAVY_SF1 = [
     # stress the relational shapes can't exercise.  Norms pre-attached
     # per side (round 9), so the pair stage is dot-only.
     "llm_embed_near_dup",
+    # streaming shape (VERDICT r9 #6): the sweep's most expensive key
+    # — a watermarked stream-stream interval join drained availableNow
+    # over the staged sf1 events (1 M rows).  Times the micro-batch
+    # drain + join-state cost; the result itself is small (~3.4 k
+    # rows), so the in-plan memory-sink collect is noise.
+    "evt_stream_stream_join",
 ]
 # Median-of-3 by default (VERDICT r7 #1): the documented host
 # CPU-steal noise band (BASELINE.md:97-105, same-plan totals vary up

@@ -57,6 +57,7 @@ def get_session(
     app_name: str = "data_ingest_utils_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
@@ -81,6 +82,10 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        # static confs (executorEnv, memory) must land BEFORE
+        # getOrCreate — used by tools running on local-cluster masters
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

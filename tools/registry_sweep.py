@@ -43,6 +43,19 @@ def main() -> int:
     )
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--keys", default="", help="comma-separated subset (default: all)")
+    ap.add_argument(
+        "--master",
+        default=None,
+        help=(
+            "Spark master for the sweep session (default: get_session's "
+            "local[*]).  `local-cluster[2,8,4096]` spawns real executor "
+            "JVMs with netty shuffle + torrent broadcast over loopback — "
+            "the distributed-credibility arm (VERDICT r9 #1): everything "
+            "a local master hides (driver-vs-executor filesystem "
+            "assumptions, broadcast gates, Python-worker imports on "
+            "executors) executes for real."
+        ),
+    )
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -75,7 +88,25 @@ def main() -> int:
         print(f"unknown keys: {unknown}", file=sys.stderr)
         return 2
 
-    spark = get_session("dius-sweep")
+    extra_confs = None
+    if args.master and args.master.startswith("local-cluster"):
+        # Executor JVMs spawn their OWN Python workers; the engine
+        # package must be importable there (cloudpickled pandas UDFs
+        # reference repo modules by name), and the worker JVMs inherit
+        # PYSPARK_PYTHON from this process's environment.
+        os.environ["PYSPARK_PYTHON"] = sys.executable
+        extra_confs = {"spark.executorEnv.PYTHONPATH": repo}
+    spark = get_session("dius-sweep", master=args.master, extra_confs=extra_confs)
+    if args.master and spark.sparkContext.master != args.master:
+        # getOrCreate() silently reuses a live session on a different
+        # master — that would grade the WRONG arm
+        print(
+            f"sweep: FATAL master mismatch: wanted {args.master}, "
+            f"session is {spark.sparkContext.master}",
+            file=sys.stderr,
+        )
+        return 2
+    print(f"sweep: master={spark.sparkContext.master}", file=sys.stderr)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, key in enumerate(keys, 1):
@@ -91,6 +122,7 @@ def main() -> int:
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:12]
     payload = {
         "profile": args.profile,
+        "master": spark.sparkContext.master,
         "sf_dir": args.sf,
         "n_keys": len(keys),
         "n_ok": len(timings),
