@@ -131,6 +131,11 @@ def main() -> int:
         "max_key": slowest[0][0] if slowest else None,
         "max_sec": slowest[0][1] if slowest else None,
         "slowest": dict(slowest),
+        # full per-key wall times (registry order) — makes per-key
+        # cross-master / cross-round comparison possible from the
+        # committed artifact alone (the r10 local-vs-cluster analysis
+        # needed the stderr log for this)
+        "timings": timings,
         "errors": errors,
     }
     print(json.dumps(payload))
