@@ -330,8 +330,10 @@ def kmeans_fit_predict(
     (asserted at k=256 in tests/test_invariants.py); ties still go to
     the lower centroid id via the struct's (d, index) ordering, and
     the arithmetic (zip_with squared-diff, left-fold sum) is
-    unchanged, so assignments and SSE are bit-identical to the
-    literal form (A/B-asserted in tests).
+    unchanged, so assignments are bit-identical to the literal form
+    and SSE matches up to accumulation-order ulp (the parallelism
+    guard's repartition reorders the double sum; A/B-asserted in
+    tests).
     (2) update — one groupBy(cell) with per-dimension avg
     aggregates (dim columns, JVM-side), reducing to k·dim values.
     Exactly one shuffle per iteration whose payload is k·dim doubles
@@ -355,7 +357,15 @@ def kmeans_fit_predict(
     sse_history list — one SSE per assignment pass, non-increasing,
     asserted in tests/test_invariants.py).
     """
-    base = df.select(id_col, vec_col).localCheckpoint(eager=True)
+    from data_ingest_utils_spark.operators.relational import ensure_parallelism
+
+    # parallelism guard BEFORE the checkpoint: a one-file fixture scan
+    # is a single partition, and the checkpoint pins whatever
+    # partitioning it gets — every iteration would then run the
+    # CPU-bound argmin single-threaded.  No-op with ample scan splits.
+    base = ensure_parallelism(df.select(id_col, vec_col), id_col).localCheckpoint(
+        eager=True
+    )
     seeds = base.orderBy(id_col).limit(k).collect()
     if len(seeds) < k:
         raise ValueError(

@@ -604,7 +604,13 @@ def test_kmeans_assign_matches_literal_form(spark):
     new_cells = {r.vec_id: r.cell for r in assigned.collect()}
     assert new_cells == lit_cells
     lit_sse = literal.agg(F.sum("sq_dist")).collect()[0][0]
-    assert float(lit_sse) == sse[-1]
+    # assignments are bit-exact; the SSE double SUM is only equal up
+    # to accumulation-order ulp — the r10 parallelism guard
+    # repartitions the checkpointed base, which reorders the
+    # reduction (same float-sum class BASELINE.md documents for
+    # money sums).  Per-element sq_dist values are still identical
+    # (cells prove it); only the Σ order moved.
+    assert abs(float(lit_sse) - sse[-1]) <= 1e-9 * max(1.0, abs(sse[-1]))
 
 
 def test_scale_data_embedding_replication(spark, tmp_path):
