@@ -357,15 +357,15 @@ def kmeans_fit_predict(
     sse_history list — one SSE per assignment pass, non-increasing,
     asserted in tests/test_invariants.py).
     """
-    from data_ingest_utils_spark.operators.relational import ensure_parallelism
-
-    # parallelism guard BEFORE the checkpoint: a one-file fixture scan
-    # is a single partition, and the checkpoint pins whatever
-    # partitioning it gets — every iteration would then run the
-    # CPU-bound argmin single-threaded.  No-op with ample scan splits.
-    base = ensure_parallelism(df.select(id_col, vec_col), id_col).localCheckpoint(
-        eager=True
-    )
+    # NO parallelism guard here, deliberately (r10 measured it): the
+    # checkpoint pins the source partitioning, and repartitioning a
+    # fixture-sized input to defaultParallelism doubled the key's
+    # wall time (4.0 → 7.2 s) — (iters+2) actions × 32-task
+    # scheduling swamps the trivial per-row argmin.  At 100 TB the
+    # scan supplies ample partitions and a guard would be a no-op
+    # anyway; ensure_parallelism is for CPU-heavy per-row map stages
+    # (shingling), not k·dim arithmetic.
+    base = df.select(id_col, vec_col).localCheckpoint(eager=True)
     seeds = base.orderBy(id_col).limit(k).collect()
     if len(seeds) < k:
         raise ValueError(
