@@ -1934,6 +1934,73 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "llm_dedup_bloom_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT sha256(lower(trim(text))) AS h FROM documents
+      WHERE doc_id % 7 <> 0
+    ),
+    bpos AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(h || '#' || j), 1, 12)) AS BIGINT)
+               % 32768 AS pos
+      FROM corpus, LATERAL (SELECT unnest(range(3)) AS j) _j
+    ),
+    batch AS (
+      SELECT doc_id, lang, sha256(lower(trim(text))) AS h
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    cpos AS (
+      SELECT doc_id, lang, h,
+             CAST(('0x' || substr(md5(h || '#' || j), 1, 12)) AS BIGINT)
+               % 32768 AS pos
+      FROM batch, LATERAL (SELECT unnest(range(3)) AS j) _j
+    ),
+    chit AS (
+      SELECT doc_id, lang, h, count(bpos.pos) = 3 AS bloom_hit
+      FROM cpos LEFT JOIN bpos USING (pos)
+      GROUP BY doc_id, lang, h
+    )
+    SELECT doc_id, lang, bloom_hit FROM chit
+    WHERE NOT bloom_hit OR h NOT IN (SELECT h FROM corpus)
+    """,
+)
+def llm_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup through a BLOOM pre-filter — the
+    shape llm_incremental_dedup grows into when the historical corpus
+    hash set is too large to shuffle against every batch: the corpus
+    digests are reduced ONCE into a 32768-bit bloom
+    (operators/text.build_bloom, O(m) probe memory regardless of
+    corpus size), every batch doc probes it map-side, and only the
+    bloom HITS — true duplicates plus the predictable ~(1-e^(-kn/m))^k
+    sliver of false positives — pay the exact anti-join verify.
+    Bloom misses are admitted with ZERO join: a bloom has no false
+    negatives, so a miss is proof the hash is new.  Admitted rows =
+    misses ∪ (hits the anti-join clears); ``bloom_hit`` rides along
+    so the bloom's decision boundary is part of the certified output
+    (a surviving hit IS a certified false positive).  Same
+    engine-portable md5-position geometry as llm_contamination_bloom,
+    so the DuckDB oracle reproduces the bloom bit-exactly.
+    100 TB: the bloom is built once per corpus epoch and shipped as a
+    ~4 KB literal; per-batch cost is a map-only probe plus an
+    anti-join whose left side is |dups| + fpr·|batch|, not |batch|.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    corpus = d.filter(F.col("doc_id") % 7 != 0).select(h.alias("h")).distinct()
+    bloom = tx.build_bloom(corpus, col="h")
+    batch = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", h.alias("h")
+    )
+    probed = tx.bloom_probe(batch, "h", bloom)
+    misses = probed.filter(~F.col("bloom_hit"))
+    cleared_hits = probed.filter(F.col("bloom_hit")).join(
+        corpus, "h", "left_anti"
+    )
+    return misses.unionByName(cleared_hits).select("doc_id", "lang", "bloom_hit")
+
+
+@plan(
     "llm_sim_rerank",
     oracle="""
     WITH q AS (

@@ -140,6 +140,69 @@ def sink_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "join_bucketed_pair",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-BUCKETED two-table join: orders AND lineitem both written
+    bucketBy(8, orderkey) sortBy(orderkey), then joined through the
+    catalog — the bucketed layouts line up, so the sort-merge join
+    reads both sides pre-partitioned AND pre-sorted: zero Exchange,
+    zero Sort on either join input (plan-asserted with broadcast
+    disabled in tests/test_explain.py; at this fixture size Catalyst
+    may instead choose a broadcast join, which is also exchange-free
+    on the big side).
+
+    100 TB: this is THE fact-to-fact join strategy — when two huge
+    tables are co-bucketed on the join key at write time, every
+    subsequent join between them skips both shuffles entirely; the
+    one-time bucketed write amortizes over every downstream query.
+    sink_bucketed_table demonstrates the single-table write+agg;
+    this key certifies the two-table co-located join result itself.
+    Revenue rounds at 2 dp (cents): the ~1e9-per-group money sums
+    cross a 6-dp half-step under accumulation-order ulp (SURVEY §7).
+    """
+    oname, lname = "dius_orders_bucketed", "dius_lineitem_bucketed_pair"
+    for name, table, key in (
+        (oname, "orders", "o_orderkey"),
+        (lname, "lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            # repartition onto the bucket key FIRST: Spark's repartition
+            # hash == its bucket hash, so 8 write tasks each own exactly
+            # one bucket → ONE file per bucket.  That is the condition
+            # under which sortBy survives the read (multi-file buckets
+            # force a re-sort; SPARK-24528) — and what makes the join
+            # below sort-free, not just shuffle-free.
+            load_table(spark, sf_dir, table)
+            .repartition(8, F.col(key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{SCRATCH}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o, li = spark.table(oname), spark.table(lname)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@plan(
     "sql_view_query",
     oracle="""
     SELECT n_name, count(*) AS n_customers,

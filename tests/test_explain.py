@@ -478,3 +478,62 @@ def test_media_decode_runs_in_scan_stage(spark, key):
     plan = _plan(spark, key)
     assert "MapInPandas" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_cobucketed_pair_join_no_exchange_no_sort(spark):
+    """join_bucketed_pair's 100 TB claim, asserted in BOTH planner
+    modes (broadcast disabled so the plan is the large-large shape):
+
+    1. Default: the co-bucketed orders⋈lineitem sort-merge join reads
+       both sides bucketed with NO Exchange — the shuffles are paid
+       once at write time.  Sorts remain: since Spark 3, sortBy-aware
+       scans are gated off by default because proving one-file-per-
+       bucket needs a file listing at planning time.
+    2. With spark.sql.legacy.bucketedTableScan.outputOrdering=true
+       (and the write's repartition(8, key) guaranteeing one file per
+       bucket), the scan reports its sort order and the plan drops
+       the Sorts too — join input I/O only, no shuffle, no sort.
+    """
+    import contextlib
+    import io
+
+    from data_ingest_utils_spark.plans import QUERIES
+
+    # Materialize both bucketed tables (idempotent).
+    QUERIES["join_bucketed_pair"](spark, SF_T2).collect()
+
+    def join_plan():
+        o = spark.table("dius_orders_bucketed")
+        li = spark.table("dius_lineitem_bucketed_pair")
+        joined = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        return buf.getvalue()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = join_plan()
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("SelectedBucketsCount") == 2, plan
+        assert "Exchange" not in plan, plan
+
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        try:
+            sorted_plan = join_plan()
+        finally:
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+            )
+        assert "SortMergeJoin" in sorted_plan, sorted_plan
+        assert "Exchange" not in sorted_plan, sorted_plan
+        assert "Sort " not in sorted_plan.replace("SortMergeJoin", "SMJ"), (
+            sorted_plan
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1285,3 +1285,22 @@ def test_kmeans_survives_cents_named_input(spark):
     )
     assert assigned.count() == emb.count()
     assert len(cents) == 4
+
+
+def test_bloom_incremental_matches_plain_anti_join(spark):
+    """llm_dedup_bloom_incremental must admit EXACTLY the docs the
+    plain anti-join key admits (a bloom has no false negatives; hits
+    are exactly-verified), with bloom_hit=true only on certified
+    false positives — the r10 scale path's no-lost-docs contract."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    plain = {
+        r.doc_id
+        for r in QUERIES["llm_incremental_dedup"](spark, SF_T2).collect()
+    }
+    rows = QUERIES["llm_dedup_bloom_incremental"](spark, SF_T2).collect()
+    assert {r.doc_id for r in rows} == plain
+    # surviving hits are the bloom's false positives — they must have
+    # cleared the exact verify, i.e. still be in the plain result
+    fps = {r.doc_id for r in rows if r.bloom_hit}
+    assert fps <= plain
