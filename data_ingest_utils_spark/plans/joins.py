@@ -554,3 +554,49 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(within, F.col("prev_ts")).alias("recent_purchase_ts"),
     )
+
+
+@plan(
+    "join_fuzzy_blocked",
+    oracle="""
+    SELECT c_custkey, s_suppkey, c_nationkey AS nationkey,
+           levenshtein(substr(c_name, 10), substr(s_name, 10)) AS dist
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    WHERE levenshtein(substr(c_name, 10), substr(s_name, 10)) <= 1
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (entity-resolution) join: candidate pairs come
+    from an exact equi-join on a cheap blocking key (nationkey), and
+    only those pairs pay the expensive edit-distance predicate —
+    never a cross join.  The classic two-stage record-linkage shape:
+    at 100 TB the blocking key (sorted-neighborhood bucket, phonetic
+    code, name prefix) bounds the pair space to sum-of-block-squares
+    while the residual predicate does exact matching within blocks.
+    The match field is the entity id digits (both fixture name pools
+    share the zero-padded numeric tail); Spark's thresholded
+    ``levenshtein(l, r, k)`` would short-circuit past k at scale —
+    spelled unthresholded here so the oracle's CASE-free predicate
+    is bit-identical.  Supplier is the small side of every block:
+    broadcast, so the fact side never shuffles."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("substr(c_name, 10)").alias("_ct"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.expr("substr(s_name, 10)").alias("_st"),
+    )
+    dist = F.levenshtein("_ct", "_st")
+    return (
+        c.join(F.broadcast(s), c["c_nationkey"] == s["s_nationkey"])
+        .filter(dist <= 1)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.col("c_nationkey").alias("nationkey"),
+            dist.alias("dist"),
+        )
+    )

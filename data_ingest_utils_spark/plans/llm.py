@@ -2412,3 +2412,75 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@plan(
+    "llm_substring_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shingles AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS sh
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) _l
+    ),
+    per AS (
+      SELECT doc_id, sh, count(*) AS cnt FROM shingles GROUP BY doc_id, sh
+    ),
+    flagged AS (
+      SELECT doc_id, cnt, count(*) OVER (PARTITION BY sh) AS n_docs FROM per
+    )
+    SELECT doc_id,
+           sum(cnt)::BIGINT AS n_shingles,
+           coalesce(sum(cnt) FILTER (WHERE n_docs > 1), 0)::BIGINT
+             AS n_dup_shingles,
+           round(coalesce(sum(cnt) FILTER (WHERE n_docs > 1), 0)::DOUBLE
+                 / sum(cnt), 6) AS dup_ratio
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (the fixed-k distributed
+    form of suffix-array substring dedup for training corpora): every
+    OVERLAPPING 8-token shingle of every doc, flagged when its exact
+    text also appears in ANOTHER doc; per doc, the shingle total, the
+    cross-doc-duplicated count, and the duplicated fraction — the
+    signal used to trim or drop boilerplate-heavy documents.
+
+    Differs from llm_segment_dedup (disjoint 10-token segments,
+    corpus-frequency=1 filter) in both pair semantics (overlapping
+    windows catch duplicated spans at ANY offset) and the dup test
+    (cross-doc distinct-count, so a phrase repeated only within one
+    doc is not a dup).
+
+    Plan shape: the shingle explode is narrow (~L rows per doc); the
+    (doc_id, shingle) pre-aggregation is map-side combinable; the
+    cross-doc count rides ONE window over the shingle partition (no
+    corpus-wide join-back, so the exploded set is scanned once); the
+    per-doc rollup is one more hash agg.  Docs under 8 tokens have no
+    8-shingle and drop out (oracle range() is empty for them).  At
+    100 TB shuffle the 8-byte xxhash64 of the shingle instead of its
+    text (same counts modulo negligible collisions) — kept as text
+    here so the oracle is bit-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    k = 8
+    docs = d.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= k
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
+            )
+        ).alias("sh"),
+    )
+    per = sh.groupBy("doc_id", "sh").agg(F.count("*").alias("cnt"))
+    flagged = per.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("sh"))
+    )
+    dup = F.sum(F.when(F.col("n_docs") > 1, F.col("cnt")).otherwise(F.lit(0)))
+    return flagged.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_shingles"),
+        dup.cast("long").alias("n_dup_shingles"),
+        F.round(dup.cast("double") / F.sum("cnt"), 6).alias("dup_ratio"),
+    )

@@ -537,3 +537,31 @@ def test_cobucketed_pair_join_no_exchange_no_sort(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_fuzzy_blocked_join_broadcasts_not_cartesian(spark):
+    """join_fuzzy_blocked must ride the blocking key as a broadcast
+    equi-join — the edit-distance residual is a post-join filter, and
+    the pair space must never degenerate into a cartesian product."""
+    plan = _plan(spark, "join_fuzzy_blocked")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan.lower(), plan
+
+
+def test_substring_dedup_single_window_no_join_back(spark):
+    """llm_substring_dedup's cross-doc count must ride ONE window over
+    the shingle partition, not a corpus-wide join-back: the plan has
+    no join at all, and exactly the three hash-agg exchanges the
+    docstring promises (pre-agg on (doc_id, sh), window on sh,
+    rollup on doc_id — the first agg's partial/final pair shares one
+    exchange)."""
+    plan = _plan(spark, "llm_substring_dedup")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, plan
+    assert "Window" in plan, plan
+    # count physical nodes via the "(N) Exchange" detail headers —
+    # each node appears once in the tree AND once in the detail list
+    assert plan.count(") Exchange") <= 3, plan
