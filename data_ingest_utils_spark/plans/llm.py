@@ -1219,19 +1219,24 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order-function arithmetic on an O(Σ|cell|²) stream.
     # cos = dot / nullif(na·nb, 0) with the same nanvl fold is
     # bit-identical (sqrt of the same sq_norm doubles, same order).
-    emb = emb.withColumn("_nrm", F.sqrt(sq_norm))
+    emb = emb.withColumn("_nrm", F.sqrt(sq_norm)).withColumn(
+        # widen to array<double> ONCE per row (r10): the pair stage
+        # below multiplies O(Σ|cell|²·d) elements — per-pair casts
+        # there are redundant work the projection pays once here
+        "_vd", sim.vector_to_double(F.col("embedding"))
+    )
     a = emb.select(
-        "vec_id", "label", F.col("embedding").alias("_va"),
+        "vec_id", "label", F.col("_vd").alias("_va"),
         F.col("_nrm").alias("_na"),
     )
     b = emb.select(
         F.col("vec_id").alias("nbr_id"), "label",
-        F.col("embedding").alias("_vb"), F.col("_nrm").alias("_nb"),
+        F.col("_vd").alias("_vb"), F.col("_nrm").alias("_nb"),
     )
     pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nbr_id"))
     cos = F.round(
         F.nanvl(
-            sim.vector_dot(F.col("_va"), F.col("_vb"))
+            sim.vector_dot_wide(F.col("_va"), F.col("_vb"))
             / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
             F.lit(None).cast("double"),
         ),
