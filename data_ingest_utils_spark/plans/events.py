@@ -578,7 +578,10 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from data_ingest_utils_spark.plans.scans import SCRATCH
-    from data_ingest_utils_spark.streaming.runner import run_available_now
+    from data_ingest_utils_spark.streaming.runner import (
+        run_available_now,
+        state_partitions_scope,
+    )
 
     # uuid-isolated scratch + sink (same rationale as the other
     # streaming plans): concurrent invocations must not rmtree each
@@ -628,7 +631,14 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     try:
-        run_available_now(joined.select("purchase_id", "view_id", "user_id"), sink)
+        # 8 state stores, not the batch default 32: the join buffers
+        # ~1 M rows at sf1 — per-store snapshot/commit overhead, not
+        # row volume, dominates the one-batch drain (14.5 s → 6.25 s
+        # measured; see state_partitions_scope).
+        with state_partitions_scope(spark, 8):
+            run_available_now(
+                joined.select("purchase_id", "view_id", "user_id"), sink
+            )
         rows = spark.table(sink).collect()
     finally:
         try:
@@ -769,6 +779,7 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingest_utils_spark.streaming.runner import (
         read_parquet_stream,
         run_available_now,
+        state_partitions_scope,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -822,13 +833,21 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(part, dst)
             os.utime(dst, (base + i * 10, base + i * 10))
             shutil.rmtree(tmp, ignore_errors=True)
-        progress = run_available_now(
-            watermarked_tumbling(
-                read_parquet_stream(spark, src), watermark="10 minutes", width="1 hour"
-            ),
-            sink,
-            output_mode="append",
-        )
+        # 8 state stores for a 4-micro-batch drain whose windowed
+        # state is tiny: at the batch default 32 the per-store
+        # snapshot/commit fixed cost is paid 128 times (see
+        # state_partitions_scope); metric SUMS are store-count
+        # invariant.
+        with state_partitions_scope(spark, 8):
+            progress = run_available_now(
+                watermarked_tumbling(
+                    read_parquet_stream(spark, src),
+                    watermark="10 minutes",
+                    width="1 hour",
+                ),
+                sink,
+                output_mode="append",
+            )
         dropped = sum(
             so.get("numRowsDroppedByWatermark", 0)
             for p in progress

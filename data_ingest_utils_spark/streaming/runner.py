@@ -130,6 +130,39 @@ def _progress_cap_scope(conf):
                     conf.set(_PROGRESS_CAP, _CAP_PRIOR)
 
 
+@contextlib.contextmanager
+def state_partitions_scope(spark: SparkSession, n: int):
+    """Scoped ``spark.sql.shuffle.partitions`` for ONE stateful drain.
+
+    A streaming query latches shuffle partitions at first start as its
+    state-store count, so the batch-tuned session default (32) also
+    sizes per-micro-batch state overhead: every store pays fixed
+    snapshot/commit cost per batch regardless of how few rows it
+    holds.  Measured on evt_stream_stream_join at sf1 (1 M staged
+    events, one availableNow batch): median 14.5 s at 32 stores vs
+    6.25 s at 8 vs 7.6 s at 16, identical 3420-row output — state is
+    hash-distributed, so results are partition-count invariant and
+    hash certificates are unaffected.  At 100 TB the same dial sizes
+    UP (stores ≈ 2-4× total executor cores, rescalable only by state
+    rebalance): the point is that state parallelism is a deliberate,
+    state-volume-sized choice, not the inherited batch default.
+
+    Plain save/set/restore — safe for NESTING (innermost wins on the
+    way in, each level restores on the way out), not for concurrent
+    drains with different values on one session (the driver, bench,
+    sweep, and tests all drain serially; the refcounted cap scope
+    above solves the concurrent case for a single shared value).
+    """
+    conf = spark.conf
+    key = "spark.sql.shuffle.partitions"
+    prior = conf.get(key)
+    conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        conf.set(key, prior)
+
+
 def drain_available_now(
     df: DataFrame,
     configure: Callable,

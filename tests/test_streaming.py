@@ -587,3 +587,62 @@ def test_run_available_now_start_failure_restores_session(spark):
         run_available_now(sdf, "failmode", output_mode="not_a_mode", timeout_sec=10)
     assert spark.conf.get(cap, None) == before
     assert set(glob.glob("/tmp/ckpt_failmode_*")) == ckpts_before
+
+
+def test_state_partitions_scope_restores_and_nests(spark):
+    """state_partitions_scope must set shuffle partitions for exactly
+    its body — nested scopes win innermost-first and every exit path
+    (normal or raising) restores the caller's value, so a drain can
+    never leak a state-sized partition count into later batch plans."""
+    from data_ingest_utils_spark.streaming.runner import state_partitions_scope
+
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    with state_partitions_scope(spark, 8):
+        assert spark.conf.get(key) == "8"
+        with state_partitions_scope(spark, 4):
+            assert spark.conf.get(key) == "4"
+        assert spark.conf.get(key) == "8"
+    assert spark.conf.get(key) == prior
+    with pytest.raises(RuntimeError):
+        with state_partitions_scope(spark, 8):
+            raise RuntimeError("body failure")
+    assert spark.conf.get(key) == prior
+
+
+def test_stream_stream_join_state_scope_output_invariant(spark):
+    """The 8-store drain must produce the same rows the 32-store drain
+    did — state is hash-distributed, so partition count can never
+    change the join result (the certificate behind scoping the
+    stream-stream key's state parallelism)."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    out = QUERIES["evt_stream_stream_join"](spark, SF_T2)
+    got = {tuple(r) for r in out.collect()}
+    # batch twin: the same interval join stated in plain DataFrame ops
+    from data_ingest_utils_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_T2, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+        "user_id",
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+        F.col("user_id").alias("v_user_id"),
+    )
+    want = {
+        tuple(r)
+        for r in p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        .select("purchase_id", "view_id", "user_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
