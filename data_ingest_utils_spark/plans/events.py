@@ -598,7 +598,14 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
         )
-        .coalesce(1)
+        # 8 staged files, not coalesce(1): the write AND the stream
+        # scan+watermark stage run 8-wide, and availableNow with no
+        # file-rate limit still drains everything in ONE micro-batch
+        # (same 3420-row sf1 output both ways, interleaved A/B medians
+        # 4.7-7.5 s vs 5.9-8.0 s single-file; the per-round oracle
+        # hash would fail loudly if the single-batch default changed,
+        # since a multi-batch split would watermark-drop older rows).
+        .repartition(8)
         .write.mode("overwrite")
         .parquet(src)
     )
