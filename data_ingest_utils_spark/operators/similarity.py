@@ -261,8 +261,13 @@ def embedding_near_dup_pairs(
     casts instead of O(pairs·dim); measured ~5% at sf1 and
     bit-identical (the widening produces the same doubles the
     per-pair cast did)."""
+    # _nrm comes from the FLOAT column in one transform pass (x²
+    # fold), not from _dot_wide(_vd, _vd): Catalyst's CollapseProject
+    # inlines _vd's transform into same-projection consumers, so the
+    # zip_with form would evaluate the widening cast twice per row.
+    # Same doubles either way (cast(x)·cast(x) == the widened x²).
     wn = df.withColumn("_vd", _to_double(F.col(vec_col))).withColumn(
-        "_nrm", F.sqrt(_dot_wide(F.col("_vd"), F.col("_vd")))
+        "_nrm", _norm(F.col(vec_col))
     )
     a = wn.select(F.col(id_col).alias("vec_a"), F.col("_vd").alias("_va"),
                   F.col("_nrm").alias("_na"),
@@ -534,8 +539,10 @@ def semdedup(
     # the O(Σ|cell|²) pair filter a per-pair _norm costs O(m²·d)
     # redundant interpreted-lambda work vs O(m·d) here — the dot
     # product is the only arithmetic that must stay per-pair.
+    # norm from the float column in one transform pass — see
+    # embedding_near_dup_pairs' CollapseProject note
     with_norm = vecs.withColumn("_vd", _to_double(F.col(vec_col))).withColumn(
-        "_nrm", F.sqrt(_dot_wide(F.col("_vd"), F.col("_vd")))
+        "_nrm", _norm(F.col(vec_col))
     )
     a = with_norm.select(
         F.col(id_col).alias("_a_id"),
