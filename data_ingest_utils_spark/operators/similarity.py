@@ -41,9 +41,10 @@ def _to_double(a: Column) -> Column:
     the per-pair dot multiplies natively — the per-pair form widens
     every element on every candidate pair, which is O(pairs·dim)
     redundant cast work vs O(n·dim) here (measured ~5% on the sf1
-    near-dup bench; grows with pair fan-out).  Same doubles either
-    way, so results are bit-identical."""
-    return F.transform(a, lambda x: x.cast("double"))
+    near-dup bench; grows with pair fan-out).  A single native array
+    Cast, not a per-element ``transform`` lambda — same element
+    doubles and null handling, minus the lambda-variable machinery."""
+    return a.cast("array<double>")
 
 
 def _dot_wide(a: Column, b: Column) -> Column:
@@ -91,12 +92,31 @@ def _cosine(a: Column, b: Column) -> Column:
 #: has a stable surface.
 pairwise_cosine = _cosine
 
-#: Public dot-product column helper for callers that pre-attach norms
-#: (llm_knn_join, embedding_near_dup_pairs) instead of paying
-#: per-pair norm recomputation inside :func:`pairwise_cosine`.
+#: Public dot-product column helpers.  ``vector_dot`` widens per pair
+#: — the general form for ad-hoc float columns; pair-stage plans
+#: (llm_knn_join, embedding_near_dup_pairs, semdedup) instead project
+#: ``vector_to_double`` once per side and use ``vector_dot_wide``, so
+#: the O(pairs·dim) lambda carries no casts (round 10).
 vector_dot = _dot
 vector_to_double = _to_double
 vector_dot_wide = _dot_wide
+
+
+def widen_with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """Attach the two pair-stage prologue columns in one place:
+    ``_vd`` (the once-per-row widened ``array<double>``) and ``_nrm``
+    (the vector's L2 norm).
+
+    The norm deliberately comes from the FLOAT column in one
+    x²-transform pass, NOT from ``_dot_wide(_vd, _vd)``: Catalyst's
+    CollapseProject inlines ``_vd``'s cast into same-projection
+    consumers, so the zip_with form would evaluate the widening twice
+    per row.  Same doubles either way (cast(x)·cast(x) IS the widened
+    square) — this helper exists so that rule lives once, not copied
+    per pair-stage operator."""
+    return df.withColumn("_vd", _to_double(F.col(vec_col))).withColumn(
+        "_nrm", _norm(F.col(vec_col))
+    )
 
 
 def cosine_to_query(df: DataFrame, vec_col: str, query: Sequence[float]) -> Column:
@@ -261,14 +281,7 @@ def embedding_near_dup_pairs(
     casts instead of O(pairs·dim); measured ~5% at sf1 and
     bit-identical (the widening produces the same doubles the
     per-pair cast did)."""
-    # _nrm comes from the FLOAT column in one transform pass (x²
-    # fold), not from _dot_wide(_vd, _vd): Catalyst's CollapseProject
-    # inlines _vd's transform into same-projection consumers, so the
-    # zip_with form would evaluate the widening cast twice per row.
-    # Same doubles either way (cast(x)·cast(x) == the widened x²).
-    wn = df.withColumn("_vd", _to_double(F.col(vec_col))).withColumn(
-        "_nrm", _norm(F.col(vec_col))
-    )
+    wn = widen_with_norm(df, vec_col)
     a = wn.select(F.col(id_col).alias("vec_a"), F.col("_vd").alias("_va"),
                   F.col("_nrm").alias("_na"),
                   *( [F.col(block_col).alias("_blk")] if block_col else [] ))
@@ -539,11 +552,7 @@ def semdedup(
     # the O(Σ|cell|²) pair filter a per-pair _norm costs O(m²·d)
     # redundant interpreted-lambda work vs O(m·d) here — the dot
     # product is the only arithmetic that must stay per-pair.
-    # norm from the float column in one transform pass — see
-    # embedding_near_dup_pairs' CollapseProject note
-    with_norm = vecs.withColumn("_vd", _to_double(F.col(vec_col))).withColumn(
-        "_nrm", _norm(F.col(vec_col))
-    )
+    with_norm = widen_with_norm(vecs, vec_col)
     a = with_norm.select(
         F.col(id_col).alias("_a_id"),
         F.col("_vd").alias("_a_vec"),

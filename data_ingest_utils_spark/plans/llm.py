@@ -1219,12 +1219,10 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order-function arithmetic on an O(Σ|cell|²) stream.
     # cos = dot / nullif(na·nb, 0) with the same nanvl fold is
     # bit-identical (sqrt of the same sq_norm doubles, same order).
-    emb = emb.withColumn("_nrm", F.sqrt(sq_norm)).withColumn(
-        # widen to array<double> ONCE per row (r10): the pair stage
-        # below multiplies O(Σ|cell|²·d) elements — per-pair casts
-        # there are redundant work the projection pays once here
-        "_vd", sim.vector_to_double(F.col("embedding"))
-    )
+    # shared pair-stage prologue (r10): _vd widened once per row so
+    # the O(Σ|cell|²·d) pair dot carries no casts, _nrm off the float
+    # column (sqrt of the same sq_norm doubles, same fold order)
+    emb = sim.widen_with_norm(emb, "embedding")
     a = emb.select(
         "vec_id", "label", F.col("_vd").alias("_va"),
         F.col("_nrm").alias("_na"),

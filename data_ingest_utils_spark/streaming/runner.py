@@ -130,6 +130,12 @@ def _progress_cap_scope(conf):
                     conf.set(_PROGRESS_CAP, _CAP_PRIOR)
 
 
+_SPS_KEY = "spark.sql.shuffle.partitions"
+_SPS_LOCK = threading.Lock()
+_SPS_ACTIVE: list[object] = []  # tokens of live scopes, entry order
+_SPS_PRIOR: str | None = None  # session value before the FIRST scope
+
+
 @contextlib.contextmanager
 def state_partitions_scope(spark: SparkSession, n: int):
     """Scoped ``spark.sql.shuffle.partitions`` for ONE stateful drain.
@@ -147,20 +153,37 @@ def state_partitions_scope(spark: SparkSession, n: int):
     rebalance): the point is that state parallelism is a deliberate,
     state-volume-sized choice, not the inherited batch default.
 
-    Plain save/set/restore — safe for NESTING (innermost wins on the
-    way in, each level restores on the way out), not for concurrent
-    drains with different values on one session (the driver, bench,
-    sweep, and tests all drain serially; the refcounted cap scope
-    above solves the concurrent case for a single shared value).
+    Leak-proof under both nesting and concurrent drains (the same
+    class of stranding _progress_cap_scope's refcount fixes, round-8
+    review): the FIRST scope in saves the session value, the LAST one
+    out restores it — a plain per-scope save/restore pair could
+    strand an inner scope's value as the "prior" and permanently cut
+    every later batch plan's shuffle parallelism.  Overlapping scopes
+    with DIFFERENT n still race on which value a concurrently
+    starting query latches (one global conf — unavoidable), but the
+    session always exits to its original value; each exit re-asserts
+    the most recent still-active scope's value for well-nested use.
     """
     conf = spark.conf
-    key = "spark.sql.shuffle.partitions"
-    prior = conf.get(key)
-    conf.set(key, str(n))
+    token = object()
+    with _SPS_LOCK:
+        global _SPS_PRIOR
+        if not _SPS_ACTIVE:
+            _SPS_PRIOR = conf.get(_SPS_KEY)
+        _SPS_ACTIVE.append((token, str(n)))
+        conf.set(_SPS_KEY, str(n))
     try:
         yield
     finally:
-        conf.set(key, prior)
+        with _SPS_LOCK:
+            for i in range(len(_SPS_ACTIVE) - 1, -1, -1):
+                if _SPS_ACTIVE[i][0] is token:
+                    del _SPS_ACTIVE[i]
+                    break
+            if _SPS_ACTIVE:
+                conf.set(_SPS_KEY, _SPS_ACTIVE[-1][1])
+            else:
+                conf.set(_SPS_KEY, _SPS_PRIOR)
 
 
 def drain_available_now(

@@ -610,16 +610,32 @@ def test_state_partitions_scope_restores_and_nests(spark):
     assert spark.conf.get(key) == prior
 
 
-def test_stream_stream_join_state_scope_output_invariant(spark):
-    """The 8-store drain must produce the same rows the 32-store drain
-    did — state is hash-distributed, so partition count can never
-    change the join result (the certificate behind scoping the
-    stream-stream key's state parallelism)."""
-    from data_ingest_utils_spark.plans import QUERIES
+def test_state_partitions_scope_interleaved_exit_no_strand(spark):
+    """Out-of-order exits (scope A leaves while scope B is still
+    live — the concurrent-drains interleaving) must NOT strand an
+    inner scope's value as the session default: the LAST scope out
+    restores the depth-0 prior, and an intermediate exit re-asserts
+    the most recent still-active value.  This is the read-modify-
+    restore stranding class the progress-cap refcount fixed in
+    round 8, applied to the state-partitions dial."""
+    from data_ingest_utils_spark.streaming.runner import state_partitions_scope
 
-    out = QUERIES["evt_stream_stream_join"](spark, SF_T2)
-    got = {tuple(r) for r in out.collect()}
-    # batch twin: the same interval join stated in plain DataFrame ops
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    a = state_partitions_scope(spark, 8)
+    b = state_partitions_scope(spark, 4)
+    a.__enter__()
+    b.__enter__()
+    assert spark.conf.get(key) == "4"
+    a.__exit__(None, None, None)  # A exits FIRST — not nesting order
+    assert spark.conf.get(key) == "4"  # B still live: its value holds
+    b.__exit__(None, None, None)
+    assert spark.conf.get(key) == prior  # last-out restores depth-0
+
+
+def _batch_interval_join_twin(spark):
+    """The stream-stream key's interval join stated in plain batch
+    DataFrame ops — the value-level ground truth for the drains."""
     from data_ingest_utils_spark.sources.readers import load_table
     from pyspark.sql import functions as F
 
@@ -634,15 +650,130 @@ def test_stream_stream_join_state_scope_output_invariant(spark):
         F.col("ts").cast("timestamp").alias("v_ts"),
         F.col("user_id").alias("v_user_id"),
     )
-    want = {
-        tuple(r)
-        for r in p.join(
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "view_id", "user_id")
+
+
+def test_stream_stream_join_matches_batch_twin(spark):
+    """The registry key's (8-store) streamed drain must equal the
+    batch interval join as a MULTISET — a Counter compare, so a
+    duplicate-emitting streaming bug can't hide behind set identity."""
+    from collections import Counter
+
+    from data_ingest_utils_spark.plans import QUERIES
+
+    got = Counter(tuple(r) for r in QUERIES["evt_stream_stream_join"](spark, SF_T2).collect())
+    want = Counter(tuple(r) for r in _batch_interval_join_twin(spark).collect())
+    assert got == want and sum(got.values()) > 0
+
+
+def test_stream_stream_join_store_count_invariant(spark):
+    """Drain the SAME watermarked interval join under 4 and 16 state
+    stores and compare multisets — the direct certificate that
+    store count never changes the join result (state is
+    hash-distributed), which is what licenses sizing the registry
+    key's state parallelism for speed."""
+    import os
+    import shutil
+    import uuid
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_ingest_utils_spark.plans.scans import SCRATCH
+    from data_ingest_utils_spark.sources.readers import load_table
+    from data_ingest_utils_spark.streaming.runner import (
+        run_available_now,
+        state_partitions_scope,
+    )
+
+    def drain(n_stores):
+        run_id = uuid.uuid4().hex[:12]
+        src = f"{SCRATCH}/ssjinv_src_{run_id}"
+        sink = f"ssjinv_out_{run_id}"
+        os.makedirs(src)
+        load_table(spark, SF_T2, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+        ).repartition(4).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(src)
+        p = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+                "user_id",
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        v = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+                F.col("user_id").alias("v_user_id"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        j = p.join(
             v,
             (F.col("user_id") == F.col("v_user_id"))
             & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
             & (F.col("v_ts") <= F.col("p_ts")),
         )
-        .select("purchase_id", "view_id", "user_id")
-        .collect()
-    }
-    assert got == want and len(got) > 0
+        try:
+            with state_partitions_scope(spark, n_stores):
+                run_available_now(
+                    j.select("purchase_id", "view_id", "user_id"), sink
+                )
+            return Counter(tuple(r) for r in spark.table(sink).collect())
+        finally:
+            spark.catalog.dropTempView(sink)
+            shutil.rmtree(src, ignore_errors=True)
+
+    four, sixteen = drain(4), drain(16)
+    assert four == sixteen and sum(four.values()) > 0
+
+
+def test_available_now_multi_file_source_drains_in_one_batch(spark, tmp_path):
+    """evt_stream_stream_join stages its source as 8 files and relies
+    on availableNow with NO file-rate limit draining them in ONE
+    micro-batch (a multi-batch split would watermark-drop older
+    rows).  Pin that default: a rate-unlimited readStream over a
+    multi-file directory must report exactly one data micro-batch."""
+    import pandas as pd
+
+    from data_ingest_utils_spark.streaming.runner import run_available_now
+
+    src = str(tmp_path / "multi_src")
+    os.makedirs(src)
+    for i in range(8):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(i * 10, i * 10 + 10),
+                "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(10), "m"),
+                "user_id": [1] * 10,
+                "event_type": ["view"] * 10,
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), f"{src}/f_{i:02d}.parquet")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).parquet(src)  # deliberately NOT read_parquet_stream: no rate limit
+    progress = run_available_now(
+        stream.groupBy("event_type").count(),
+        "multifile_onebatch",
+        output_mode="complete",
+    )
+    data_batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+    assert len(data_batches) == 1, [p.get("numInputRows") for p in progress]
+    assert data_batches[0]["numInputRows"] == 80
+    spark.catalog.dropTempView("multifile_onebatch")
