@@ -356,3 +356,38 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_price"),
         F.round(F.avg("l_extendedprice"), 6).alias("plain_avg"),
     )
+
+
+@plan(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6)  AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+           round(median(l_discount), 6) AS median_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p50/p90/p99 + a median) — the
+    numeric-profiling aggregate every data-quality report runs.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    same linear-interpolation definition ((1−g)·aᵢ + g·aᵢ₊₁ at rank
+    (n−1)·q), so the result is oracle-hash-checkable at 6 dp.
+
+    Scale note: exact percentile buffers each group's values (one
+    sorted digest per group per partial) — fine for bounded group
+    counts like this 3-flag rollup even at 100 TB, since the
+    per-group buffer, not the row count, is the memory bound.  For
+    high-cardinality keys or relaxed accuracy the drop-in is
+    ``percentile_approx`` (GK sketch, fixed memory, mergeable) — the
+    same trade agg_approx_count_distinct documents for distinct
+    counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 6).alias("median_disc"),
+    )
