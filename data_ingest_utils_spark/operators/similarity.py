@@ -113,7 +113,19 @@ def widen_with_norm(df: DataFrame, vec_col: str) -> DataFrame:
     consumers, so the zip_with form would evaluate the widening twice
     per row.  Same doubles either way (cast(x)·cast(x) IS the widened
     square) — this helper exists so that rule lives once, not copied
-    per pair-stage operator."""
+    per pair-stage operator.
+
+    The reserved names must be ABSENT on the input (ADVICE r10):
+    ``withColumn`` silently replaces an existing column, and the
+    pair-stage callers (embedding_near_dup_pairs, semdedup, knn)
+    accept arbitrary user DataFrames — a collision would overwrite
+    user data instead of erroring."""
+    taken = [c for c in ("_vd", "_nrm") if c in df.columns]
+    if taken:
+        raise ValueError(
+            f"widen_with_norm: input already has reserved column(s) {taken}; "
+            "rename them before the pair-stage prologue"
+        )
     return df.withColumn("_vd", _to_double(F.col(vec_col))).withColumn(
         "_nrm", _norm(F.col(vec_col))
     )

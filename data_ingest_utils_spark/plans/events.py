@@ -578,10 +578,7 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from data_ingest_utils_spark.plans.scans import SCRATCH
-    from data_ingest_utils_spark.streaming.runner import (
-        run_available_now,
-        state_partitions_scope,
-    )
+    from data_ingest_utils_spark.streaming.runner import run_available_now
 
     # uuid-isolated scratch + sink (same rationale as the other
     # streaming plans): concurrent invocations must not rmtree each
@@ -641,10 +638,24 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 8 state stores, not the batch default 32: the join buffers
         # ~1 M rows at sf1 — per-store snapshot/commit overhead, not
         # row volume, dominates the one-batch drain (14.5 s → 6.25 s
-        # measured; see state_partitions_scope).
-        with state_partitions_scope(spark, 8):
-            run_available_now(
-                joined.select("purchase_id", "view_id", "user_id"), sink
+        # measured; see state_partitions_scope).  Since round 11 this
+        # is run_available_now's default (state_partitions=8).
+        progress = run_available_now(
+            joined.select("purchase_id", "view_id", "user_id"), sink
+        )
+        # Runtime guard (ADVICE r10): the plan's correctness depends on
+        # availableNow draining all 8 staged files in ONE micro-batch —
+        # a multi-batch split would watermark-drop older rows.  Pinned
+        # by test + oracle hash, but if a Spark default ever changes
+        # the batching, fail HERE with a clear message instead of as a
+        # downstream hash mismatch.
+        fed = [p for p in progress if p.get("numInputRows", 0) > 0]
+        if len(fed) != 1:
+            raise RuntimeError(
+                "evt_stream_stream_join: expected ONE availableNow "
+                f"micro-batch to drain the staged source, got {len(fed)} "
+                "batches with input rows — a multi-batch split breaks the "
+                "single-batch watermark assumption this plan documents"
             )
         rows = spark.table(sink).collect()
     finally:
@@ -786,7 +797,6 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingest_utils_spark.streaming.runner import (
         read_parquet_stream,
         run_available_now,
-        state_partitions_scope,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -844,17 +854,17 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # state is tiny: at the batch default 32 the per-store
         # snapshot/commit fixed cost is paid 128 times (see
         # state_partitions_scope); metric SUMS are store-count
-        # invariant.
-        with state_partitions_scope(spark, 8):
-            progress = run_available_now(
-                watermarked_tumbling(
-                    read_parquet_stream(spark, src),
-                    watermark="10 minutes",
-                    width="1 hour",
-                ),
-                sink,
-                output_mode="append",
-            )
+        # invariant.  Since round 11 the 8-store scope is
+        # run_available_now's default (state_partitions=8).
+        progress = run_available_now(
+            watermarked_tumbling(
+                read_parquet_stream(spark, src),
+                watermark="10 minutes",
+                width="1 hour",
+            ),
+            sink,
+            output_mode="append",
+        )
         dropped = sum(
             so.get("numRowsDroppedByWatermark", 0)
             for p in progress

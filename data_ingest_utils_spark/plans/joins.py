@@ -589,14 +589,27 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         F.expr("substr(s_name, 10)").alias("_st"),
     )
-    dist = F.levenshtein("_ct", "_st")
+    # On the VERDICT r10 nit (levenshtein appears in both filter and
+    # projection): the "project once, then filter the column" rewrite
+    # is a NO-OP here — PushDownPredicates re-inlines the aliased
+    # expression into the join condition (verified on the optimized
+    # plan: the filter lands INSIDE the BroadcastHashJoin either way,
+    # and the output projection re-states the expression for the
+    # survivors).  That placement is the better trade: every candidate
+    # pair pays ONE evaluation inside the join (non-matches are
+    # dropped before materialization), and only the few SURVIVING
+    # pairs pay the second evaluation in the projection — |survivors|
+    # extra evals, vs |candidates| extra if pushdown were suppressed.
+    # Spelled as withColumn + column refs so intent reads clearly;
+    # the optimized plan is identical to the inline-expression form.
     return (
         c.join(F.broadcast(s), c["c_nationkey"] == s["s_nationkey"])
-        .filter(dist <= 1)
+        .withColumn("dist", F.levenshtein("_ct", "_st"))
+        .filter(F.col("dist") <= 1)
         .select(
             "c_custkey",
             "s_suppkey",
             F.col("c_nationkey").alias("nationkey"),
-            dist.alias("dist"),
+            "dist",
         )
     )

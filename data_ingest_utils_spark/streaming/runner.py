@@ -58,6 +58,7 @@ def run_available_now(
     table_name: str,
     output_mode: str = "append",
     timeout_sec: int = 120,
+    state_partitions: int | None = 8,
 ) -> list[dict]:
     """Drain all available input through the streaming query into an
     in-memory table (``spark.table(table_name)``), then stop.  Returns
@@ -68,18 +69,36 @@ def run_available_now(
     multi-file inputs run as genuine successive micro-batches with
     watermark advancement and state persistence between them.
 
+    ``state_partitions`` (VERDICT r10 #5): every drain through here
+    latches a DELIBERATE state-store count instead of inheriting the
+    batch-tuned session default (32) — per-batch store snapshot/commit
+    overhead is fixed per store, so fixture-volume state pays 32×
+    that tax for nothing (see :func:`state_partitions_scope` for the
+    stream-stream measurement, 14.5 → 6.25 s at sf1; the multi-batch
+    test drains measure 1.36× end-to-end, BASELINE.md).  State is
+    hash-distributed, so outputs and metric SUMS are store-count
+    invariant (asserted in tests/test_streaming.py).  Pass ``None``
+    to inherit the session value, or an int to size for real state
+    volume (at 100 TB: ~2-4× total executor cores).
+
     Watermark semantics note (Spark >= 3.4): micro-batch N filters
     late events with the watermark as of batch N-1's START, while
     state eviction uses the watermark as of N's start — so a late row
     is only dropped when it arrives >= 2 batches after the event that
     advanced the watermark past it.
     """
-    query = drain_available_now(
-        df,
-        lambda w: w.format("memory").queryName(table_name).outputMode(output_mode),
-        name=table_name,
-        timeout_sec=timeout_sec,
+    scope = (
+        state_partitions_scope(df.sparkSession, state_partitions)
+        if state_partitions is not None
+        else contextlib.nullcontext()
     )
+    with scope:
+        query = drain_available_now(
+            df,
+            lambda w: w.format("memory").queryName(table_name).outputMode(output_mode),
+            name=table_name,
+            timeout_sec=timeout_sec,
+        )
     return [p.asDict() if hasattr(p, "asDict") else p for p in query.recentProgress]
 
 
@@ -132,8 +151,15 @@ def _progress_cap_scope(conf):
 
 _SPS_KEY = "spark.sql.shuffle.partitions"
 _SPS_LOCK = threading.Lock()
-_SPS_ACTIVE: list[object] = []  # tokens of live scopes, entry order
-_SPS_PRIOR: str | None = None  # session value before the FIRST scope
+#: Per-session scope state, keyed by id(session): {"prior": str,
+#: "active": [(token, value), ...]}.  Keyed per session (ADVICE r10)
+#: so concurrent scopes on TWO different SparkSessions save/restore
+#: each session's own prior instead of sharing one global — a second
+#: session's first scope must not adopt (or clobber) the first
+#: session's saved value.  Entries are deleted when their last scope
+#: exits, so id() reuse after a session is GC'd cannot alias live
+#: state.
+_SPS_STATE: dict[int, dict] = {}
 
 
 @contextlib.contextmanager
@@ -153,10 +179,10 @@ def state_partitions_scope(spark: SparkSession, n: int):
     rebalance): the point is that state parallelism is a deliberate,
     state-volume-sized choice, not the inherited batch default.
 
-    Leak-proof under both nesting and concurrent drains (the same
-    class of stranding _progress_cap_scope's refcount fixes, round-8
-    review): the FIRST scope in saves the session value, the LAST one
-    out restores it — a plain per-scope save/restore pair could
+    Leak-proof under both nesting and concurrent drains, and scoped
+    PER SESSION (ADVICE r10 — two sessions' scopes never share a
+    saved prior): within a session the FIRST scope in saves the
+    session value, the LAST one out restores it — a plain per-scope save/restore pair could
     strand an inner scope's value as the "prior" and permanently cut
     every later batch plan's shuffle parallelism.  Overlapping scopes
     with DIFFERENT n still race on which value a concurrently
@@ -166,24 +192,31 @@ def state_partitions_scope(spark: SparkSession, n: int):
     """
     conf = spark.conf
     token = object()
+    key = id(spark)
     with _SPS_LOCK:
-        global _SPS_PRIOR
-        if not _SPS_ACTIVE:
-            _SPS_PRIOR = conf.get(_SPS_KEY)
-        _SPS_ACTIVE.append((token, str(n)))
+        state = _SPS_STATE.get(key)
+        if state is None:
+            state = _SPS_STATE[key] = {
+                "prior": conf.get(_SPS_KEY),
+                "active": [],
+            }
+        state["active"].append((token, str(n)))
         conf.set(_SPS_KEY, str(n))
     try:
         yield
     finally:
         with _SPS_LOCK:
-            for i in range(len(_SPS_ACTIVE) - 1, -1, -1):
-                if _SPS_ACTIVE[i][0] is token:
-                    del _SPS_ACTIVE[i]
+            state = _SPS_STATE[key]
+            active = state["active"]
+            for i in range(len(active) - 1, -1, -1):
+                if active[i][0] is token:
+                    del active[i]
                     break
-            if _SPS_ACTIVE:
-                conf.set(_SPS_KEY, _SPS_ACTIVE[-1][1])
+            if active:
+                conf.set(_SPS_KEY, active[-1][1])
             else:
-                conf.set(_SPS_KEY, _SPS_PRIOR)
+                conf.set(_SPS_KEY, state["prior"])
+                del _SPS_STATE[key]
 
 
 def drain_available_now(

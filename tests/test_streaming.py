@@ -633,6 +633,48 @@ def test_state_partitions_scope_interleaved_exit_no_strand(spark):
     assert spark.conf.get(key) == prior  # last-out restores depth-0
 
 
+def test_drain_default_state_partitions_output_invariant(spark, tmp_path):
+    """run_available_now's deliberate 8-store default (round 11) must
+    be OUTPUT-invariant vs inheriting the session's batch default:
+    state is hash-distributed over stores, so the windowed aggregate
+    — including watermark drop behavior across micro-batches — is the
+    same at any store count.  Also pins that the default scope
+    restores the session conf after the drain."""
+    batches = [
+        [
+            (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:50:00", 1, "click", 1.0),
+            (3, "2024-01-01 12:30:00", 2, "view", 1.0),
+        ],
+        [(5, "2024-01-01 12:40:00", 2, "view", 1.0)],
+        [(4, "2024-01-01 10:30:00", 1, "click", 1.0)],  # late → dropped
+    ]
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    outs = []
+    for name, sp in (("dsp_a", 8), ("dsp_b", None)):
+        (tmp_path / name).mkdir()
+        src = _write_batches(str(tmp_path / name), batches)
+        run_available_now(
+            watermarked_tumbling(
+                read_parquet_stream(spark, src),
+                watermark="10 minutes",
+                width="1 hour",
+            ),
+            name,
+            output_mode="append",
+            state_partitions=sp,
+        )
+        outs.append(
+            sorted(
+                (str(r.bucket_start), r.event_type, r.n)
+                for r in spark.table(name).collect()
+            )
+        )
+        assert spark.conf.get(key) == prior
+    assert outs[0] == outs[1] and outs[0]
+
+
 def _batch_interval_join_twin(spark):
     """The stream-stream key's interval join stated in plain batch
     DataFrame ops — the value-level ground truth for the drains."""
