@@ -185,7 +185,7 @@ def _shingle_hash_arrays(
 
 def _verify_pairs_array(
     cands: DataFrame, hv: DataFrame, id_col: str, threshold: float,
-    broadcast_arrays: bool = False,
+    broadcast_arrays: bool = False, hv_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard confirmation of candidate pairs via the per-pair
     ``array_intersect`` shape: attach both docs' DISTINCT shingle-hash
@@ -224,6 +224,13 @@ def _verify_pairs_array(
       costs more than the copy — the auto-gate therefore only ever
       broadcasts on distributed masters (measured A/B in
       :func:`_resolve_broadcast_verify`).
+
+    ``hv_b`` (round 11): the doc_b side may attach from a DIFFERENT
+    array frame — the batch-vs-corpus incremental probe
+    (:func:`minhash_incremental_admit`) verifies pairs whose two ids
+    live in two disjoint tables.  Defaults to ``hv`` (the self-join
+    callers), and the scoring expressions are shared either way, so
+    the verify arithmetic cannot drift between the two shapes.
     """
     maybe_b = F.broadcast if broadcast_arrays else (lambda d: d)
     return (
@@ -235,7 +242,9 @@ def _verify_pairs_array(
         )
         .join(
             maybe_b(
-                hv.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("hvb"))
+                (hv if hv_b is None else hv_b).select(
+                    F.col(id_col).alias("doc_b"), F.col("hv").alias("hvb")
+                )
             ),
             "doc_b",
         )
@@ -825,13 +834,18 @@ def _signatures_from_hash_arrays(
     )
 
 
-def _band_pairs_from_signatures(
-    sig: DataFrame, id_col: str, num_perm: int, bands: int
+def _banded_rows(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int, out_id: str
 ) -> DataFrame:
-    """Band-collision candidate pairs from a ``mh0..mh{num_perm-1}``
-    signature frame — the join half of :func:`minhash_band_candidates`,
-    shared with :func:`minhash_jaccard_verified` so the two candidate
-    paths cannot drift."""
+    """``(out_id, band_idx, band_hash)`` rows from a ``mh0..mh{n-1}``
+    signature frame — one row per (doc, band), hash over the band's
+    ``r = num_perm // bands`` signature slots.  This IS the band
+    index: at 100 TB the corpus side of it is materialized once per
+    epoch (partitioned/bucketed on ``band_hash``) and probed by every
+    incremental batch; here it is the shared candidate-construction
+    half of both the self-join (:func:`_band_pairs_from_signatures`)
+    and the batch-vs-corpus probe (:func:`minhash_incremental_admit`),
+    so the two band geometries cannot drift."""
     if num_perm % bands:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     r = num_perm // bands
@@ -839,10 +853,20 @@ def _band_pairs_from_signatures(
         F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)]).alias(f"bh{b}")
         for b in range(bands)
     ]
-    banded = sig.select(
-        id_col,
+    return sig.select(
+        F.col(id_col).alias(out_id),
         F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
     )
+
+
+def _band_pairs_from_signatures(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """Band-collision candidate pairs from a ``mh0..mh{num_perm-1}``
+    signature frame — the join half of :func:`minhash_band_candidates`,
+    shared with :func:`minhash_jaccard_verified` so the two candidate
+    paths cannot drift."""
+    banded = _banded_rows(sig, id_col, num_perm, bands, id_col)
     a = banded.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
     b_ = banded.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
     return (
@@ -907,6 +931,80 @@ def minhash_jaccard_verified(
     # so the gate only ever errs toward the scale-safe shuffle attach.
     bcast = _resolve_broadcast_verify(df, broadcast_verify, broadcast_max_docs, id_col)
     return _verify_pairs_array(cands, hv, id_col, threshold, broadcast_arrays=bcast)
+
+
+def minhash_incremental_admit(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup admission: keep only the ``batch`` docs
+    with NO corpus near-duplicate at exact shingle-Jaccard ≥
+    ``threshold`` — the nightly job a growing corpus actually runs
+    (VERDICT r10 #4), and the banded-MinHash twin of the exact-hash
+    anti-join in llm_incremental_dedup.
+
+    Stages, all batch-vs-corpus (never corpus×corpus):
+
+    1. Per-side distinct shingle-hash arrays
+       (:func:`_shingle_hash_arrays` — materialized once per side).
+    2. Band rows via the SHARED geometry (:func:`_banded_rows`,
+       b=16 r=1 by default — the high-recall dial; a qualifying pair
+       is missed with probability ≤ (1−J)^bands).  The corpus side is
+       THE persisted band index: at 100 TB it is written once per
+       corpus epoch, bucketed on ``band_hash``, and every nightly
+       batch probes it with this equi-join; recomputed here because
+       the fixture corpus is small.
+    3. Candidates = batch band rows ⋈ corpus band rows on
+       (band_idx, band_hash), distinct (b_id, c_id) — hash-sized band
+       buckets, so candidate volume is collision-bounded, never
+       |batch|·|corpus|.
+    4. Exact verify through the SHARED scorer
+       (:func:`_verify_pairs_array` with per-side arrays): banding
+       decides only who gets VERIFIED; a band false positive cannot
+       reject a batch doc.
+    5. Admission = batch LEFT ANTI join on the ids with a confirmed
+       duplicate — the id-only shuffle shape of llm_incremental_dedup.
+
+    Exact duplicates are near-duplicates at J = 1: identical texts
+    have identical signatures, collide in EVERY band, and verify at
+    jaccard 1.0 — so this operator's rejections are a superset of the
+    exact-hash dedup's rejections for any doc with at least one
+    shingle (asserted in tests/test_text_ops.py).  Batch docs with no
+    corpus band collision are admitted join-free past the verify, and
+    sub-shingle docs (no features) are admitted structurally — they
+    never enter the signature frame.
+    """
+    hv_b = _shingle_hash_arrays(
+        batch.select(id_col, text_col), shingle_n, id_col, text_col
+    )
+    hv_c = _shingle_hash_arrays(
+        corpus.select(id_col, text_col), shingle_n, id_col, text_col
+    )
+    banded_b = _banded_rows(
+        _signatures_from_hash_arrays(hv_b, id_col, num_perm),
+        id_col, num_perm, bands, "doc_a",
+    )
+    banded_c = _banded_rows(
+        _signatures_from_hash_arrays(hv_c, id_col, num_perm),
+        id_col, num_perm, bands, "doc_b",
+    )
+    cands = (
+        banded_b.join(banded_c, ["band_idx", "band_hash"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dup_ids = (
+        _verify_pairs_array(cands, hv_b, id_col, threshold, hv_b=hv_c)
+        .select(F.col("doc_a").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")
 
 
 def minhash_lsh_pairs(

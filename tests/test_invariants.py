@@ -553,6 +553,26 @@ def test_rerank_recall_vs_exact(spark):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_pq_recall_at_least_int8_rerank(spark):
+    """PQ retrieve-then-rerank (VERDICT r10 #6 done-criterion): its
+    recall@5 vs exact brute force must be >= the int8 rerank's on the
+    same fixture (both observed 5/5 — the PQ key's driver oracle IS
+    the exact top-5, so anything below 5/5 also fails parity), sims
+    non-increasing, and the fit deterministic across runs (seeded
+    codebooks, pinned tie-breaks)."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    exact = [r.vec_id for r in QUERIES["llm_sim_topk"](spark, SF_T2).collect()]
+    int8 = [r.vec_id for r in QUERIES["llm_sim_rerank"](spark, SF_T2).collect()]
+    rows = QUERIES["llm_sim_pq"](spark, SF_T2).collect()
+    pq = [r.vec_id for r in rows]
+    assert len(set(exact) & set(pq)) >= len(set(exact) & set(int8))
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    rows2 = QUERIES["llm_sim_pq"](spark, SF_T2).collect()
+    assert [(r.vec_id, r.sim) for r in rows2] == [(r.vec_id, r.sim) for r in rows]
+
+
 def test_kmeans_sse_monotone_and_deterministic(spark):
     """Lloyd's algorithm: SSE non-increasing across iterations, all k
     cells used on the fixture, and two runs agree exactly (seeded by

@@ -161,3 +161,54 @@ def test_bloom_probe_collision_safe(spark):
     clash = spark.createDataFrame([("a", False)], "shingle string, bloom_hit boolean")
     with pytest.raises(ValueError, match="bloom_hit"):
         tx.bloom_probe(clash, "shingle", bloom)
+
+
+def test_minhash_incremental_admit_crafted_dups(spark):
+    """The incremental near-dup probe on a crafted batch/corpus split:
+    exact duplicates and near duplicates of corpus docs are rejected,
+    unrelated and sub-shingle docs are admitted — and the rejections
+    are a SUPERSET of exact-hash dedup's rejections (an exact dup is a
+    near dup at J=1: identical signatures collide in every band), the
+    cross-key invariant behind llm_dedup_minhash_incremental."""
+    from data_ingest_utils_spark.operators import dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before the winter snow arrives"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different corpus text about spark shuffle "
+                "partitions and adaptive query execution at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    near = base.replace("lazy dog", "sleepy dog")  # 1-token edit: J >> 0.5
+    batch = spark.createDataFrame(
+        [
+            (100, base),                        # exact dup of corpus 1
+            (101, near),                        # near dup of corpus 1
+            (102, "unrelated new document text mentioning bloom filters "
+                  "minhash bands and jaccard verification stages today"),
+            (103, "two tokens"),                # sub-shingle: admitted structurally
+        ],
+        "doc_id long, text string",
+    )
+    admitted = sorted(
+        r.doc_id
+        for r in dd.minhash_incremental_admit(batch, corpus, threshold=0.5).collect()
+    )
+    assert admitted == [102, 103]
+
+    # Superset invariant vs the exact-hash anti-join (llm_incremental_dedup's
+    # shape): exact-dedup rejects exactly {100}; near-dedup rejected {100, 101}.
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    exact_admitted = sorted(
+        r.doc_id
+        for r in batch.select("doc_id", h.alias("h"))
+        .join(corpus.select(h.alias("h")), "h", "left_anti")
+        .collect()
+    )
+    assert exact_admitted == [101, 102, 103]
+    assert set(admitted) <= set(exact_admitted)
