@@ -106,6 +106,31 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+#: Fixed control shape for the embedded noise evidence (VERDICT r10
+#: #1): re-timed once at the very START and once at the very END of
+#: the measurement window, so a committed artifact captured in a noisy
+#: host window is SELF-diagnosing (first≉last, or both ≫ the shape's
+#: documented warm floor) instead of requiring same-HEAD re-run
+#: archaeology (bench_r*_runs.jsonl).  agg_hash_group: cheap (~0.1 s
+#: warm), plan-stable since round 1, pure scan+agg — it measures the
+#: host, not the engine.
+CONTROL = "agg_hash_group"
+
+
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line —
+    the host-CPU-steal counter behind BASELINE.md's run-to-run-noise
+    protocol.  None where /proc is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -118,6 +143,13 @@ def main() -> int:
 
     for key in HEADLINE:  # warmup pass: scan + codegen, un-timed
         QUERIES[key](spark, sf_dir).collect()
+    # Noise evidence bracket, part 1 (VERDICT r10 #1): control shape
+    # timed warm immediately after warmup + steal/load snapshot.
+    jiff0 = _cpu_jiffies()
+    load0 = os.getloadavg()[0]
+    t0 = time.perf_counter()
+    QUERIES[CONTROL](spark, sf_dir).collect()
+    control_first = round(time.perf_counter() - t0, 4)
     best: dict[str, float] = {k: float("inf") for k in HEADLINE}
     for burst in range(BURSTS):
         for key in HEADLINE:
@@ -180,6 +212,36 @@ def main() -> int:
             "for the sf1.0 heavy-shape section",
             file=sys.stderr,
         )
+
+    # Noise evidence bracket, part 2: the SAME control shape re-timed
+    # after everything else, plus the steal-jiffy delta across the
+    # whole measurement window.  Reading the artifact: control_last ≫
+    # control_first (or steal_pct ≫ 0) marks the window noisy — treat
+    # inflated UNCHANGED shapes as unconfirmed per BASELINE.md's
+    # protocol; first ≈ last ≈ the shape's documented warm floor
+    # certifies a quiet window and makes any remaining inflation real.
+    t0 = time.perf_counter()
+    QUERIES[CONTROL](spark, sf_dir).collect()
+    control_last = round(time.perf_counter() - t0, 4)
+    jiff1 = _cpu_jiffies()
+    steal_pct = (
+        round(100.0 * (jiff1[0] - jiff0[0]) / max(1, jiff1[1] - jiff0[1]), 3)
+        if jiff0 and jiff1
+        else None
+    )
+    payload["noise"] = {
+        "control": CONTROL,
+        "control_first_s": control_first,
+        "control_last_s": control_last,
+        "steal_pct": steal_pct,
+        "load1_start": round(load0, 2),
+        "load1_end": round(os.getloadavg()[0], 2),
+    }
+    print(
+        f"bench: noise evidence — control {control_first:.3f}s → "
+        f"{control_last:.3f}s, steal {steal_pct}%",
+        file=sys.stderr,
+    )
 
     print(json.dumps(payload))
     return 0

@@ -1294,6 +1294,35 @@ def test_kmeans_iterations_do_not_rescan_source(spark):
     assert "ExistingRDD" in plan or "Scan" in plan
 
 
+def test_pq_plan_shapes(spark):
+    """PQ scale-shape assertions (the new-key .explain hygiene):
+
+    - the coarse candidate plan (encode + ADC + top-coarse_k) never
+      re-scans the source parquet — every vector read comes from the
+      checkpointed unit-vector / subvector frames (the kmeans
+      no-rescan property, VERDICT r9 #2, applied to the PQ fit), and
+      its only joins are the one-row broadcast model attaches;
+    - the incremental MinHash probe's full plan contains no cartesian
+      product: band candidates ride the (band_idx, band_hash)
+      equi-join, verify rides id equi-joins, admission is a left-anti
+      join.
+    """
+    from data_ingest_utils_spark.plans import QUERIES
+
+    pq = QUERIES["llm_sim_pq"](spark, SF_T2)
+    plan = pq._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE parquet scan: the exact-rerank join back to the
+    # source vectors; zero would mean the rerank lost its float
+    # source, two+ would mean the encode/ADC stages re-scan.
+    assert plan.lower().count("scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+    inc = QUERIES["llm_dedup_minhash_incremental"](spark, SF_T2)
+    iplan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in iplan, iplan
+    assert "LeftAnti" in iplan, iplan
+
+
 def test_kmeans_survives_cents_named_input(spark):
     """ADVICE r9: an input whose vector column is literally named
     `_cents` must not make the centroid-model attach ambiguous."""
