@@ -139,7 +139,11 @@ def simhash64(
 
 
 def _shingle_hash_arrays(
-    df: DataFrame, n: int, id_col: str, text_col: str = "text"
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, hv) with hv = the doc's DISTINCT shingle xxhash64 values —
     computed map-only (transform + array_distinct inside the scan
@@ -176,6 +180,9 @@ def _shingle_hash_arrays(
     window."""
     hv = ensure_parallelism(df, id_col).select(
         id_col,
+        *keep_cols,  # pass-through tags (e.g. the incremental probe's
+        # batch/corpus side flag) ride the one materialization instead
+        # of forcing a second tokenize pass per side
         F.array_distinct(
             F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
         ).alias("hv"),
@@ -980,12 +987,25 @@ def minhash_incremental_admit(
     sub-shingle docs (no features) are admitted structurally — they
     never enter the signature frame.
     """
-    hv_b = _shingle_hash_arrays(
-        batch.select(id_col, text_col), shingle_n, id_col, text_col
+    # ONE signature-table pass over the union (round-11 sweep finding:
+    # per-side _shingle_hash_arrays calls made this the cluster-arm
+    # max_key — two scans, two tokenize jobs, two checkpoints for what
+    # is one lake in production): both sides ride a single tokenize →
+    # hash → materialize with a side tag, then split from the
+    # checkpoint.  Requires the documented id-disjointness the verify
+    # attach already assumes.
+    tagged = batch.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("_is_batch")
+    ).unionByName(
+        corpus.select(
+            F.col(id_col), F.col(text_col), F.lit(False).alias("_is_batch")
+        )
     )
-    hv_c = _shingle_hash_arrays(
-        corpus.select(id_col, text_col), shingle_n, id_col, text_col
+    hv_all = _shingle_hash_arrays(
+        tagged, shingle_n, id_col, text_col, keep_cols=("_is_batch",)
     )
+    hv_b = hv_all.filter(F.col("_is_batch")).select(id_col, "hv")
+    hv_c = hv_all.filter(~F.col("_is_batch")).select(id_col, "hv")
     banded_b = _banded_rows(
         _signatures_from_hash_arrays(hv_b, id_col, num_perm),
         id_col, num_perm, bands, "doc_a",

@@ -433,10 +433,15 @@ def pq_rerank_topk(
     base = (
         df.filter(norm > 0).select(id_col, unit.alias("_uv")).localCheckpoint(eager=True)
     )
-    head = base.select(F.size("_uv").alias("d")).head()
-    if head is None:
-        raise ValueError("pq_rerank_topk: no non-zero vectors to index")
-    dim = int(head["d"])
+    # ONE driver action supplies both the codebook seeds and the
+    # dimensionality (a separate size() head() was a whole extra job).
+    seeds = base.orderBy(id_col).limit(codebook_k).collect()
+    if len(seeds) < codebook_k:
+        raise ValueError(
+            f"pq_rerank_topk: need at least codebook_k={codebook_k} non-zero "
+            f"vectors to seed codebooks, got {len(seeds)}"
+        )
+    dim = len(seeds[0]["_uv"])
     if dim % m:
         raise ValueError(f"pq_rerank_topk: m={m} must divide dim={dim}")
     ds = dim // m
@@ -446,13 +451,6 @@ def pq_rerank_topk(
             F.array(*[F.slice("_uv", j * ds + 1, ds) for j in range(m)])
         ).alias("_sub", "_sv"),
     ).localCheckpoint(eager=True)
-
-    seeds = base.orderBy(id_col).limit(codebook_k).collect()
-    if len(seeds) < codebook_k:
-        raise ValueError(
-            f"pq_rerank_topk: need at least codebook_k={codebook_k} non-zero "
-            f"vectors to seed codebooks, got {len(seeds)}"
-        )
     books = [
         [[float(v) for v in r["_uv"][j * ds : (j + 1) * ds]] for r in seeds]
         for j in range(m)
