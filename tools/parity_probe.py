@@ -23,6 +23,7 @@ they have no oracle to compare.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import sys
 
@@ -50,31 +51,43 @@ def main() -> int:
         return 2
 
     spark = get_session("dius-parity-probe")
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        # testdata dirs hold one file per table; Spark-written scale
-        # dirs (tools/make_scale_data.py) hold a DIRECTORY of part
-        # files under the same name — glob in that case.  A missing
-        # table (e.g. embeddings at sf1) just skips its view; keys
-        # that need it fail individually instead of blocking the run.
-        path = f"{args.sf}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        elif not os.path.exists(path):
-            print(f"probe: no {t} table at {args.sf} — skipped", file=sys.stderr)
-            continue
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-        )
+
+    def fresh_oracle_con():
+        """A NEW DuckDB connection per key (round-11 post-mortem): the
+        probe used one shared in-process connection for the whole
+        surface, and after ~113 keys of accumulated Spark-JVM memory
+        the big all-pairs oracles hit DuckDB's memory ceiling and
+        spilled — llm_dedup_clusters' sf1.0 oracle ground 25+ min at
+        79 GB RSS mid-run while the SAME SQL completes in minutes on a
+        fresh connection with full headroom.  View setup is
+        milliseconds; reconnecting per key keeps every oracle's memory
+        budget independent of position in the run."""
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            # testdata dirs hold one file per table; Spark-written scale
+            # dirs (tools/make_scale_data.py) hold a DIRECTORY of part
+            # files under the same name — glob in that case.  A missing
+            # table (e.g. embeddings at sf1) just skips its view; keys
+            # that need it fail individually instead of blocking the run.
+            path = f"{args.sf}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            elif not os.path.exists(path):
+                continue
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        return con
 
     fails: list[tuple[str, str]] = []
     for i, key in enumerate(keys, 1):
         try:
             spark_pdf = QUERIES[key](spark, args.sf).toPandas()
-            oracle_pdf = con.execute(ORACLES[key]).fetchdf()
+            with contextlib.closing(fresh_oracle_con()) as con:
+                oracle_pdf = con.execute(ORACLES[key]).fetchdf()
             assert_parity(spark_pdf, oracle_pdf, key)
             print(f"probe [{i}/{len(keys)}] {key} OK", file=sys.stderr)
         except Exception as exc:  # record and continue — map the whole surface
