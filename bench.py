@@ -126,7 +126,10 @@ def _cpu_jiffies() -> tuple[int, int] | None:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        # exclude guest/guest_nice (fields 8+): the kernel folds them
+        # into user/nice, so including them double-counts and deflates
+        # steal_pct on guest-reporting hosts (ADVICE r11)
+        return steal, sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None
 

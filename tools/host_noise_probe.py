@@ -37,7 +37,10 @@ def _spin(stop_t: float) -> None:
 def _jiffies() -> tuple[int, int]:
     vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
     steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    # fields 8+ (guest, guest_nice) are already folded into user/nice
+    # by the kernel — summing them double-counts guest time and
+    # deflates steal_pct on guest-reporting hosts (ADVICE r11)
+    return steal, sum(vals[:8])
 
 
 def main() -> int:
