@@ -940,6 +940,36 @@ def minhash_jaccard_verified(
     return _verify_pairs_array(cands, hv, id_col, threshold, broadcast_arrays=bcast)
 
 
+def minhash_corpus_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE corpus half of the incremental near-dup
+    probe (VERDICT r11 #2): ``(hv, banded)`` where ``hv`` is the
+    corpus's shingle-hash array frame (``(id, hv)`` — the verify-side
+    attach) and ``banded`` its banded-MinHash signature rows
+    (``(doc_b, band_idx, band_hash)`` — the probe-side equi-join
+    input).  Both are plain DataFrames a caller writes to parquet
+    once per corpus epoch — the "materialized once per epoch" index
+    :func:`minhash_incremental_admit`'s docstring declares — and
+    passes back via ``corpus_index`` so a nightly batch never
+    re-tokenizes the corpus.  Derivation goes through the SHARED
+    geometry helpers, so a persisted index cannot drift from the
+    inline computation."""
+    hv_c = _shingle_hash_arrays(
+        corpus.select(id_col, text_col), shingle_n, id_col, text_col
+    )
+    banded_c = _banded_rows(
+        _signatures_from_hash_arrays(hv_c, id_col, num_perm),
+        id_col, num_perm, bands, "doc_b",
+    )
+    return hv_c, banded_c
+
+
 def minhash_incremental_admit(
     batch: DataFrame,
     corpus: DataFrame,
@@ -949,6 +979,7 @@ def minhash_incremental_admit(
     num_perm: int = 16,
     bands: int = 16,
     shingle_n: int = 3,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup admission: keep only the ``batch`` docs
     with NO corpus near-duplicate at exact shingle-Jaccard ≥
@@ -987,32 +1018,43 @@ def minhash_incremental_admit(
     sub-shingle docs (no features) are admitted structurally — they
     never enter the signature frame.
     """
-    # ONE signature-table pass over the union (round-11 sweep finding:
-    # per-side _shingle_hash_arrays calls made this the cluster-arm
-    # max_key — two scans, two tokenize jobs, two checkpoints for what
-    # is one lake in production): both sides ride a single tokenize →
-    # hash → materialize with a side tag, then split from the
-    # checkpoint.  Requires the documented id-disjointness the verify
-    # attach already assumes.
-    tagged = batch.select(
-        F.col(id_col), F.col(text_col), F.lit(True).alias("_is_batch")
-    ).unionByName(
-        corpus.select(
-            F.col(id_col), F.col(text_col), F.lit(False).alias("_is_batch")
+    if corpus_index is not None:
+        # Persisted-index path (VERDICT r11 #2): the corpus's array
+        # frame + band rows were materialized once per epoch by
+        # :func:`minhash_corpus_index` — only the BATCH pays a
+        # tokenize pass tonight, exactly the production read shape.
+        hv_c, banded_c = corpus_index
+        hv_b = _shingle_hash_arrays(
+            batch.select(id_col, text_col), shingle_n, id_col, text_col
         )
-    )
-    hv_all = _shingle_hash_arrays(
-        tagged, shingle_n, id_col, text_col, keep_cols=("_is_batch",)
-    )
-    hv_b = hv_all.filter(F.col("_is_batch")).select(id_col, "hv")
-    hv_c = hv_all.filter(~F.col("_is_batch")).select(id_col, "hv")
+    else:
+        # ONE signature-table pass over the union (round-11 sweep
+        # finding: per-side _shingle_hash_arrays calls made this the
+        # cluster-arm max_key — two scans, two tokenize jobs, two
+        # checkpoints for what is one lake in production): both sides
+        # ride a single tokenize → hash → materialize with a side
+        # tag, then split from the checkpoint.  Requires the
+        # documented id-disjointness the verify attach already
+        # assumes.
+        tagged = batch.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("_is_batch")
+        ).unionByName(
+            corpus.select(
+                F.col(id_col), F.col(text_col), F.lit(False).alias("_is_batch")
+            )
+        )
+        hv_all = _shingle_hash_arrays(
+            tagged, shingle_n, id_col, text_col, keep_cols=("_is_batch",)
+        )
+        hv_b = hv_all.filter(F.col("_is_batch")).select(id_col, "hv")
+        hv_c = hv_all.filter(~F.col("_is_batch")).select(id_col, "hv")
+        banded_c = _banded_rows(
+            _signatures_from_hash_arrays(hv_c, id_col, num_perm),
+            id_col, num_perm, bands, "doc_b",
+        )
     banded_b = _banded_rows(
         _signatures_from_hash_arrays(hv_b, id_col, num_perm),
         id_col, num_perm, bands, "doc_a",
-    )
-    banded_c = _banded_rows(
-        _signatures_from_hash_arrays(hv_c, id_col, num_perm),
-        id_col, num_perm, bands, "doc_b",
     )
     cands = (
         banded_b.join(banded_c, ["band_idx", "band_hash"])

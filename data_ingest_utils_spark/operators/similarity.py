@@ -369,6 +369,131 @@ def quantized_rerank_topk(
     )
 
 
+def _pq_unit_base(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """``(id, _uv)`` unit-normalized vectors, zero-norm rows dropped
+    (cosine is undefined for them; the exact rerank would discard
+    them anyway)."""
+    norm = _norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    return df.filter(norm > 0).select(id_col, unit.alias("_uv"))
+
+
+def _pq_subvectors(base: DataFrame, m: int, dim: int, id_col: str) -> DataFrame:
+    """Explode ``(id, _uv)`` into the ``(id, _sub, _sv)`` per-subspace
+    frame all PQ stages run over."""
+    ds = dim // m
+    return base.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.slice("_uv", j * ds + 1, ds) for j in range(m)])
+        ).alias("_sub", "_sv"),
+    )
+
+
+def _pq_encode(sub: DataFrame, books: list[list[list[float]]], id_col: str) -> DataFrame:
+    """Assign each subvector its nearest-codeword index: the codebook
+    tensor rides as broadcast DATA (one-row frame — the
+    kmeans_fit_predict plan-constant-in-k pattern), argmin ties go to
+    the lower code via the (d, index) struct ordering."""
+    spark = sub.sparkSession
+    tensor_type = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+    model = F.broadcast(
+        spark.createDataFrame(
+            [(books,)], T.StructType([T.StructField("_pq_books", tensor_type)])
+        )
+    )
+    cents = F.element_at(F.col("_pq_books"), F.col("_sub") + 1)
+    best = F.array_min(
+        F.transform(
+            cents,
+            lambda cv, i: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("_sv"), cv, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("c"),
+            ),
+        )
+    )
+    return sub.crossJoin(model).select(id_col, "_sub", "_sv", best["c"].alias("_code"))
+
+
+def _pq_fit(
+    df: DataFrame,
+    m: int,
+    codebook_k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """Fit all ``m`` codebooks in ONE Lloyd loop over the exploded
+    subvector frame; returns ``(books, sub)`` where ``sub`` is the
+    CHECKPOINTED subvector frame so an inline fit's caller can encode
+    over it without re-deriving the scan (the fit's iterations
+    already paid for the materialization)."""
+    base = _pq_unit_base(df, vec_col, id_col).localCheckpoint(eager=True)
+    # ONE driver action supplies both the codebook seeds and the
+    # dimensionality (a separate size() head() was a whole extra job).
+    seeds = base.orderBy(id_col).limit(codebook_k).collect()
+    if len(seeds) < codebook_k:
+        raise ValueError(
+            f"pq_fit_codebooks: need at least codebook_k={codebook_k} non-zero "
+            f"vectors to seed codebooks, got {len(seeds)}"
+        )
+    dim = len(seeds[0]["_uv"])
+    if dim % m:
+        raise ValueError(f"pq_fit_codebooks: m={m} must divide dim={dim}")
+    ds = dim // m
+    sub = _pq_subvectors(base, m, dim, id_col).localCheckpoint(eager=True)
+    books = [
+        [[float(v) for v in r["_uv"][j * ds : (j + 1) * ds]] for r in seeds]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        stats = (
+            _pq_encode(sub, books, id_col)
+            .groupBy("_sub", "_code")
+            .agg(*[F.avg(F.col("_sv")[i]).alias(f"m{i}") for i in range(ds)])
+            .collect()
+        )
+        for r in stats:  # empty cells keep their previous centroid
+            # 12-dp rounding makes the update order-INSENSITIVE
+            # (ADVICE r11): F.avg over doubles merges partials in
+            # shuffle-fetch order, which Spark does not pin across
+            # runs, so raw means can drift by ulps (~1e-16 on unit
+            # vectors) and flip an argmin code on an exact near-tie —
+            # flaking the determinism certificate the graded
+            # llm_sim_pq hash rests on.  12 dp absorbs merge-order
+            # ulp (quantization step 5e-13 ≫ accumulated ulp for
+            # fixture-scale cell sums) while perturbing real
+            # centroids ~1e6× below any meaningful distance margin.
+            books[r["_sub"]][r["_code"]] = [
+                round(float(r[f"m{i}"]), 12) for i in range(ds)
+            ]
+    return books, sub
+
+
+def pq_fit_codebooks(
+    df: DataFrame,
+    m: int = 32,
+    codebook_k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Fit the ``m`` product-quantization codebooks and return them as
+    a plain nested list (m × codebook_k × dim/m doubles) — pure JSON,
+    so the plan layer can PERSIST them keyed by a source fingerprint
+    (VERDICT r11 #2): at 100 TB the fit runs offline on a sample, the
+    codebooks persist, and every query pays only encode+ADC+rerank.
+    Deterministic: lowest-id vectors' subvectors seed each subspace;
+    avg/argmin with pinned tie-breaks and 12-dp order-insensitive
+    updates (ADVICE r11)."""
+    books, _ = _pq_fit(df, m, codebook_k, iters, vec_col, id_col)
+    return books
+
+
 def pq_rerank_topk(
     df: DataFrame,
     query: Sequence[float],
@@ -380,6 +505,7 @@ def pq_rerank_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_dp: int = 4,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization retrieve-then-rerank (VERDICT r10 #6):
     vectors are unit-normalized, split into ``m`` subvectors, each
@@ -418,6 +544,16 @@ def pq_rerank_topk(
     (cosine is undefined for them; the exact rerank would discard
     them anyway).  Recall-vs-exact is additionally pinned in
     tests/test_invariants.py.
+
+    ``codebooks`` (VERDICT r11 #2): pass codebooks fitted earlier by
+    :func:`pq_fit_codebooks` (m × codebook_k × dim/m nested lists) to
+    skip the Lloyd refit entirely — the production read path, where
+    codebooks persist per corpus epoch and a query pays only
+    encode + ADC + rerank (zero driver actions before the final
+    top-k, no checkpoint: the subvector frame has a single consumer).
+    The caller owns codebook/corpus consistency; shape is validated
+    against ``m``/``codebook_k``, and a dim mismatch with the data
+    surfaces as a slice-length error in the encode.
     """
     q = [float(v) for v in query]
     qn = math.sqrt(sum(v * v for v in q))
@@ -425,85 +561,22 @@ def pq_rerank_topk(
         raise ValueError("pq_rerank_topk: zero-norm query has no cosine ranking")
     qu = [v / qn for v in q]
 
-    norm = _norm(F.col(vec_col))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
-    # Materialized once: the unit-vector projection feeds the seed
-    # collect, the exploded subvector frame, and nothing else re-derives
-    # the scan (same localCheckpoint budget as kmeans_fit_predict).
-    base = (
-        df.filter(norm > 0).select(id_col, unit.alias("_uv")).localCheckpoint(eager=True)
-    )
-    # ONE driver action supplies both the codebook seeds and the
-    # dimensionality (a separate size() head() was a whole extra job).
-    seeds = base.orderBy(id_col).limit(codebook_k).collect()
-    if len(seeds) < codebook_k:
-        raise ValueError(
-            f"pq_rerank_topk: need at least codebook_k={codebook_k} non-zero "
-            f"vectors to seed codebooks, got {len(seeds)}"
-        )
-    dim = len(seeds[0]["_uv"])
-    if dim % m:
-        raise ValueError(f"pq_rerank_topk: m={m} must divide dim={dim}")
-    ds = dim // m
-    sub = base.select(
-        id_col,
-        F.posexplode(
-            F.array(*[F.slice("_uv", j * ds + 1, ds) for j in range(m)])
-        ).alias("_sub", "_sv"),
-    ).localCheckpoint(eager=True)
-    books = [
-        [[float(v) for v in r["_uv"][j * ds : (j + 1) * ds]] for r in seeds]
-        for j in range(m)
-    ]
-
-    spark = df.sparkSession
-    tensor_type = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
-
-    def encode(bks: list[list[list[float]]]) -> DataFrame:
-        model = F.broadcast(
-            spark.createDataFrame(
-                [(bks,)], T.StructType([T.StructField("_pq_books", tensor_type)])
+    if codebooks is None:
+        # inline fit: reuse the fit's checkpointed subvector frame so
+        # the scoring encode doesn't re-derive the scan
+        books, sub = _pq_fit(df, m, codebook_k, iters, vec_col, id_col)
+    else:
+        books = codebooks
+        if len(books) != m or any(len(b) != codebook_k for b in books):
+            raise ValueError(
+                f"pq_rerank_topk: codebooks shape {len(books)}×"
+                f"{len(books[0]) if books else 0} != m={m}×k={codebook_k}"
             )
+        ds_given = len(books[0][0])
+        sub = _pq_subvectors(
+            _pq_unit_base(df, vec_col, id_col), m, m * ds_given, id_col
         )
-        cents = F.element_at(F.col("_pq_books"), F.col("_sub") + 1)
-        best = F.array_min(
-            F.transform(
-                cents,
-                lambda cv, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(F.col("_sv"), cv, lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    i.alias("c"),
-                ),
-            )
-        )
-        return sub.crossJoin(model).select(
-            id_col, "_sub", "_sv", best["c"].alias("_code")
-        )
-
-    for _ in range(iters):
-        stats = (
-            encode(books)
-            .groupBy("_sub", "_code")
-            .agg(*[F.avg(F.col("_sv")[i]).alias(f"m{i}") for i in range(ds)])
-            .collect()
-        )
-        for r in stats:  # empty cells keep their previous centroid
-            # 12-dp rounding makes the update order-INSENSITIVE
-            # (ADVICE r11): F.avg over doubles merges partials in
-            # shuffle-fetch order, which Spark does not pin across
-            # runs, so raw means can drift by ulps (~1e-16 on unit
-            # vectors) and flip an argmin code on an exact near-tie —
-            # flaking the determinism certificate the graded
-            # llm_sim_pq hash rests on.  12 dp absorbs merge-order
-            # ulp (quantization step 5e-13 ≫ accumulated ulp for
-            # fixture-scale cell sums) while perturbing real
-            # centroids ~1e6× below any meaningful distance margin.
-            books[r["_sub"]][r["_code"]] = [
-                round(float(r[f"m{i}"]), 12) for i in range(ds)
-            ]
+    ds = len(books[0][0])
 
     lut = [
         [
@@ -512,6 +585,7 @@ def pq_rerank_topk(
         ]
         for j in range(m)
     ]
+    spark = df.sparkSession
     lut_model = F.broadcast(
         spark.createDataFrame(
             [(lut,)],
@@ -524,7 +598,7 @@ def pq_rerank_topk(
         F.element_at(F.col("_pq_lut"), F.col("_sub") + 1), F.col("_code") + 1
     )
     candidates = (
-        encode(books)
+        _pq_encode(sub, books, id_col)
         .crossJoin(lut_model)
         .select(id_col, partial.alias("_p"))
         .groupBy(id_col)
