@@ -610,6 +610,136 @@ def pq_rerank_topk(
     return cosine_topk(survivors, query, k, vec_col, id_col, round_dp)
 
 
+def ivf_pq_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 32,
+    codebook_k: int = 16,
+    iters: int = 2,
+    coarse_k: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ (VERDICT r11 #3): the composition that IS the
+    memory-resident 100 TB ANN index — a coarse inverted file routes
+    the query to its ``nprobe`` nearest k-means cells, PQ asymmetric
+    distance scores ONLY within those cells, and an exact cosine
+    rerank finishes the top-``k`` (Jégou et al. 2011's IVFADC, built
+    from this module's two existing tested components).
+
+    Read-path shape at scale: cell assignments are the table's
+    partition column (the probe is partition pruning — the scan
+    touches nprobe/n_cells of the codes), PQ codes are 16 B/vector
+    resident next to them, and the only full-precision vectors read
+    are the ``coarse_k`` rerank survivors.  Both models are
+    driver-side JSON (``centroids`` k·dim doubles, ``codebooks``
+    m·codebook_k·(dim/m)): pass persisted ones — e.g. the plan
+    layer's fingerprint-keyed caches — and the query costs one
+    broadcast-model assignment pass + encode/ADC over the probed
+    slice + a coarse_k rerank, zero Lloyd actions.  With either model
+    omitted it is fit inline here: centroids over the FULL frame
+    (the inverted file must cover the corpus), codebooks — per the
+    :func:`pq_rerank_topk` fallback — over the probed slice only,
+    which is the cheap-demo dial, not the production one (a
+    production fit samples the whole corpus so codes are comparable
+    across cells).
+
+    Deterministic end to end (seeded fits, pinned tie-breaks), and
+    lossy ONLY through the cell probe: a true neighbor living outside
+    the ``nprobe`` probed cells is unreachable, the recall/cost dial
+    every IVF index exposes.  Recall vs exact brute force and vs flat
+    PQ is pinned in tests/test_invariants.py."""
+    if centroids is None:
+        _, centroids, _ = kmeans_fit_predict(
+            df, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+    q = [float(v) for v in query]
+
+    def sq(c):
+        return sum((a - b) * (a - b) for a, b in zip(q, c))
+
+    probe = sorted(range(len(centroids)), key=lambda ci: (sq(centroids[ci]), ci))[
+        :nprobe
+    ]
+    cells = (
+        kmeans_assign(df, centroids, vec_col=vec_col, id_col=id_col)
+        .filter(F.col("cell").isin(probe))
+        .select(id_col, vec_col)
+    )
+    return pq_rerank_topk(
+        cells, query, k=k, coarse_k=coarse_k, m=m, codebook_k=codebook_k,
+        iters=iters, vec_col=vec_col, id_col=id_col, codebooks=codebooks,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONE nearest-centroid assignment pass — the read path of a
+    persisted k-means model: centroids ship as broadcast DATA (one-row
+    ``array<array<double>>`` frame, plan-constant in k — the
+    kmeans_fit_predict pattern, see its docstring for the
+    literal-expression pathology it replaces), the argmin is
+    ``array_min`` over (distance, index) structs with ties to the
+    lower cell id.  Returns ``(id, vec, cell, sq_dist)``.
+
+    Extracted from :func:`kmeans_fit_predict` (round 12) so a FITTED
+    model — centroids persisted per corpus epoch, e.g. the plan
+    layer's fingerprint-keyed JSON cache — can assign without
+    re-running Lloyd: the IVF-PQ read path
+    (:func:`ivf_pq_topk`) routes queries through exactly this pass.
+    The fit loop calls this same function, so fit-time and read-time
+    assignments cannot drift."""
+    base = df.select(id_col, vec_col)
+    # collision-safe model column: `base` only has (id, vec), but a
+    # caller could legitimately name one of those "_cents" (ADVICE r9)
+    cents_col = "_cents"
+    while cents_col in base.columns:
+        cents_col += "_"
+    model = F.broadcast(
+        base.sparkSession.createDataFrame(
+            [(centroids,)],
+            T.StructType(
+                [
+                    T.StructField(
+                        cents_col,
+                        T.ArrayType(T.ArrayType(T.DoubleType())),
+                    )
+                ]
+            ),
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.col(cents_col),
+            lambda cv, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), cv, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("c"),
+            ),
+        )
+    )
+    return base.crossJoin(model).select(
+        id_col,
+        vec_col,
+        best["c"].alias("cell"),
+        best["d"].alias("sq_dist"),
+    )
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     k: int = 8,
@@ -681,47 +811,8 @@ def kmeans_fit_predict(
         )
     centroids = [list(map(float, r[vec_col])) for r in seeds]
 
-    # collision-safe model column: `base` only has (id, vec), but a
-    # caller could legitimately name one of those "_cents" (ADVICE r9)
-    cents_col = "_cents"
-    while cents_col in base.columns:
-        cents_col += "_"
-
     def assign(cents: list[list[float]]) -> DataFrame:
-        model = F.broadcast(
-            base.sparkSession.createDataFrame(
-                [(cents,)],
-                T.StructType(
-                    [
-                        T.StructField(
-                            cents_col,
-                            T.ArrayType(T.ArrayType(T.DoubleType())),
-                        )
-                    ]
-                ),
-            )
-        )
-        best = F.array_min(
-            F.transform(
-                F.col(cents_col),
-                lambda cv, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col), cv, lambda a, b: (a - b) * (a - b)
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    i.alias("c"),
-                ),
-            )
-        )
-        return base.crossJoin(model).select(
-            id_col,
-            vec_col,
-            best["c"].alias("cell"),
-            best["d"].alias("sq_dist"),
-        )
+        return kmeans_assign(base, cents, vec_col=vec_col, id_col=id_col)
 
     dim = len(centroids[0])
     sse_history: list[float] = []
@@ -760,6 +851,7 @@ def ivf_topk_kmeans(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF search over LEARNED cells: fit k-means, score only the
     ``nprobe`` cells whose centroids are nearest the query, exact
@@ -768,10 +860,20 @@ def ivf_topk_kmeans(
     100 TB the fit runs once offline, assignments are persisted as
     the table's partition column, and this probe is partition pruning
     + a scan of nprobe/n_cells of the data.  Recall vs brute force is
-    pinned in tests/test_invariants.py."""
-    assigned, centroids, _ = kmeans_fit_predict(
-        df, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
-    )
+    pinned in tests/test_invariants.py.
+
+    ``centroids`` (round 12): pass a persisted model — e.g. the plan
+    layer's fingerprint-keyed JSON cache — to skip the Lloyd refit;
+    assignment then runs as the one-pass :func:`kmeans_assign` read
+    path.  Identical output either way: the fit is deterministic, so
+    cached centroids are bit-equal to a refit's."""
+    if centroids is None:
+        assigned, centroids, _ = kmeans_fit_predict(
+            df, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+        assigned_full = df.join(assigned, id_col)
+    else:
+        assigned_full = kmeans_assign(df, centroids, vec_col=vec_col, id_col=id_col)
     q = [float(v) for v in query]
 
     def sq(c):
@@ -780,7 +882,7 @@ def ivf_topk_kmeans(
     probe = sorted(range(len(centroids)), key=lambda ci: (sq(centroids[ci]), ci))[
         :nprobe
     ]
-    cells = df.join(assigned, id_col).filter(F.col("cell").isin(probe))
+    cells = assigned_full.filter(F.col("cell").isin(probe))
     return cosine_topk(cells, query, k, vec_col, id_col)
 
 
