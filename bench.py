@@ -17,6 +17,14 @@ round 7's join_skew_stress) also run at ~sf1.0 and land on the same
 line as ``queries_sf1``/``value_sf1``/``sf1`` — per-query MEDIAN of
 ``SF1_REPEATS`` (default 3) timed passes, with per-query bests in
 ``queries_sf1_best``.
+
+Round 12 (VERDICT r11 #1): the whole measurement window is NOISE-GATED
+— each window carries the control/steal evidence bracket, a window
+failing the BASELINE.md gate (steal >= 2% or an unstable control) is
+retried after a loaded quiet-window probe (up to BENCH_ATTEMPTS), and
+the one JSON line reports the first ACCEPTED window, with every
+attempt's evidence under ``noise.attempts`` and the verdict under
+``noise.accepted``.
 All diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
 
@@ -134,25 +142,69 @@ def _cpu_jiffies() -> tuple[int, int] | None:
         return None
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+#: Noise-gate retry dial (VERDICT r11 #1): a measurement window whose
+#: own evidence fails the BASELINE.md gate (steal >= 2% or an unstable
+#: control bracket) is re-measured up to this many times — "retry the
+#: window until it holds" — so the COMMITTED artifact passes the gate
+#: whenever any attempt lands in a quiet window, instead of recording
+#: whichever window the driver happened to start in (the r9-r11
+#: committed headlines were all noise-suspect by this repo's own
+#: instrumentation).  Every attempt's evidence is embedded under
+#: noise.attempts; the reported numbers come from the first accepted
+#: attempt (or, if none passes, the lowest-steal one, flagged
+#: accepted=false).
+BENCH_ATTEMPTS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+STEAL_GATE_PCT = 2.0
 
-    from data_ingest_utils_spark.plans import QUERIES
-    from data_ingest_utils_spark.session import get_session
 
-    spark = get_session("dius-bench")
-    print(f"bench: sf_dir={sf_dir} master={spark.conf.get('spark.master')}", file=sys.stderr)
+def _spin(stop_t: float) -> None:
+    x = 0
+    while time.time() < stop_t:
+        x += 1
 
-    for key in HEADLINE:  # warmup pass: scan + codegen, un-timed
-        QUERIES[key](spark, sf_dir).collect()
-    # Noise evidence bracket, part 1 (VERDICT r10 #1): control shape
-    # timed warm immediately after warmup + steal/load snapshot.
+
+def _loaded_steal_pct(seconds: float = 5.0) -> float | None:
+    """Steal percentage UNDER a full-core spin — the
+    tools/host_noise_probe.py measurement inline (this host's steal is
+    load-correlated: ~0% idle, 5-22% under load in bad windows, so an
+    idle reading says nothing about a bench window)."""
+    import multiprocessing as mp
+
+    stop = time.time() + seconds
+    procs = [mp.Process(target=_spin, args=(stop,)) for _ in range(os.cpu_count() or 8)]
+    j0 = _cpu_jiffies()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    j1 = _cpu_jiffies()
+    if not (j0 and j1):
+        return None
+    return round(100.0 * (j1[0] - j0[0]) / max(1, j1[1] - j0[1]), 2)
+
+
+def _await_quiet(budget_sec: float = 90.0) -> None:
+    """Probe-sleep until a loaded spin sees steal below the gate (or
+    the budget runs out) — burning 5 s of spin is far cheaper than
+    burning a full measurement attempt in a known-noisy window."""
+    deadline = time.time() + budget_sec
+    while time.time() < deadline:
+        s = _loaded_steal_pct(5.0)
+        print(f"bench: quiet-window probe steal={s}%", file=sys.stderr)
+        if s is None or s < STEAL_GATE_PCT:
+            return
+        time.sleep(min(15.0, max(1.0, deadline - time.time())))
+
+
+def _measure_once(spark, QUERIES, sf_dir: str, sf1_dir: str | None) -> dict:
+    """One full measurement window wrapped in the control/steal noise
+    bracket; returns {timings, sf1 (or None), noise}."""
     jiff0 = _cpu_jiffies()
     load0 = os.getloadavg()[0]
     t0 = time.perf_counter()
     QUERIES[CONTROL](spark, sf_dir).collect()
     control_first = round(time.perf_counter() - t0, 4)
+
     best: dict[str, float] = {k: float("inf") for k in HEADLINE}
     for burst in range(BURSTS):
         for key in HEADLINE:
@@ -162,23 +214,9 @@ def main() -> int:
                 best[key] = min(best[key], time.perf_counter() - t0)
         print(f"bench: burst {burst + 1}/{BURSTS} done", file=sys.stderr)
     timings = {k: round(best[k], 4) for k in HEADLINE}
-    for key in HEADLINE:
-        print(f"bench: {key} = {timings[key]:.3f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
-    payload = {
-        "metric": "headline_warm_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": _sf_from_dir(sf_dir),
-    }
-
-    sf1_dir = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1.0"),
-    )
-    if os.path.isdir(sf1_dir):
+    sf1 = None
+    if sf1_dir:
         sf1_reps: dict[str, list[float]] = {k: [] for k in HEAVY_SF1}
         for rep in range(SF1_REPEATS):
             for key in HEAVY_SF1:
@@ -193,36 +231,20 @@ def main() -> int:
                 ).save()
                 sf1_reps[key].append(time.perf_counter() - t0)
             print(f"bench: sf1 rep {rep + 1}/{SF1_REPEATS} done", file=sys.stderr)
-        sf1_timings = {
-            k: round(statistics.median(sf1_reps[k]), 4) for k in HEAVY_SF1
+        sf1 = {
+            "timings": {
+                k: round(statistics.median(sf1_reps[k]), 4) for k in HEAVY_SF1
+            },
+            "best": {k: round(min(sf1_reps[k]), 4) for k in HEAVY_SF1},
+            "reps": sf1_reps,
         }
-        sf1_best = {k: round(min(sf1_reps[k]), 4) for k in HEAVY_SF1}
-        for key in HEAVY_SF1:
-            reps_s = "/".join(f"{t:.2f}" for t in sf1_reps[key])
-            print(
-                f"bench: sf1 {key} = median {sf1_timings[key]:.3f}s "
-                f"best {sf1_best[key]:.3f}s (reps {reps_s})",
-                file=sys.stderr,
-            )
-        payload["queries_sf1"] = sf1_timings
-        payload["queries_sf1_best"] = sf1_best
-        payload["sf1_reps"] = SF1_REPEATS
-        payload["value_sf1"] = round(sum(sf1_timings.values()), 4)
-        payload["sf1"] = _sf_from_dir(sf1_dir)
-    else:
-        print(
-            f"bench: scale dir {sf1_dir} absent — run tools/make_scale_data.py "
-            "for the sf1.0 heavy-shape section",
-            file=sys.stderr,
-        )
 
     # Noise evidence bracket, part 2: the SAME control shape re-timed
     # after everything else, plus the steal-jiffy delta across the
-    # whole measurement window.  Reading the artifact: control_last ≫
-    # control_first (or steal_pct ≫ 0) marks the window noisy — treat
-    # inflated UNCHANGED shapes as unconfirmed per BASELINE.md's
-    # protocol; first ≈ last ≈ the shape's documented warm floor
-    # certifies a quiet window and makes any remaining inflation real.
+    # whole measurement window.  control_last ≫ control_first (or
+    # steal_pct ≫ 0) marks the window noisy; first ≈ last ≈ the
+    # shape's documented warm floor certifies a quiet window and makes
+    # any remaining inflation real.
     t0 = time.perf_counter()
     QUERIES[CONTROL](spark, sf_dir).collect()
     control_last = round(time.perf_counter() - t0, 4)
@@ -232,7 +254,7 @@ def main() -> int:
         if jiff0 and jiff1
         else None
     )
-    payload["noise"] = {
+    noise = {
         "control": CONTROL,
         "control_first_s": control_first,
         "control_last_s": control_last,
@@ -245,6 +267,96 @@ def main() -> int:
         f"{control_last:.3f}s, steal {steal_pct}%",
         file=sys.stderr,
     )
+    return {"timings": timings, "sf1": sf1, "noise": noise}
+
+
+def _window_accepted(noise: dict) -> bool:
+    """The BASELINE.md noise gate: steal under 2% across the window
+    AND a stable control bracket (neither end >1.67× the other — the
+    r11 committed window settled 0.775 s → 0.441 s mid-run, which this
+    catches even when the steal counter stays marginal)."""
+    s = noise.get("steal_pct")
+    if s is not None and s >= STEAL_GATE_PCT:
+        return False
+    hi = max(noise["control_first_s"], noise["control_last_s"])
+    lo = max(1e-9, min(noise["control_first_s"], noise["control_last_s"]))
+    return hi / lo <= 1.67 or hi - lo <= 0.12
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.session import get_session
+
+    spark = get_session("dius-bench")
+    print(f"bench: sf_dir={sf_dir} master={spark.conf.get('spark.master')}", file=sys.stderr)
+
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale", "sf1.0"),
+    )
+    if not os.path.isdir(sf1_dir):
+        print(
+            f"bench: scale dir {sf1_dir} absent — run tools/make_scale_data.py "
+            "for the sf1.0 heavy-shape section",
+            file=sys.stderr,
+        )
+        sf1_dir = None
+
+    for key in HEADLINE:  # warmup pass: scan + codegen, un-timed
+        QUERIES[key](spark, sf_dir).collect()
+
+    attempts: list[dict] = []
+    chosen = None
+    for attempt in range(1, BENCH_ATTEMPTS + 1):
+        if attempt > 1:
+            print(
+                f"bench: window {attempt - 1} failed the noise gate — "
+                "awaiting a quiet window and re-measuring",
+                file=sys.stderr,
+            )
+            _await_quiet()
+        result = _measure_once(spark, QUERIES, sf_dir, sf1_dir)
+        attempts.append(result)
+        if _window_accepted(result["noise"]):
+            chosen = result
+            break
+    accepted = chosen is not None
+    if chosen is None:  # no quiet window: report the least-robbed one
+        chosen = min(
+            attempts, key=lambda r: (r["noise"].get("steal_pct") or float("inf"))
+        )
+
+    timings = chosen["timings"]
+    for key in HEADLINE:
+        print(f"bench: {key} = {timings[key]:.3f}s", file=sys.stderr)
+    payload = {
+        "metric": "headline_warm_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if chosen["sf1"]:
+        sf1 = chosen["sf1"]
+        for key in HEAVY_SF1:
+            reps_s = "/".join(f"{t:.2f}" for t in sf1["reps"][key])
+            print(
+                f"bench: sf1 {key} = median {sf1['timings'][key]:.3f}s "
+                f"best {sf1['best'][key]:.3f}s (reps {reps_s})",
+                file=sys.stderr,
+            )
+        payload["queries_sf1"] = sf1["timings"]
+        payload["queries_sf1_best"] = sf1["best"]
+        payload["sf1_reps"] = SF1_REPEATS
+        payload["value_sf1"] = round(sum(sf1["timings"].values()), 4)
+        payload["sf1"] = _sf_from_dir(sf1_dir)
+
+    payload["noise"] = dict(chosen["noise"])
+    payload["noise"]["accepted"] = accepted
+    payload["noise"]["attempts"] = [a["noise"] for a in attempts]
 
     print(json.dumps(payload))
     return 0
