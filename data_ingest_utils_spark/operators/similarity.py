@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -608,6 +608,151 @@ def pq_rerank_topk(
     )
     survivors = df.join(F.broadcast(candidates.select(id_col)), id_col)
     return cosine_topk(survivors, query, k, vec_col, id_col, round_dp)
+
+
+def pq_batch_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 5,
+    coarse_k: int = 100,
+    m: int = 32,
+    codebook_k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """BATCHED PQ serving (round 12): top-``k`` neighbors for MANY
+    queries in one plan — the shape an embedding-dedup or retrieval
+    job actually runs (score a batch of probe vectors against the
+    corpus index), where per-query invocation would re-encode the
+    corpus per query.
+
+    One corpus ENCODE pass serves every query: the per-query
+    asymmetric-distance LUTs ride as one small broadcast frame
+    (|Q| rows of m×codebook_k doubles — each row is that query's
+    exact per-subspace centroid dots), the encoded corpus
+    broadcast-joins it, and one hash agg per (query, vector) sums the
+    LUT partials.  Per-query top-``coarse_k`` is a window rank over
+    the coarse scores; the exact rerank joins the surviving
+    (query, id) pairs back to the float vectors and the query frame,
+    re-scoring with the same widened zip_with dot as everything else
+    in this module — so each query's final top-k carries the same
+    recall certificate as :func:`pq_rerank_topk`'s (the plan key's
+    oracle is the per-query exact brute force).
+
+    Scale shape: encode is a broadcast-model map stage over the
+    corpus (once, not per query), the coarse agg's width is |Q| ×
+    corpus (each row |Q| LUT lookups — |Q| is a batch, 10²-10⁴, not a
+    corpus), the window shuffles (query, id, coarse) triples, and
+    full-precision vectors are read only for |Q|·coarse_k rerank
+    rows.  Zero-norm corpus rows are dropped (no cosine); zero-norm
+    QUERY vectors are rejected loudly.  Returns
+    ``(query_id, vec_id, sim)``, per-query desc-sim order with id
+    tie-break."""
+    qlist = [(int(qid), [float(v) for v in vec]) for qid, vec in queries]
+    if not qlist:
+        raise ValueError("pq_batch_topk: empty query batch")
+    for qid, vec in qlist:
+        if math.sqrt(sum(v * v for v in vec)) == 0.0:
+            raise ValueError(
+                f"pq_batch_topk: zero-norm query {qid} has no cosine ranking"
+            )
+    if codebooks is None:
+        books, sub = _pq_fit(df, m, codebook_k, iters, vec_col, id_col)
+    else:
+        books = codebooks
+        if len(books) != m or any(len(b) != codebook_k for b in books):
+            raise ValueError(
+                f"pq_batch_topk: codebooks shape {len(books)}×"
+                f"{len(books[0]) if books else 0} != m={m}×k={codebook_k}"
+            )
+        sub = _pq_subvectors(
+            _pq_unit_base(df, vec_col, id_col), m, m * len(books[0][0]), id_col
+        )
+    ds = len(books[0][0])
+
+    spark = df.sparkSession
+    luts = []
+    for qid, vec in qlist:
+        qn = math.sqrt(sum(v * v for v in vec))
+        qu = [v / qn for v in vec]
+        luts.append(
+            (
+                qid,
+                [
+                    [sum(qu[j * ds + i] * c[i] for i in range(ds)) for c in books[j]]
+                    for j in range(m)
+                ],
+            )
+        )
+    lut_frame = F.broadcast(
+        spark.createDataFrame(
+            luts,
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField(
+                        "_pq_lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+                    ),
+                ]
+            ),
+        )
+    )
+    partial = F.element_at(
+        F.element_at(F.col("_pq_lut"), F.col("_sub") + 1), F.col("_code") + 1
+    )
+    coarse = (
+        _pq_encode(sub, books, id_col)
+        .crossJoin(lut_frame)  # broadcast nested-loop: |Q| small rows
+        .select("query_id", id_col, partial.alias("_p"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_p").alias("_coarse"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_coarse").desc(), F.col(id_col)
+    )
+    cands = (
+        coarse.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= coarse_k)
+        .select("query_id", id_col)
+    )
+    qframe = F.broadcast(
+        spark.createDataFrame(
+            [(qid, vec) for qid, vec in qlist],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("_qv", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        )
+    )
+    rerank = (
+        cands.join(df.select(id_col, vec_col), id_col)
+        .join(qframe, "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.nanvl(
+                    _dot(F.col(vec_col), F.col("_qv"))
+                    / F.nullif(_norm(F.col(vec_col)) * _norm(F.col("_qv")), F.lit(0.0)),
+                    F.lit(None).cast("double"),
+                ),
+                round_dp,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim").isNotNull())
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        rerank.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", id_col, "sim")
+        .orderBy("query_id", F.col("sim").desc(), F.col(id_col))
+    )
 
 
 def ivf_pq_topk(

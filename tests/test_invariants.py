@@ -1415,6 +1415,13 @@ def test_pq_plan_shapes(spark):
     assert "CartesianProduct" not in iplan, iplan
     assert "LeftAnti" in iplan, iplan
 
+    # batched PQ: the per-query LUT attach is a BROADCAST nested-loop
+    # over a |Q|-row frame, never a cartesian product over data, and
+    # the rerank join is likewise broadcast at fixture scale
+    batch = QUERIES["llm_sim_pq_batch"](spark, SF_T2)
+    bplan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in bplan, bplan
+
 
 def test_kmeans_survives_cents_named_input(spark):
     """ADVICE r9: an input whose vector column is literally named
