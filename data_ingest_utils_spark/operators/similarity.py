@@ -315,6 +315,63 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_incremental_admit(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Incremental EMBEDDING-dedup admission (round 12): keep only the
+    ``batch`` vectors with NO corpus neighbor at cosine ≥
+    ``threshold`` inside their block — the semantic twin of
+    :func:`dedup.minhash_incremental_admit`, completing the
+    incremental-admission family (exact hash → bloom → MinHash →
+    embedding): the nightly job that keeps near-duplicate *meanings*
+    out of a growing corpus, SemDeDup's decision applied at ingest
+    time instead of as a full-corpus pass.
+
+    Stages, all batch-vs-corpus (never corpus × corpus):
+
+    1. Both sides widen + norm ONCE per vector
+       (:func:`widen_with_norm` — the pair stage is dot-only).
+    2. Candidates ride the ``block_col`` equi-join (label here; an
+       LSH bucket or IVF cell id at 100 TB, where the corpus side is
+       partitioned by it so the probe is partition-local).
+    3. A batch vector is rejected iff some candidate's ROUNDED cosine
+       meets the threshold (4 dp — the family's oracle-parity dial);
+       NaN/zero-norm pairs fold to NULL and can never reject
+       (the pairwise_cosine contract).
+    4. Admission = id-only LEFT ANTI join, the same shuffle shape as
+       every other incremental key.
+    """
+    wb = widen_with_norm(batch, vec_col).select(
+        F.col(id_col).alias("_b_id"),
+        F.col(block_col).alias("_blk"),
+        F.col("_vd").alias("_bv"),
+        F.col("_nrm").alias("_bn"),
+    )
+    wc = widen_with_norm(corpus, vec_col).select(
+        F.col(block_col).alias("_blk"),
+        F.col("_vd").alias("_cv"),
+        F.col("_nrm").alias("_cn"),
+    )
+    cos = F.nanvl(
+        _dot_wide(F.col("_bv"), F.col("_cv"))
+        / F.nullif(F.col("_bn") * F.col("_cn"), F.lit(0.0)),
+        F.lit(None).cast("double"),
+    )
+    dup_ids = (
+        wb.join(wc, "_blk")
+        .filter(F.round(cos, round_dp) >= threshold)
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, id_col, "left_anti")
+
+
 def quantized_rerank_topk(
     df: DataFrame,
     query: Sequence[float],

@@ -2297,6 +2297,47 @@ def llm_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "llm_embed_incremental",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), c AS (
+      SELECT label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 10 <> 0
+    ), rej AS (
+      SELECT DISTINCT b.vec_id
+      FROM b JOIN c ON b.label = c.label
+      WHERE list_cosine_similarity(b.v, c.v) IS NOT NULL
+        AND NOT isnan(list_cosine_similarity(b.v, c.v))
+        AND round(list_cosine_similarity(b.v, c.v), 4) >= 0.4
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id % 10 = 0 AND vec_id NOT IN (SELECT vec_id FROM rej)
+    """,
+)
+def llm_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING-dedup admission (round 12): today's batch
+    (vec_id%10=0) is admitted only where no corpus vector in the same
+    label block reaches cosine ≥ 0.4 — the semantic rung of the
+    incremental-admission ladder (exact hash → bloom → MinHash →
+    embedding), i.e. SemDeDup's decision applied at ingest time.  The
+    label block stands in for the LSH bucket / IVF cell a 100 TB
+    corpus partitions by, so the probe join is partition-local there;
+    the reject filter is candidate-bounded; admission is an id-only
+    anti-join.  Exact arithmetic end to end (widened doubles, 4-dp
+    rounding) ⇒ fully hash-certified — 2/3/11 batch vectors are
+    genuinely rejected at sf0.001/0.01/0.1, so the driver row
+    certifies both the admit and reject paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    return sim.embedding_incremental_admit(batch, corpus, threshold=0.4).select(
+        "vec_id", "label"
+    )
+
+
+@plan(
     "llm_sim_pq_batch",
     oracle="""
     WITH q AS (

@@ -817,6 +817,29 @@ def test_ivf_pq_probe_membership_exact_sims_and_monotone_recall(spark):
     assert [(r.vec_id, r.sim) for r in rows2] == got
 
 
+def test_embedding_incremental_admit_planted(spark):
+    """Incremental embedding admission: exact copies of corpus vectors
+    (cos = 1 within the same block) are rejected; vectors whose block
+    has NO corpus member are admitted structurally (the equi-join
+    generates zero candidates), regardless of similarity."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    copies = corpus.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    # same vectors again, but in a block absent from the corpus — the
+    # probe join finds no candidate, so they must be admitted
+    moved = corpus.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.lit(999999).alias("label"),
+        "embedding",
+    )
+    batch = copies.select("vec_id", "label", "embedding").unionByName(moved)
+    out = sim.embedding_incremental_admit(batch, corpus, threshold=0.95)
+    got = {r.vec_id for r in out.select("vec_id").collect()}
+    assert got == {200000 + i for i in range(5)}, got
+
+
 def test_semdedup_drops_planted_duplicates(spark):
     """SemDeDup: exact-copy vectors planted at higher ids are dropped
     (cos=1 to their original, and identical vectors always land in the
