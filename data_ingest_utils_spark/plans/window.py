@@ -21,15 +21,23 @@ re-certification slot — so the window is now DERIVED from the committed
    certified (hardened rounding, widened types, …).  Each round's
    edits must append here; the list is consumed right after the stale
    front so the stale green can never stand in for the new form.
-3. **Re-certification backfill** — remaining slots filled with
+3. **Never-graded keys, oracle or not** — a key with NO driver row in
+   ANY committed artifact fronts once (VERDICT r12 #1: the old policy
+   admitted only oracle keys to the front and only green keys to the
+   backfill, so a brand-new rows-only key — ``llm_sim_ivf_pq`` — could
+   never receive a driver row at all).  One rows-executed row is
+   strictly more signal than none; after that first row the key exits
+   this class forever (self-pruning, same as the stale front).
+4. **Re-certification backfill** — remaining slots filled with
    oracle-backed greens, OLDEST latest-green round first (registry
    order within a round), so every green key cycles back through the
    driver on a bounded cadence (~206 keys / 50 slots ≈ every 5
-   rounds).  Rows-only keys are never pulled forward: their driver
-   signal (``no_oracle`` rows-executed) is strictly weaker than the
-   invariant tests that already cover them, so an oracle key always
-   outranks them for a slot — which also satisfies the window-shape
-   test (oracle keys precede rows-only keys).
+   rounds).  Rows-only keys WITH a prior driver row are never pulled
+   forward: their driver signal (``no_oracle`` rows-executed) is
+   strictly weaker than the invariant tests that already cover them,
+   so an oracle key always outranks them for a slot — which also
+   satisfies the window-shape test (oracle keys precede rows-only
+   keys, never-graded exceptions aside).
 
 With no artifacts on disk (fresh checkout) the registry order is left
 untouched — the driver then just grades the first 50 keys, which is the
@@ -152,6 +160,12 @@ def derive_window(
         k for k in queries
         if k in oracles and not (history.get(k) or {}).get("hash_match")
     ]
+    # Round 13 (VERDICT r12 #1): a key with NO driver row at all fronts
+    # once.  Only rows-only keys can be in this state — an oracle key
+    # with no row is already in ``stale`` — and one rows-executed row
+    # is strictly more signal than none.  Self-pruning: the first
+    # driver row (any verdict) removes the key from this class.
+    ungraded = [k for k in queries if k not in oracles and k not in history]
     # self-pruning: an output-changed key keeps fronting only until a
     # hash-green row from its declaration round (or later) certifies
     # the new form
@@ -159,7 +173,7 @@ def derive_window(
         k for k, declared in changed
         if ((history.get(k) or {}).get("green_round") or -1) < declared
     ]
-    fronted = stale + [
+    fronted = stale + ungraded + [
         k for k in still_changed if k in queries and k not in stale
     ]
     pos = {k: i for i, k in enumerate(queries)}

@@ -83,9 +83,19 @@ def test_correctness_window_shape():
     assert first50 == plans._CURRENT_WINDOW
     assert len(plans._CURRENT_WINDOW) == 50
     # Oracle-backed keys precede every rows-only key so a truncated run
-    # loses the weaker signal first.
-    oracle_flags = [k in ORACLES for k in first50]
+    # loses the weaker signal first — EXCEPT never-graded rows-only
+    # keys, which front once so every registry key accrues at least one
+    # driver row (round-13 policy, VERDICT r12 #1).
+    rows = _driver_rows()
+    never_graded = {k for k in first50 if k not in ORACLES and k not in rows}
+    oracle_flags = [k in ORACLES for k in first50 if k not in never_graded]
     assert oracle_flags == sorted(oracle_flags, reverse=True)
+    # And the exception is tight: any never-graded key in the window
+    # must sit in the fronted region, not scattered through backfill.
+    for k in never_graded:
+        assert first50.index(k) < 10 + len(never_graded), (
+            f"never-graded key {k} not fronted"
+        )
 
 
 def test_window_fronts_every_stale_hash_signal():
@@ -131,8 +141,22 @@ def test_window_derivation_policy():
     # declared output-changed c (green r6 < declared r7 -> fronts),
     # then greens oldest-first (d r2, a r3).
     assert w == ["b", "e", "c", "d", "a"]
-    # rows-only f never takes a slot while oracle greens remain.
+    # rows-only f HAS a driver row (r4) so it never takes a slot while
+    # oracle greens remain.
     assert "f" not in w
+    # A rows-only key with NO driver row at all fronts once (round-13
+    # policy): g has no history entry, so it lands right after the
+    # stale oracle front and before the output-changed/backfill keys.
+    queries_g = {**queries, "g": None}
+    wg = derive_window(queries_g, oracles, history=history,
+                       output_changed=[("c", 7)], size=5)
+    assert wg == ["b", "e", "g", "c", "d"]
+    # …and self-prunes: one driver row of any verdict removes it.
+    hist_g = {**history,
+              "g": {"round": 7, "hash_match": False, "green_round": None}}
+    wg2 = derive_window(queries_g, oracles, history=hist_g,
+                        output_changed=[("c", 7)], size=5)
+    assert "g" not in wg2
     # self-pruning: once c is hash-green AT/after its declaration
     # round, the entry stops fronting and c rejoins the backfill (its
     # r7 green is the newest, so it sorts last among the greens).
