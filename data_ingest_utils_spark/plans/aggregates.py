@@ -3,7 +3,10 @@
 groupBy().agg() compiles to partial (map-side) + final hash
 aggregation automatically — the 100 TB shape.  Float outputs whose
 value depends on partition/accumulation order are ROUND(…, 6) on both
-engine and oracle sides (SURVEY §7).
+engine and oracle sides (SURVEY §7); money sums whose magnitude can
+reach the rounding grid's half-step use the exact integer micro-unit
+accumulation in plans/money.py instead (round 13 — see its module
+docstring for the full derivation).
 """
 
 from __future__ import annotations
@@ -11,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingest_utils_spark.plans.money import money_sum, money_sum_sql
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 
@@ -43,12 +47,12 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "agg_hash_group",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 6)      AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {money_sum_sql('l_extendedprice', 2)} AS sum_base_price,
+           {money_sum_sql('l_extendedprice * (1 - l_discount)', 2)} AS sum_disc_price,
+           {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)} AS sum_charge,
            round(avg(l_quantity), 6)      AS avg_qty,
            round(avg(l_extendedprice), 6) AS avg_price,
            round(avg(l_discount), 6)      AS avg_disc,
@@ -66,12 +70,12 @@ def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        # money sums at 2 dp (cents): at sf0.1 these reach ~4e9, where a
-        # reorder-ulp of the double accumulation exceeds ROUND(...,6)'s
-        # half-step — same hardening as the skew joins / agg_unpivot
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        # money sums via exact micro-unit accumulation (plans/money.py,
+        # round 13): the r8 2-dp hardening only widened the half-step;
+        # integer accumulation removes order sensitivity entirely
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        money_sum(disc_price).alias("sum_disc_price"),
+        money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -118,9 +122,9 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "agg_filtered",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS f_total,
+           {money_sum_sql('o_totalprice', 2, filter_where="o_orderstatus = 'F'")} AS f_total,
            count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
            count(*) AS n_all
     FROM orders GROUP BY o_orderpriority
@@ -129,14 +133,15 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (pivot-style) aggregation via sum(CASE WHEN …).
 
-    f_total rounds at 2 dp (cents): the filtered money sum reaches
-    ~2.2e9 at sf0.1 and ~2.5e10 at sf1, where accumulation-order ulp
-    crosses ROUND(…,6)'s half-step (sf1 matched-scale probe, round 8:
-    4 cells off by ≤8e-6) — the standing money-sum hardening."""
+    f_total reaches ~2.5e10 at sf1 — squarely in the money-sum
+    half-step class — so it accumulates in exact integer micro-units
+    (plans/money.py, round 13); the ``F.when`` NULL for non-matching
+    rows rides through floor/cast/sum exactly like the oracle's
+    FILTER clause skipping them."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(
-            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+        money_sum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
         ).alias("f_total"),
         F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("n_open"),
         F.count("*").alias("n_all"),
@@ -179,9 +184,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "agg_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, n_name,
-           count(*) AS n_rows, round(sum(c_acctbal), 2) AS sum_bal
+           count(*) AS n_rows, {money_sum_sql('c_acctbal', 2)} AS sum_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
     """,
@@ -189,20 +194,21 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets via the SQL entry point (EP3).
 
-    sum_bal rounds at 2 dp (cents): the grand-total () grouping set
-    sums every customer's balance (~6.8e8 at sf1), where
-    accumulation-order ulp crosses ROUND(…,6)'s half-step (sf1
-    matched-scale probe, round 8: 1 cell off by 1e-6) — the standing
-    money-sum hardening."""
+    sum_bal accumulates in exact integer micro-units (plans/money.py,
+    round 13): the grand-total () grouping set sums every customer's
+    balance (~6.8e8 at sf1), in the money-sum half-step class since
+    the round-8 probe; c_acctbal can be negative, which the
+    sign-symmetric cents step handles identically in both engines."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).createOrReplaceTempView(
         "_gs_customer_nation"
     )
     return spark.sql(
-        """
+        f"""
         SELECT c_mktsegment, n_name,
-               count(*) AS n_rows, round(sum(c_acctbal), 2) AS sum_bal
+               count(*) AS n_rows,
+               {money_sum_sql('c_acctbal', 2, dialect='spark')} AS sum_bal
         FROM _gs_customer_nation
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
         """

@@ -15,6 +15,7 @@ from data_ingest_utils_spark.operators.relational import (
     salted_join,
     salted_join_hotkeys,
 )
+from data_ingest_utils_spark.plans.money import money_sum, money_sum_sql
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 
@@ -50,9 +51,9 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "agg_unpivot",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, metric,
-           round(sum(v), 2) AS sum_value, count(*) AS n
+           {money_sum_sql('v', 2)} AS sum_value, count(*) AS n
     FROM (
       SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
       UNION ALL
@@ -73,11 +74,11 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "v",
     )
-    # 2 dp: sum(l_extendedprice) is ~1e9 at sf0.1, where a reorder-ulp
-    # (~1e-7) already exceeds ROUND(...,6)'s half-step — see the skew
-    # joins' rounding note
+    # exact micro-unit accumulation (plans/money.py, round 13): the
+    # l_extendedprice slice is ~2.5e10 at sf1 — the money half-step
+    # class; quantity/discount slices quantize exactly at 1e-6
     return long.groupBy("l_returnflag", "metric").agg(
-        F.round(F.sum("v"), 2).alias("sum_value"), F.count("*").alias("n")
+        money_sum(F.col("v")).alias("sum_value"), F.count("*").alias("n")
     )
 
 
@@ -143,9 +144,9 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "join_skew_salted",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(l_extendedprice), 2) AS sum_price
+           {money_sum_sql('l_extendedprice', 2)} AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -154,11 +155,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigating salted equi-join: the fact side gets a
     deterministic salt, the build side is replicated salt_mod times, so
     one hot key spreads over salt_mod shuffle partitions.  The oracle
-    is the UNSALTED join — salting must be result-invariant.  Sums are
-    rounded at 2 dp (cents): salting reorders the double accumulation
-    vs the oracle's single join, and a reorder-ulp of a ~1e8 sum
-    (~1e-7) can cross a 6-dp rounding boundary (5e-7) — 2 dp leaves
-    five orders of magnitude of margin."""
+    is the UNSALTED join — salting must be result-invariant.  Sums
+    accumulate in exact integer micro-units (plans/money.py, round
+    13): salting reorders the accumulation vs the oracle's single
+    join, which is exactly the order-sensitivity the integer path
+    removes — the hash match is now scale-independent."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     joined = salted_join(
@@ -174,20 +175,20 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
     )
 
 
 @plan(
     "join_skew_stress",
-    oracle="""
+    oracle=f"""
     WITH skewed AS (
       SELECT CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE l_orderkey END AS k,
              l_extendedprice
       FROM lineitem
     )
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(l_extendedprice), 2) AS sum_price
+           {money_sum_sql('l_extendedprice', 2)} AS sum_price
     FROM skewed JOIN orders ON k = o_orderkey
     GROUP BY o_orderstatus
     """,
@@ -206,8 +207,8 @@ def join_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     not 32× the table, and cold keys take the untouched shuffled join.
     The per-salt bound is asserted in tests/test_invariants.py and the
     oracle is the UNSALTED remapped join, so the driver hash-match
-    certifies salting is result-invariant (sum at 2 dp — see
-    join_skew_salted's rounding note).  Benchable at sf1.0
+    certifies salting is result-invariant (sums in exact integer
+    micro-units — plans/money.py, round 13).  Benchable at sf1.0
     (bench.py HEAVY_SF1) — the in-plan remap makes the same stress
     reproducible at every sf dir, fixture-free."""
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -230,7 +231,7 @@ def join_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
     )
 
 

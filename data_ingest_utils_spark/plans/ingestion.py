@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingest_utils_spark.operators import ingest as ing
+from data_ingest_utils_spark.plans.money import money_sum, money_sum_sql
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 
@@ -106,6 +107,36 @@ def ing_standardize_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
            'round1' AS _audit_load_id
     FROM ser
     """,
+    # Layout-aware twin for matched-scale probes (round 13, VERDICT r12
+    # #3): scale dirs hold a DIRECTORY of part files, so the engine's
+    # per-row part-file basenames are correct production behavior that
+    # the single-file literal above cannot describe.  read_parquet with
+    # filename=true recomputes the REAL basename per row.
+    probe_oracle="""
+    WITH ser AS (
+      SELECT doc_id,
+             parse_filename(filename) AS _src,
+             CASE WHEN doc_id IS NULL THEN 'N'
+                  ELSE 'V' || length(CAST(doc_id AS VARCHAR)) || ':'
+                       || CAST(doc_id AS VARCHAR) END AS f1,
+             CASE WHEN text IS NULL THEN 'N'
+                  ELSE 'V' || length(text) || ':' || text END AS f2,
+             CASE WHEN lang IS NULL THEN 'N'
+                  ELSE 'V' || length(lang) || ':' || lang END AS f3,
+             CASE WHEN source IS NULL THEN 'N'
+                  ELSE 'V' || length(source) || ':' || source END AS f4,
+             CASE WHEN n_chars IS NULL THEN 'N'
+                  ELSE 'V' || length(CAST(n_chars AS VARCHAR)) || ':'
+                       || CAST(n_chars AS VARCHAR) END AS f5
+      FROM read_parquet('{documents_path}', filename=true)
+    )
+    SELECT doc_id,
+           _src AS _audit_source_file,
+           sha256(concat_ws(chr(31), f1, f2, f3, f4, f5))
+             AS _audit_row_hash,
+           'round1' AS _audit_load_id
+    FROM ser
+    """,
 )
 def ing_add_audit_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load metadata: source-file basename + sha256 row fingerprint.
@@ -114,7 +145,11 @@ def ing_add_audit_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     projects the basename of ``input_file_name()`` (env-independent)
     and a sha256 over the chr(31)-joined row serialization, both of
     which DuckDB recomputes exactly — so the driver hash-checks real
-    audit-column semantics instead of a rows-only execution."""
+    audit-column semantics instead of a rows-only execution.  The
+    driver oracle's single-file literal is correct for its sf0.01
+    fixture; matched-scale probes use the layout-aware ``probe_oracle``
+    twin (``read_parquet(..., filename=true)``) so per-part-file
+    basenames — the real production behavior — certify too."""
     docs = load_table(spark, sf_dir, "documents")
     return ing.with_audit(docs, load_id="round1", deterministic=True).select(
         "doc_id", "_audit_source_file", "_audit_row_hash", "_audit_load_id"
@@ -394,8 +429,8 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "ing_compact_small_files",
-    oracle="""
-    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n, {money_sum_sql('l_extendedprice', 2)} AS sum_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -425,10 +460,10 @@ def ing_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            # 2 dp, not 6: the compaction rewrite changes accumulation
-            # order, so the raw double sums differ ~1e-5 at 1e9
-            # magnitude — a 6dp round can flip, 2dp has 500x margin.
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            # exact micro-unit accumulation (plans/money.py, round 13):
+            # the compaction rewrite reorders the sum, which is exactly
+            # the order-sensitivity the integer path removes
+            money_sum(F.col("l_extendedprice")).alias("sum_price"),
         )
     )
 

@@ -17,6 +17,7 @@ from data_ingest_utils_spark.operators.relational import (
     join_dim,
     join_facts,
 )
+from data_ingest_utils_spark.plans.money import money_sum, money_sum_sql
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table
 
@@ -197,9 +198,9 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "join_multiway_star",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {money_sum_sql('l_extendedprice * (1 - l_discount)', 2)} AS revenue,
            count(*) AS n_items
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
@@ -213,7 +214,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shape 5-table star join: dims broadcast, facts shuffle
-    once on orderkey; date filter pushed to the orders scan."""
+    once on orderkey; date filter pushed to the orders scan.
+
+    Revenue uses :func:`money_sum` (round 13): the double-sum ROUND
+    half-step flaked one cent at sf1.0 (PARITY_r12) — exact integer
+    micro-unit accumulation is order-insensitive at any scale."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -229,7 +234,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         facts.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

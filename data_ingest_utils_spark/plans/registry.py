@@ -26,9 +26,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Layout-aware oracle templates for tools/parity_probe.py (round 13,
+#: VERDICT r12 #3).  The driver's oracle runs over pre-registered
+#: views, which cannot expose DuckDB's per-row ``filename`` — fine at
+#: sf0.01 where each table is ONE file, but a key whose output encodes
+#: the source basename (ing_add_audit_cols) needs the REAL file names
+#: at scale dirs, where a table is a directory of part files.  A probe
+#: oracle is a str.format template with ``{<table>_path}`` holes the
+#: probe fills with the resolved parquet path/glob, letting it use
+#: ``read_parquet(path, filename=true)`` directly.  The driver contract
+#: is untouched: ORACLES stays the single-file-correct SQL.
+PROBE_ORACLES: dict[str, str] = {}
 
-def plan(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query plan; ``oracle=None`` ⇒ rows-only check."""
+
+def plan(
+    key: str, oracle: str | None = None, probe_oracle: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query plan; ``oracle=None`` ⇒ rows-only check;
+    ``probe_oracle`` ⇒ layout-aware template for matched-scale probes."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in QUERIES:
@@ -36,6 +51,8 @@ def plan(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[key] = fn
         if oracle is not None:
             ORACLES[key] = textwrap.dedent(oracle).strip()
+        if probe_oracle is not None:
+            PROBE_ORACLES[key] = textwrap.dedent(probe_oracle).strip()
         fn.__plan_key__ = key  # type: ignore[attr-defined]
         return fn
 

@@ -9,6 +9,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingest_utils_spark.plans.money import money_sum, money_sum_sql
 from data_ingest_utils_spark.plans.registry import plan
 from data_ingest_utils_spark.sources.readers import load_table, read_csv, read_jsonl
 from data_ingest_utils_spark.sources.writers import read_back, write_partitioned
@@ -229,9 +230,9 @@ def _ensure_bucketed_fixture(
 
 @plan(
     "join_bucketed_pair",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority, count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {money_sum_sql('l_extendedprice * (1 - l_discount)', 2)} AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
     """,
@@ -252,8 +253,8 @@ def join_bucketed_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-time bucketed write amortizes over every downstream query.
     sink_bucketed_table demonstrates the single-table write+agg;
     this key certifies the two-table co-located join result itself.
-    Revenue rounds at 2 dp (cents): the ~1e9-per-group money sums
-    cross a 6-dp half-step under accumulation-order ulp (SURVEY §7).
+    Revenue accumulates in exact integer micro-units (plans/money.py,
+    round 13) — order-insensitive at any scale.
     """
     o = _ensure_bucketed_fixture(spark, sf_dir, "dius_orders_bucketed", "orders", "o_orderkey")
     li = _ensure_bucketed_fixture(
@@ -264,8 +265,8 @@ def join_bucketed_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
         )
     )
@@ -273,9 +274,9 @@ def join_bucketed_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "sql_view_query",
-    oracle="""
+    oracle=f"""
     SELECT n_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 6) AS total_balance
+           {money_sum_sql('c_acctbal', 6)} AS total_balance
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -287,9 +288,9 @@ def sql_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
     return spark.sql(
-        """
+        f"""
         SELECT n_name, count(*) AS n_customers,
-               round(sum(c_acctbal), 6) AS total_balance
+               {money_sum_sql('c_acctbal', 6, dialect='spark')} AS total_balance
         FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
         GROUP BY n_name
         """
@@ -555,9 +556,9 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "scan_partition_prune",
-    oracle="""
+    oracle=f"""
     SELECT CAST(month(o_orderdate) AS INTEGER) AS order_month,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+           count(*) AS n_orders, {money_sum_sql('o_totalprice', 2)} AS revenue
     FROM orders
     WHERE year(o_orderdate) = 1997
     GROUP BY order_month
@@ -581,12 +582,9 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.month("o_orderdate").alias("order_month"))
         .agg(
             F.count("*").alias("n_orders"),
-            # 2 dp (cents): monthly revenue sums reach ~5e9 at the sf1
-            # probe scale, where accumulation-order ulp (~magnitude x
-            # 2^-52 ~ 1e-6) crosses ROUND(...,6)'s half-step — the r9
-            # sf1 probe measured max |delta| = 1.9e-6 over 6 cells
-            # (same money-sum class as the r7/r8 hardenings)
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # exact micro-unit accumulation (plans/money.py, round 13) —
+            # the ~5e9 monthly sums were the r9-measured half-step class
+            money_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
 
@@ -664,7 +662,7 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @plan(
     "sql_recursive_cte",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE bounds AS (
       SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
              CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
@@ -675,7 +673,7 @@ def scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT m + INTERVAL 1 MONTH FROM months CROSS JOIN bounds WHERE m < hi)
     SELECT m AS month_start,
            CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+           coalesce({money_sum_sql('o_totalprice', 2)}, 0.0) AS revenue
     FROM months LEFT JOIN orders
       ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
     GROUP BY m
@@ -703,13 +701,14 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     every recursive-CTE user should reach for when per-level data is
     tiny.
 
-    Revenue rounds at 2 dp (cents): the ~5e8 monthly sums cross
-    ROUND(…,6)'s half-step under accumulation-order ulp at sf0.1
-    (matched-scale probe, round 8) — same hardening as
-    agg_hash_group's money sums."""
+    Revenue accumulates in exact integer micro-units (plans/money.py,
+    round 13): the ~5e8 monthly sums were in the ROUND half-step class
+    since the round-8 probe; the integer path is order-insensitive at
+    any scale.  coalesce(…, 0.0) keeps zero-order months at 0 exactly
+    as before (money_sum is NULL-transparent like SUM)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_rc_orders")
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE bounds AS (
           SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
                  CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
@@ -723,7 +722,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE m + INTERVAL 8 MONTH <= hi)
         SELECT m AS month_start,
                CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-               round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+               coalesce({money_sum_sql('o_totalprice', 2, dialect='spark')}, 0.0) AS revenue
         FROM months LEFT JOIN v_rc_orders
           ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
         GROUP BY m

@@ -102,6 +102,25 @@ OUTPUT_CHANGED: list[tuple[str, int]] = [
     # hardened 6 dp → 2 dp after the full-surface sf1 probe measured
     # max |Δ| 1.9e-6 on the ~5e9 sums (the money-sum half-step class).
     ("scan_partition_prune", 9),
+    # Round 13: the money-sum half-step class is CLOSED — every
+    # ROUND(sum(money),2)-shaped key (plus sql_view_query's 6-dp
+    # c_acctbal totals) now accumulates in exact integer micro-units
+    # (plans/money.py): per-row floor(x*1e6+0.5), decimal/hugeint sum,
+    # HALF_UP to cents in integer space.  Values move by ≤1 cent in
+    # boundary cells and the semantics are redefined (quantize-then-
+    # sum), so all twelve keys re-grade.
+    ("join_multiway_star", 13),
+    ("agg_hash_group", 13),
+    ("agg_filtered", 13),
+    ("agg_grouping_sets", 13),
+    ("agg_unpivot", 13),
+    ("join_skew_salted", 13),
+    ("join_skew_stress", 13),
+    ("ing_compact_small_files", 13),
+    ("join_bucketed_pair", 13),
+    ("scan_partition_prune", 13),
+    ("sql_view_query", 13),
+    ("sql_recursive_cte", 13),
 ]
 
 #: Driver truncation point — grades per round observed in every

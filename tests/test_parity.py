@@ -185,3 +185,35 @@ def test_window_output_changed_consumed():
     front = plans._CURRENT_WINDOW[:10 + len(pending)]
     not_fronted = [k for k in pending if k not in front]
     assert not not_fronted, f"output-changed keys not fronted: {not_fronted}"
+
+
+def test_probe_oracles_are_wellformed():
+    """Every layout-aware probe oracle (round 13): belongs to an
+    oracle-backed key (it's a stricter twin, not a replacement), uses
+    only {<table>_path} holes, and renders to runnable SQL at the t2
+    fixture — so the matched-scale probe can never KeyError mid-run."""
+    from data_ingest_utils_spark.plans.registry import PROBE_ORACLES
+
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    paths = {f"{t}_path": f"{SF_T2}/{t}.parquet" for t in tables}
+    assert PROBE_ORACLES, "round-13 probe oracle missing"
+    for key, tmpl in PROBE_ORACLES.items():
+        assert key in ORACLES, f"{key}: probe oracle without driver oracle"
+        sql = tmpl.format(**paths)  # KeyError here = undeclared hole
+        assert "{" not in sql.replace("{}", ""), f"{key}: unfilled hole"
+
+
+def test_probe_oracle_matches_at_t2(spark, duck):
+    """At the single-file t2 fixture the layout-aware twin must agree
+    with the engine result — the same comparison the probe runs,
+    pinned in the suite so the twin can't drift from the plan."""
+    from data_ingest_utils_spark.plans.registry import PROBE_ORACLES
+
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    paths = {f"{t}_path": f"{SF_T2}/{t}.parquet" for t in tables}
+    for key, tmpl in PROBE_ORACLES.items():
+        spark_pdf = QUERIES[key](spark, SF_T2).toPandas()
+        oracle_pdf = duck.execute(tmpl.format(**paths)).fetchdf()
+        assert_parity(spark_pdf, oracle_pdf, f"{key}[probe_oracle]")

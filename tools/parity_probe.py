@@ -39,6 +39,7 @@ def main() -> int:
     import duckdb
 
     from data_ingest_utils_spark.plans import ORACLES, QUERIES
+    from data_ingest_utils_spark.plans.registry import PROBE_ORACLES
     from data_ingest_utils_spark.session import get_session
     from tests.parity import assert_parity
 
@@ -82,12 +83,31 @@ def main() -> int:
             )
         return con
 
+    def resolved_path(t: str) -> str:
+        path = f"{args.sf}/{t}.parquet"
+        return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+    def oracle_sql_for(key: str) -> str:
+        # layout-aware probe twin when declared (round 13): fills the
+        # {<table>_path} holes so the oracle can read_parquet(...,
+        # filename=true) over whichever layout this sf dir has
+        if key in PROBE_ORACLES:
+            paths = {
+                f"{t}_path": resolved_path(t)
+                for t in (
+                    "region nation customer supplier part orders lineitem "
+                    "events documents embeddings"
+                ).split()
+            }
+            return PROBE_ORACLES[key].format(**paths)
+        return ORACLES[key]
+
     fails: list[tuple[str, str]] = []
     for i, key in enumerate(keys, 1):
         try:
             spark_pdf = QUERIES[key](spark, args.sf).toPandas()
             with contextlib.closing(fresh_oracle_con()) as con:
-                oracle_pdf = con.execute(ORACLES[key]).fetchdf()
+                oracle_pdf = con.execute(oracle_sql_for(key)).fetchdf()
             assert_parity(spark_pdf, oracle_pdf, key)
             print(f"probe [{i}/{len(keys)}] {key} OK", file=sys.stderr)
         except Exception as exc:  # record and continue — map the whole surface
