@@ -426,12 +426,33 @@ def quantized_rerank_topk(
     )
 
 
-def _pq_unit_base(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+def _pq_unit_base(
+    df: DataFrame, vec_col: str, id_col: str, expected_dim: int | None = None
+) -> DataFrame:
     """``(id, _uv)`` unit-normalized vectors, zero-norm rows dropped
     (cosine is undefined for them; the exact rerank would discard
-    them anyway)."""
+    them anyway).  ``expected_dim`` (ADVICE r12): when given (i.e.
+    when persisted codebooks dictate the dimension), every row is
+    dimension-checked IN-PLAN — ``F.slice`` truncates and ``zip_with``
+    null-pads silently, so a codebook/data mismatch must fail loudly
+    instead of producing wrong codes.  The check is fused into the
+    projected column (not a prunable side column), JVM-side, no extra
+    action."""
     norm = _norm(F.col(vec_col))
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    if expected_dim is not None:
+        unit = F.when(
+            F.size(F.col(vec_col)) == F.lit(expected_dim), unit
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"pq: data dim != codebook dim m*ds={expected_dim}; got "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            ).cast("array<double>")
+        )
     return df.filter(norm > 0).select(id_col, unit.alias("_uv"))
 
 
@@ -474,6 +495,79 @@ def _pq_encode(sub: DataFrame, books: list[list[list[float]]], id_col: str) -> D
         )
     )
     return sub.crossJoin(model).select(id_col, "_sub", "_sv", best["c"].alias("_code"))
+
+
+def pq_encode_packed(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its PACKED PQ codes — ``(id, _codes)``
+    with ``_codes`` an m-int array — in ONE projection: no subvector
+    explode, no groupBy repack.  This is the persisted-index layout
+    (m·log2(k) bits/vector resident next to the id / IVF cell), built
+    once per corpus epoch and served from parquet by the plan layer's
+    fingerprint-keyed cache (round 13, VERDICT r12 #4).
+
+    Equivalence to the exploded :func:`_pq_encode` is pinned in
+    tests/test_invariants.py: both argmins run the identical widened
+    zip_with distance with ties to the lower code, so packed and
+    exploded codes are bit-identical.
+
+    100 TB: a broadcast-model map stage over the corpus — nested
+    higher-order functions (transform over m subslices, argmin over
+    k codewords) keep the whole encode in one JVM projection; output
+    is |corpus| rows of 16 B codes (m=32, k=16)."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    base = _pq_unit_base(df, vec_col, id_col, expected_dim=m * ds)
+    spark = df.sparkSession
+    tensor_type = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+    model = F.broadcast(
+        spark.createDataFrame(
+            [(codebooks,)],
+            T.StructType([T.StructField("_pq_books", tensor_type)]),
+        )
+    )
+    subs = F.array(*[F.slice("_uv", j * ds + 1, ds) for j in range(m)])
+    codes = F.transform(
+        subs,
+        lambda sv, j: F.array_min(
+            F.transform(
+                F.element_at(F.col("_pq_books"), j + 1),
+                lambda cv, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    i.alias("c"),
+                ),
+            )
+        )["c"],
+    )
+    return base.crossJoin(model).select(id_col, codes.alias("_codes"))
+
+
+def _packed_lut_fold(lut_col):
+    """Coarse ADC score of a packed ``_codes`` row against a
+    broadcast m×k LUT column: per-row m-element fold, zero shuffle —
+    the serving-cost replacement for the exploded encode + groupBy."""
+    partials = F.transform(
+        F.col("_codes"),
+        lambda c, j: F.element_at(F.element_at(lut_col, j + 1), c + 1),
+    )
+    return F.aggregate(partials, F.lit(0.0), lambda a, x: a + x)
+
+
+def _require_packed_codes(codes: DataFrame, id_col: str, fn: str) -> None:
+    cols = set(codes.columns)
+    if id_col not in cols or "_codes" not in cols:
+        raise ValueError(
+            f"{fn}: codes frame must carry ({id_col}, _codes) — got "
+            f"{sorted(cols)}"
+        )
 
 
 def _pq_fit(
@@ -563,6 +657,7 @@ def pq_rerank_topk(
     id_col: str = "vec_id",
     round_dp: int = 4,
     codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization retrieve-then-rerank (VERDICT r10 #6):
     vectors are unit-normalized, split into ``m`` subvectors, each
@@ -609,8 +704,19 @@ def pq_rerank_topk(
     encode + ADC + rerank (zero driver actions before the final
     top-k, no checkpoint: the subvector frame has a single consumer).
     The caller owns codebook/corpus consistency; shape is validated
-    against ``m``/``codebook_k``, and a dim mismatch with the data
-    surfaces as a slice-length error in the encode.
+    against ``m``/``codebook_k``, and the data dimension is validated
+    in-plan against m*(dim/m) (ADVICE r12: F.slice truncates and
+    zip_with null-pads silently, so without the explicit check a
+    mismatch would produce wrong codes, not an error).
+
+    ``codes`` (round 13): pass a PACKED code frame from
+    :func:`pq_encode_packed` — ``(id, _codes)``, one row per vector —
+    to skip the encode too: the coarse stage becomes a per-row
+    m-element LUT fold over the codes table (no subvector explode, no
+    groupBy shuffle), which is the true serving cost of a persisted
+    PQ index.  Requires ``codebooks`` (the LUT is built from them);
+    the caller owns codes/codebook consistency (the plan layer keys
+    both caches by the same fixture fingerprint).
     """
     q = [float(v) for v in query]
     qn = math.sqrt(sum(v * v for v in q))
@@ -618,6 +724,10 @@ def pq_rerank_topk(
         raise ValueError("pq_rerank_topk: zero-norm query has no cosine ranking")
     qu = [v / qn for v in q]
 
+    if codes is not None and codebooks is None:
+        raise ValueError("pq_rerank_topk: codes requires codebooks (the LUT)")
+    if codes is not None:
+        _require_packed_codes(codes, id_col, "pq_rerank_topk")
     if codebooks is None:
         # inline fit: reuse the fit's checkpointed subvector frame so
         # the scoring encode doesn't re-derive the scan
@@ -630,9 +740,11 @@ def pq_rerank_topk(
                 f"{len(books[0]) if books else 0} != m={m}×k={codebook_k}"
             )
         ds_given = len(books[0][0])
-        sub = _pq_subvectors(
-            _pq_unit_base(df, vec_col, id_col), m, m * ds_given, id_col
-        )
+        if codes is None:
+            sub = _pq_subvectors(
+                _pq_unit_base(df, vec_col, id_col, expected_dim=m * ds_given),
+                m, m * ds_given, id_col,
+            )
     ds = len(books[0][0])
 
     lut = [
@@ -651,18 +763,28 @@ def pq_rerank_topk(
             ),
         )
     )
-    partial = F.element_at(
-        F.element_at(F.col("_pq_lut"), F.col("_sub") + 1), F.col("_code") + 1
-    )
-    candidates = (
-        _pq_encode(sub, books, id_col)
-        .crossJoin(lut_model)
-        .select(id_col, partial.alias("_p"))
-        .groupBy(id_col)
-        .agg(F.sum("_p").alias("_coarse"))
-        .orderBy(F.col("_coarse").desc(), F.col(id_col))
-        .limit(coarse_k)
-    )
+    if codes is not None:
+        # packed serving path (round 13): per-row LUT fold over the
+        # persisted codes — no explode, no groupBy shuffle
+        candidates = (
+            codes.crossJoin(lut_model)
+            .select(id_col, _packed_lut_fold(F.col("_pq_lut")).alias("_coarse"))
+            .orderBy(F.col("_coarse").desc(), F.col(id_col))
+            .limit(coarse_k)
+        )
+    else:
+        partial = F.element_at(
+            F.element_at(F.col("_pq_lut"), F.col("_sub") + 1), F.col("_code") + 1
+        )
+        candidates = (
+            _pq_encode(sub, books, id_col)
+            .crossJoin(lut_model)
+            .select(id_col, partial.alias("_p"))
+            .groupBy(id_col)
+            .agg(F.sum("_p").alias("_coarse"))
+            .orderBy(F.col("_coarse").desc(), F.col(id_col))
+            .limit(coarse_k)
+        )
     survivors = df.join(F.broadcast(candidates.select(id_col)), id_col)
     return cosine_topk(survivors, query, k, vec_col, id_col, round_dp)
 
@@ -679,6 +801,7 @@ def pq_batch_topk(
     id_col: str = "vec_id",
     round_dp: int = 4,
     codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """BATCHED PQ serving (round 12): top-``k`` neighbors for MANY
     queries in one plan — the shape an embedding-dedup or retrieval
@@ -711,6 +834,10 @@ def pq_batch_topk(
     qlist = [(int(qid), [float(v) for v in vec]) for qid, vec in queries]
     if not qlist:
         raise ValueError("pq_batch_topk: empty query batch")
+    if codes is not None and codebooks is None:
+        raise ValueError("pq_batch_topk: codes requires codebooks (the LUTs)")
+    if codes is not None:
+        _require_packed_codes(codes, id_col, "pq_batch_topk")
     for qid, vec in qlist:
         if math.sqrt(sum(v * v for v in vec)) == 0.0:
             raise ValueError(
@@ -725,9 +852,12 @@ def pq_batch_topk(
                 f"pq_batch_topk: codebooks shape {len(books)}×"
                 f"{len(books[0]) if books else 0} != m={m}×k={codebook_k}"
             )
-        sub = _pq_subvectors(
-            _pq_unit_base(df, vec_col, id_col), m, m * len(books[0][0]), id_col
-        )
+        if codes is None:
+            ds_given = len(books[0][0])
+            sub = _pq_subvectors(
+                _pq_unit_base(df, vec_col, id_col, expected_dim=m * ds_given),
+                m, m * ds_given, id_col,
+            )
     ds = len(books[0][0])
 
     spark = df.sparkSession
@@ -757,16 +887,25 @@ def pq_batch_topk(
             ),
         )
     )
-    partial = F.element_at(
-        F.element_at(F.col("_pq_lut"), F.col("_sub") + 1), F.col("_code") + 1
-    )
-    coarse = (
-        _pq_encode(sub, books, id_col)
-        .crossJoin(lut_frame)  # broadcast nested-loop: |Q| small rows
-        .select("query_id", id_col, partial.alias("_p"))
-        .groupBy("query_id", id_col)
-        .agg(F.sum("_p").alias("_coarse"))
-    )
+    if codes is not None:
+        # packed serving path (round 13): the persisted codes table
+        # broadcast-joins the |Q|-row LUT frame and each row's coarse
+        # score is a per-row m-element fold — the groupBy shuffle of
+        # the exploded path disappears entirely
+        coarse = codes.crossJoin(lut_frame).select(
+            "query_id", id_col, _packed_lut_fold(F.col("_pq_lut")).alias("_coarse")
+        )
+    else:
+        partial = F.element_at(
+            F.element_at(F.col("_pq_lut"), F.col("_sub") + 1), F.col("_code") + 1
+        )
+        coarse = (
+            _pq_encode(sub, books, id_col)
+            .crossJoin(lut_frame)  # broadcast nested-loop: |Q| small rows
+            .select("query_id", id_col, partial.alias("_p"))
+            .groupBy("query_id", id_col)
+            .agg(F.sum("_p").alias("_coarse"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_coarse").desc(), F.col(id_col)
     )
@@ -826,6 +965,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ (VERDICT r11 #3): the composition that IS the
     memory-resident 100 TB ANN index — a coarse inverted file routes
@@ -855,7 +995,24 @@ def ivf_pq_topk(
     lossy ONLY through the cell probe: a true neighbor living outside
     the ``nprobe`` probed cells is unreachable, the recall/cost dial
     every IVF index exposes.  Recall vs exact brute force and vs flat
-    PQ is pinned in tests/test_invariants.py."""
+    PQ is pinned in tests/test_invariants.py.
+
+    ``codes`` (round 13): a persisted index frame ``(id, cell,
+    _codes)`` — :func:`pq_encode_packed` output joined to the cell
+    assignment, i.e. the literal 100 TB storage layout (codes resident
+    next to the partition column).  With it the query touches NO
+    full-precision vector outside the rerank: probe = a cell filter
+    on the codes table (partition pruning at scale), ADC = the
+    packed per-row LUT fold, rerank = ``coarse_k`` rows of ``df``.
+    Requires ``centroids``/``codebooks`` from the same epoch (the
+    plan layer keys all three caches by one fixture fingerprint)."""
+    if codes is not None and (centroids is None or codebooks is None):
+        raise ValueError(
+            "ivf_pq_topk: codes requires the centroids AND codebooks "
+            "that built it"
+        )
+    if codes is not None and "cell" not in codes.columns:
+        raise ValueError("ivf_pq_topk: codes frame must carry a cell column")
     if centroids is None:
         _, centroids, _ = kmeans_fit_predict(
             df, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
@@ -868,6 +1025,15 @@ def ivf_pq_topk(
     probe = sorted(range(len(centroids)), key=lambda ci: (sq(centroids[ci]), ci))[
         :nprobe
     ]
+    if codes is not None:
+        probed_codes = codes.filter(F.col("cell").isin(probe)).select(
+            id_col, "_codes"
+        )
+        return pq_rerank_topk(
+            df, query, k=k, coarse_k=coarse_k, m=m, codebook_k=codebook_k,
+            iters=iters, vec_col=vec_col, id_col=id_col, codebooks=codebooks,
+            codes=probed_codes,
+        )
     cells = (
         kmeans_assign(df, centroids, vec_col=vec_col, id_col=id_col)
         .filter(F.col("cell").isin(probe))

