@@ -325,8 +325,15 @@ def main() -> int:
             break
     accepted = chosen is not None
     if chosen is None:  # no quiet window: report the least-robbed one
+        # explicit None check (ADVICE r12): `or` would treat a genuine
+        # 0.0% steal reading as missing and rank that window WORST
         chosen = min(
-            attempts, key=lambda r: (r["noise"].get("steal_pct") or float("inf"))
+            attempts,
+            key=lambda r: (
+                float("inf")
+                if r["noise"].get("steal_pct") is None
+                else r["noise"]["steal_pct"]
+            ),
         )
 
     timings = chosen["timings"]

