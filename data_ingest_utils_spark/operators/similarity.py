@@ -1045,6 +1045,147 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_batch_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 32,
+    codebook_k: int = 16,
+    coarse_k: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    codes: DataFrame,
+) -> DataFrame:
+    """BATCHED IVF-PQ serving (round 13) — the full production ANN
+    read path: MANY queries against ONE persisted index in one plan.
+    Composes round 12's batched-PQ shape with IVFADC cell routing:
+    each query is routed driver-side to its ``nprobe`` nearest
+    centroids (the models are driver JSON — k·dim doubles), the |Q|
+    LUT rows broadcast WITH their probed-cell lists, and the packed
+    codes table scores each (query, vector) pair only when the
+    vector's cell is in that query's probe set — at scale, with the
+    index partitioned by cell, this is per-query partition pruning
+    expressed as one array_contains filter under the broadcast join.
+    Window top-``coarse_k`` per query, exact rerank on |Q|·coarse_k
+    rows, identical tie-breaks to every other rung of the ladder.
+
+    Unlike the single-model fallbacks elsewhere, this operator
+    REQUIRES the persisted artifacts (centroids + codebooks + packed
+    codes): batch serving against an unfitted index is not a real
+    workload, and the inline-fit dial already exists on the per-query
+    keys.  Lossy exactly like :func:`ivf_pq_topk` (the per-query
+    nprobe cut); nprobe = n_cells reproduces :func:`pq_batch_topk`
+    row-for-row — pinned in tests/test_invariants.py.
+
+    Returns ``(query_id, vec_id, sim)`` like pq_batch_topk."""
+    qlist = [(int(qid), [float(v) for v in vec]) for qid, vec in queries]
+    if not qlist:
+        raise ValueError("ivf_pq_batch_topk: empty query batch")
+    _require_packed_codes(codes, id_col, "ivf_pq_batch_topk")
+    if "cell" not in codes.columns:
+        raise ValueError("ivf_pq_batch_topk: codes frame must carry cell")
+    mm = len(codebooks)
+    if mm != m or any(len(b) != codebook_k for b in codebooks):
+        raise ValueError(
+            f"ivf_pq_batch_topk: codebooks shape {mm}×"
+            f"{len(codebooks[0]) if codebooks else 0} != m={m}×k={codebook_k}"
+        )
+    ds = len(codebooks[0][0])
+
+    rows = []
+    for qid, vec in qlist:
+        qn = math.sqrt(sum(v * v for v in vec))
+        if qn == 0.0:
+            raise ValueError(
+                f"ivf_pq_batch_topk: zero-norm query {qid} has no cosine ranking"
+            )
+        qu = [v / qn for v in vec]
+        probe = sorted(
+            range(len(centroids)),
+            key=lambda ci: (
+                sum((a - b) * (a - b) for a, b in zip(vec, centroids[ci])), ci
+            ),
+        )[:nprobe]
+        lut = [
+            [sum(qu[j * ds + i] * c[i] for i in range(ds)) for c in codebooks[j]]
+            for j in range(m)
+        ]
+        rows.append((qid, probe, lut))
+    spark = df.sparkSession
+    lut_frame = F.broadcast(
+        spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("_cells", T.ArrayType(T.IntegerType())),
+                    T.StructField(
+                        "_pq_lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+                    ),
+                ]
+            ),
+        )
+    )
+    coarse = (
+        codes.crossJoin(lut_frame)  # broadcast nested-loop: |Q| small rows
+        .filter(F.array_contains(F.col("_cells"), F.col("cell")))
+        .select(
+            "query_id", id_col, _packed_lut_fold(F.col("_pq_lut")).alias("_coarse")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_coarse").desc(), F.col(id_col)
+    )
+    cands = (
+        coarse.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= coarse_k)
+        .select("query_id", id_col)
+    )
+    qframe = F.broadcast(
+        spark.createDataFrame(
+            [(qid, vec) for qid, vec in qlist],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("_qv", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        )
+    )
+    rerank = (
+        cands.join(df.select(id_col, vec_col), id_col)
+        .join(qframe, "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.nanvl(
+                    _dot(F.col(vec_col), F.col("_qv"))
+                    / F.nullif(
+                        _norm(F.col(vec_col)) * _norm(F.col("_qv")), F.lit(0.0)
+                    ),
+                    F.lit(None).cast("double"),
+                ),
+                round_dp,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim").isNotNull())
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        rerank.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", id_col, "sim")
+        .orderBy("query_id", F.col("sim").desc(), F.col(id_col))
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: list[list[float]],

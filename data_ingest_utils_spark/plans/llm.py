@@ -2507,6 +2507,47 @@ def llm_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@plan("llm_sim_ivf_pq_batch")  # rows-only: the nprobe cell cut is lossy by design
+def llm_sim_ivf_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVF-PQ serving (round 13): the 3-query probe batch of
+    llm_sim_pq_batch routed through the persisted IVFADC index —
+    per-query nprobe=2 cell routing (driver-side, against the cached
+    centroids), one broadcast frame carrying each query's LUT AND its
+    probed-cell list, the packed codes table filtered per query by
+    array_contains (partition pruning at scale, where the index is
+    partitioned by cell), window top-100 per query, exact rerank on
+    |Q|·100 rows.  This is the complete production ANN serving plan:
+    every artifact (centroids, codebooks, packed codes) comes from
+    the fingerprint-keyed epoch caches; the query pays routing + a
+    ~nprobe/n_cells slice of the LUT folds + the rerank.
+
+    Rows-only BY MEASUREMENT, same evidence as llm_sim_ivf_pq
+    re-measured round 13 for the batch queries: the minimal covering
+    nprobe for the true top-5 is [8,4,2] at sf0.001, [5,1,3] at
+    sf0.01, [7,1,1] at sf0.1 — no honest nprobe < n_cells retains
+    every query's exact top-5, so an exact oracle would certify
+    structure the fixture genuinely lacks.  Certified instead in
+    tests/test_invariants.py: full-probe (nprobe = n_cells) output ≡
+    llm_sim_pq_batch's flat-PQ output row-for-row, probed-cell
+    membership, and determinism."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = (0, 1, 2)
+    qrows = (
+        emb.filter(F.col("vec_id").isin(*qids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = sorted((int(r.vec_id), list(r.embedding)) for r in qrows)
+    corpus = emb.filter(~F.col("vec_id").isin(*qids))
+    cents = _kmeans_centroids_cached(spark, sf_dir, k=8, iters=2)
+    books = _pq_codebooks_cached(spark, sf_dir)
+    codes = _pq_codes_cached(spark, sf_dir).filter(~F.col("vec_id").isin(*qids))
+    return sim.ivf_pq_batch_topk(
+        corpus, queries, k=5, n_cells=8, nprobe=2,
+        centroids=cents, codebooks=books, codes=codes,
+    )
+
+
 @plan("llm_semdedup")  # rows-only: cluster-bounded dedup is lossy by design
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells bound the O(n²) cosine pair search to

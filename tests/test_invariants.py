@@ -754,6 +754,74 @@ def test_ivf_pq_full_probe_equals_flat_pq(spark):
     assert full == flat
 
 
+def test_ivf_pq_batch_full_probe_equals_flat_batch(spark):
+    """Batched IVF-PQ composition certificate (round 13): with
+    nprobe = n_cells every query's cell cut keeps everything, so the
+    batched routing (per-query probe lists + array_contains filter
+    over the packed index) must reproduce pq_batch_topk's flat output
+    row-for-row for EVERY query — any loss the rows-only
+    llm_sim_ivf_pq_batch key shows is the declared per-query cell cut
+    alone.  Also pins probed-cell membership at nprobe=2 and
+    determinism across two invocations."""
+    from data_ingest_utils_spark.plans.llm import (
+        _kmeans_centroids_cached,
+        _pq_codebooks_cached,
+        _pq_codes_cached,
+    )
+
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    qids = (0, 1, 2)
+    queries = sorted(
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id").isin(*qids)).collect()
+    )
+    corpus = emb.filter(~F.col("vec_id").isin(*qids))
+    cents = _kmeans_centroids_cached(spark, SF_T2, k=8, iters=2)
+    books = _pq_codebooks_cached(spark, SF_T2)
+    codes = _pq_codes_cached(spark, SF_T2).filter(~F.col("vec_id").isin(*qids))
+
+    flat = [
+        (r.query_id, r.vec_id, r.sim)
+        for r in sim.pq_batch_topk(
+            corpus, queries, k=5, codebooks=books, codes=codes
+        ).collect()
+    ]
+    full = [
+        (r.query_id, r.vec_id, r.sim)
+        for r in sim.ivf_pq_batch_topk(
+            corpus, queries, k=5, n_cells=8, nprobe=8,
+            centroids=cents, codebooks=books, codes=codes,
+        ).collect()
+    ]
+    assert full == flat
+
+    # nprobe=2: every returned vector lives in its query's probed cells
+    probed = sim.ivf_pq_batch_topk(
+        corpus, queries, k=5, n_cells=8, nprobe=2,
+        centroids=cents, codebooks=books, codes=codes,
+    )
+    again = sim.ivf_pq_batch_topk(
+        corpus, queries, k=5, n_cells=8, nprobe=2,
+        centroids=cents, codebooks=books, codes=codes,
+    )
+    got = [(r.query_id, r.vec_id, r.sim) for r in probed.collect()]
+    assert got == [(r.query_id, r.vec_id, r.sim) for r in again.collect()]
+    cell_of = {
+        int(r.vec_id): int(r.cell)
+        for r in codes.select("vec_id", "cell").collect()
+    }
+    for qid, vec in queries:
+        probe = sorted(
+            range(len(cents)),
+            key=lambda ci: (
+                sum((a - b) * (a - b) for a, b in zip(vec, cents[ci])), ci
+            ),
+        )[:2]
+        for q2, vid, _ in got:
+            if q2 == qid:
+                assert cell_of[vid] in probe, (qid, vid, cell_of[vid], probe)
+
+
 def test_ivf_pq_probe_membership_exact_sims_and_monotone_recall(spark):
     """The graded llm_sim_ivf_pq key's invariants: every returned id
     lives in a PROBED cell; reported sims are the exact 4-dp cosines
