@@ -500,13 +500,18 @@ def llm_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs BLOCKED on the coarse cell
-    (``label`` = IVF cell / LSH bucket at 100 TB): the pair space rides
-    an equi-join on the block key — a shuffle hash join, never a cross
-    join — so candidates stay O(Σ block²) with bounded blocks, not
-    O(n²) global.  The oracle applies the identical blocking, so the
-    check stays hash-exact."""
+    (``label`` = IVF cell / LSH bucket at 100 TB): the pair space
+    stays O(Σ block²) with bounded blocks, not O(n²) global, and the
+    oracle applies the identical blocking, so the check stays
+    hash-exact.
+
+    Round 13: scored by :func:`sim.embedding_near_dup_pairs_gemm` —
+    one Arrow pass + one BLAS matmul per block instead of the
+    equi-join + interpreted per-pair fold (4.7 s → 0.7 s at sf1,
+    identical output; the join-path twin remains the operator-layer
+    baseline and tests pin the two paths equal)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dup_pairs(emb, threshold=0.4, block_col="label")
+    return sim.embedding_near_dup_pairs_gemm(emb, threshold=0.4, block_col="label")
 
 
 # ------------------------------------------------------ text analysis

@@ -1596,3 +1596,30 @@ def test_bloom_incremental_matches_plain_anti_join(spark):
     # cleared the exact verify, i.e. still be in the plain result
     fps = {r.doc_id for r in rows if r.bloom_hit}
     assert fps <= plain
+
+
+def test_embed_near_dup_gemm_matches_join_path(spark):
+    """The GEMM pair scorer (round 13) must reproduce the equi-join +
+    fold path exactly — ids AND 4-dp sims — at the t2 fixture, so the
+    graded key's switch is a plan change, not an output change."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    gemm = (
+        sim.embedding_near_dup_pairs_gemm(emb, threshold=0.4, block_col="label")
+        .orderBy("vec_a", "vec_b")
+        .collect()
+    )
+    join = (
+        sim.embedding_near_dup_pairs(emb, threshold=0.4, block_col="label")
+        .orderBy("vec_a", "vec_b")
+        .collect()
+    )
+    assert [tuple(r) for r in gemm] == [tuple(r) for r in join]
+    # strip chunking must not change anything (strip smaller than blocks)
+    small = (
+        sim.embedding_near_dup_pairs_gemm(
+            emb, threshold=0.4, block_col="label", strip=7
+        )
+        .orderBy("vec_a", "vec_b")
+        .collect()
+    )
+    assert [tuple(r) for r in small] == [tuple(r) for r in join]
