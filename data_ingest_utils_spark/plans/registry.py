@@ -7,6 +7,10 @@ Authoring rules (SURVEY.md §7, enforced by tests/test_parity.py):
 - alias every computed column identically on both sides;
 - ROUND(x, 6) any float whose value depends on aggregation order
   (4 dp for similarity / tf-idf scores);
+- money sums large enough for accumulation-order ulp to reach the
+  rounding grid's half-step use plans/money.py's exact integer
+  micro-unit accumulation on BOTH sides (round 13) — rounding alone
+  only widens the half-step, it never removes order sensitivity;
 - cast DuckDB's wider default types (BIGINT year(), HUGEINT sum(int),
   BIGINT row_number, …) to match Spark's (int year, long sum, …);
 - pin a total order (unique tiebreaker) on every LIMIT query;
