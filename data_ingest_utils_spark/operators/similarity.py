@@ -400,6 +400,11 @@ def embedding_near_dup_pairs_gemm(
             F.col(vec_col).alias("_v"),
             F.col(block_col).alias("_blk"),
         )
+        # match the join path's semantics (code-review r13): an
+        # equi-join drops NULL keys, so a NULL block must not become a
+        # pairable group here; NULL vectors would make np.stack raise
+        # where the join path's NULL cosine silently filtered them
+        .filter(F.col("_blk").isNotNull() & F.col("_v").isNotNull())
         .groupBy("_blk")
         .applyInPandas(score, "vec_a long, vec_b long, cos_sim double")
     )
@@ -996,6 +1001,28 @@ def pq_batch_topk(
             .groupBy("query_id", id_col)
             .agg(F.sum("_p").alias("_coarse"))
         )
+    return _batch_coarse_topk_rerank(
+        df, coarse, qlist, k, coarse_k, vec_col, id_col, round_dp
+    )
+
+
+def _batch_coarse_topk_rerank(
+    df: DataFrame,
+    coarse: DataFrame,
+    qlist: list,
+    k: int,
+    coarse_k: int,
+    vec_col: str,
+    id_col: str,
+    round_dp: int,
+) -> DataFrame:
+    """Shared tail of the two batch-serving rungs (pq_batch_topk,
+    ivf_pq_batch_topk — extracted round 13): per-query coarse top-k
+    window over ``(query_id, id, _coarse)``, broadcast query-vector
+    attach, exact cosine rerank with THE ladder's tie-breaks (desc
+    sim, asc id).  One implementation so a tie-break or rounding fix
+    can never diverge the rungs."""
+    spark = df.sparkSession
     w = Window.partitionBy("query_id").orderBy(
         F.col("_coarse").desc(), F.col(id_col)
     )
@@ -1024,7 +1051,9 @@ def pq_batch_topk(
             F.round(
                 F.nanvl(
                     _dot(F.col(vec_col), F.col("_qv"))
-                    / F.nullif(_norm(F.col(vec_col)) * _norm(F.col("_qv")), F.lit(0.0)),
+                    / F.nullif(
+                        _norm(F.col(vec_col)) * _norm(F.col("_qv")), F.lit(0.0)
+                    ),
                     F.lit(None).cast("double"),
                 ),
                 round_dp,
@@ -1229,50 +1258,8 @@ def ivf_pq_batch_topk(
             "query_id", id_col, _packed_lut_fold(F.col("_pq_lut")).alias("_coarse")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_coarse").desc(), F.col(id_col)
-    )
-    cands = (
-        coarse.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= coarse_k)
-        .select("query_id", id_col)
-    )
-    qframe = F.broadcast(
-        spark.createDataFrame(
-            [(qid, vec) for qid, vec in qlist],
-            T.StructType(
-                [
-                    T.StructField("query_id", T.LongType()),
-                    T.StructField("_qv", T.ArrayType(T.DoubleType())),
-                ]
-            ),
-        )
-    )
-    rerank = (
-        cands.join(df.select(id_col, vec_col), id_col)
-        .join(qframe, "query_id")
-        .select(
-            "query_id",
-            id_col,
-            F.round(
-                F.nanvl(
-                    _dot(F.col(vec_col), F.col("_qv"))
-                    / F.nullif(
-                        _norm(F.col(vec_col)) * _norm(F.col("_qv")), F.lit(0.0)
-                    ),
-                    F.lit(None).cast("double"),
-                ),
-                round_dp,
-            ).alias("sim"),
-        )
-        .filter(F.col("sim").isNotNull())
-    )
-    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        rerank.withColumn("_rk", F.row_number().over(wk))
-        .filter(F.col("_rk") <= k)
-        .select("query_id", id_col, "sim")
-        .orderBy("query_id", F.col("sim").desc(), F.col(id_col))
+    return _batch_coarse_topk_rerank(
+        df, coarse, qlist, k, coarse_k, vec_col, id_col, round_dp
     )
 
 

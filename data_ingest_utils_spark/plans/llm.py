@@ -154,12 +154,14 @@ def _pq_codes_cached(
     path = _fixture_cache_path(sf_dir, "embeddings", "pq_codes") + (
         f"_m{m}k{codebook_k}i{iters}_c{n_cells}ci{cells_iters}"
     )
-    if os.path.exists(f"{path}/_SUCCESS"):
+    from data_ingest_utils_spark.plans.scans import (
+        _cache_manifest_ok,
+        _write_cache_manifest,
+    )
+
+    if os.path.exists(f"{path}/_SUCCESS") and _cache_manifest_ok(path):
         try:
             cached = spark.read.parquet(path)
-            # torn-cache guard (ADVICE r12 on the bucketed fixture):
-            # _SUCCESS can survive a partial scratch wipe; the schema
-            # check is free and a wrong-column cache must rebuild
             if set(cached.columns) == {"vec_id", "cell", "_codes"}:
                 return cached
         except Exception:
@@ -174,6 +176,10 @@ def _pq_codes_cached(
     packed.join(cells, "vec_id").select("vec_id", "cell", "_codes").write.mode(
         "overwrite"
     ).parquet(path)
+    # write-time inventory manifest — the torn-derived-cache guard the
+    # bucketed fixture uses (scans.py); a partial scratch wipe with an
+    # intact _SUCCESS must rebuild, never serve a subset of the corpus
+    _write_cache_manifest(path)
     return spark.read.parquet(path)
 
 
@@ -189,22 +195,36 @@ def _minhash_corpus_index_cached(spark: SparkSession, sf_dir: str):
     nightly probe join is exchange-free on the corpus side."""
     import os
 
-    # geometry-keyed like the sibling PQ/k-means caches (ADVICE r12):
-    # a default change must address a NEW entry, never serve a stale
-    # geometry-mismatched index silently
-    base = _fixture_cache_path(sf_dir, "documents", "mh_idx") + "_p16b16n3"
+    from data_ingest_utils_spark.plans.scans import (
+        _cache_manifest_ok,
+        _write_cache_manifest,
+    )
+
+    # geometry-keyed like the sibling PQ/k-means caches (ADVICE r12),
+    # and derived from the ACTUAL call parameters so a default change
+    # can never alias the old entry (code-review r13: a hardcoded
+    # literal suffix would re-create the very staleness bug it fixes)
+    num_perm, bands, shingle_n = 16, 16, 3
+    base = _fixture_cache_path(sf_dir, "documents", "mh_idx") + (
+        f"_p{num_perm}b{bands}n{shingle_n}"
+    )
     hv_path, band_path = f"{base}/hv", f"{base}/band"
-    if os.path.exists(f"{hv_path}/_SUCCESS") and os.path.exists(
-        f"{band_path}/_SUCCESS"
+    if all(
+        os.path.exists(f"{p}/_SUCCESS") and _cache_manifest_ok(p)
+        for p in (hv_path, band_path)
     ):
         try:
             return spark.read.parquet(hv_path), spark.read.parquet(band_path)
         except Exception:
             pass  # torn cache → rebuild through the overwrite path
     corpus = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 0)
-    hv_c, banded_c = dd.minhash_corpus_index(corpus)
+    hv_c, banded_c = dd.minhash_corpus_index(
+        corpus, num_perm=num_perm, bands=bands, shingle_n=shingle_n
+    )
     hv_c.write.mode("overwrite").parquet(hv_path)
     banded_c.write.mode("overwrite").parquet(band_path)
+    _write_cache_manifest(hv_path)
+    _write_cache_manifest(band_path)
     return spark.read.parquet(hv_path), spark.read.parquet(band_path)
 
 

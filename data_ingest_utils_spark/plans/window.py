@@ -192,9 +192,16 @@ def derive_window(
         k for k, declared in changed
         if ((history.get(k) or {}).get("green_round") or -1) < declared
     ]
-    fronted = stale + ungraded + [
-        k for k in still_changed if k in queries and k not in stale
-    ]
+    # dedup while preserving order (code-review r13): OUTPUT_CHANGED
+    # may legitimately carry one key under two declaration rounds, and
+    # a never-graded key can also be declared output-changed — a key
+    # must occupy exactly ONE window slot.
+    fronted = list(
+        dict.fromkeys(
+            stale + ungraded
+            + [k for k in still_changed if k in queries]
+        )
+    )
     pos = {k: i for i, k in enumerate(queries)}
     backfill = sorted(
         (

@@ -1623,3 +1623,36 @@ def test_embed_near_dup_gemm_matches_join_path(spark):
         .collect()
     )
     assert [tuple(r) for r in small] == [tuple(r) for r in join]
+
+
+def test_embed_near_dup_gemm_null_semantics(spark):
+    """Code-review r13: a NULL block label must not become a pairable
+    group (the join path's equi-join drops NULL keys) and a NULL
+    vector must drop silently (the join path's NULL cosine filtered
+    it) instead of making np.stack raise."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet").limit(40)
+    poisoned = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+        F.when(F.col("vec_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("label")
+        ).alias("label"),
+    )
+    gemm = (
+        sim.embedding_near_dup_pairs_gemm(poisoned, threshold=0.0, block_col="label")
+        .orderBy("vec_a", "vec_b")
+        .collect()
+    )
+    join = (
+        sim.embedding_near_dup_pairs(poisoned, threshold=0.0, block_col="label")
+        .orderBy("vec_a", "vec_b")
+        .collect()
+    )
+    assert [tuple(r) for r in gemm] == [tuple(r) for r in join]
+    null_label_ids = {
+        r.vec_id for r in poisoned.filter(F.col("label").isNull()).collect()
+    }
+    for r in gemm:
+        assert r.vec_a not in null_label_ids and r.vec_b not in null_label_ids

@@ -157,6 +157,13 @@ def test_window_derivation_policy():
     wg2 = derive_window(queries_g, oracles, history=hist_g,
                         output_changed=[("c", 7)], size=5)
     assert "g" not in wg2
+    # One window slot per key (code-review r13): a key declared
+    # output-changed in two rounds, or stale AND output-changed, must
+    # not occupy two slots.
+    wd = derive_window(queries, oracles, history=history,
+                       output_changed=[("c", 7), ("c", 8), ("b", 7)], size=5)
+    assert len(wd) == len(set(wd)), wd
+    assert wd == ["b", "e", "c", "d", "a"]
     # self-pruning: once c is hash-green AT/after its declaration
     # round, the entry stops fronting and c rejoins the backfill (its
     # r7 green is the newest, so it sorts last among the greens).
