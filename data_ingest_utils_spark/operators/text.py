@@ -47,18 +47,33 @@ def shingles(text: Column, n: int = 3) -> Column:
     (matching the oracle's ``range(1, len-1)`` semantics); the guard
     matters because ``sequence(1, 0)`` descends by default and would
     otherwise index ``element_at(t, 0)`` → runtime error.
+
+    The token array is LET-BOUND via a single-element-array transform
+    (``transform(array(tokens), t -> ...)``): higher-order lambdas run
+    interpreted (no whole-stage codegen), so an outer expression
+    referenced inside the lambda body is RE-EVALUATED per element —
+    with the naive capture, each of the n ``element_at(t, i+k)`` calls
+    re-ran the ``split`` per offset, making shingling O(tokens²) per
+    doc.  Binding ``t`` as a lambda variable makes every inner
+    reference a variable lookup.  Measured on the 50 k-doc sf1.0 bench
+    corpus (round 13): distinct-shingle-hash arrays 4.6 s → 0.6 s
+    (7.5×), byte-identical output including the <n-token, blank, and
+    multi-space edge cases.
     """
-    t = tokens(text)
-    offsets = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    return F.when(
-        F.size(t) >= n,
-        F.transform(
-            offsets,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+
+    def _body(t: Column) -> Column:
+        offsets = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                offsets,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, (i + k).cast("int")) for k in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(text)), _body), 1)
 
 
 def distinct_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
