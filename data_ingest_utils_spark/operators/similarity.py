@@ -35,6 +35,18 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-bind an expensive expression for use inside a higher-order
+    lambda: HOFs run interpreted, so a captured expression TREE is
+    re-evaluated on every lambda call — a whole-vector aggregate (norm,
+    max-abs) captured in a per-element transform turns O(dim) work
+    into O(dim²) per row.  ``transform(array(bound), v -> body(v))``
+    evaluates ``bound`` once and hands the lambda a variable reference.
+    Same trick as text.shingles' token binding (measured 7.5× there);
+    byte-identical results."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def _to_double(a: Column) -> Column:
     """Widen an ``array<float>`` vector to ``array<double>`` ONCE per
     row.  Pair-stage operators project this before their self-join so
@@ -211,7 +223,9 @@ def cosine_pairs_lsh(
     from pyspark.ml.functions import array_to_vector
 
     norm = _norm(F.col(vec_col))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    unit = _let(
+        norm, lambda nn: F.transform(F.col(vec_col), lambda x: x.cast("double") / nn)
+    )
     feats = (
         df.filter(norm > 0)
         .select(
@@ -503,7 +517,7 @@ def quantized_rerank_topk(
 
     vmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
     vscale = F.lit(127.0) / F.nullif(vmax, F.lit(0.0))
-    qvec = F.transform(F.col(vec_col), lambda x: F.round(x * vscale))
+    qvec = _let(vscale, lambda vs: F.transform(F.col(vec_col), lambda x: F.round(x * vs)))
     coarse_score = _dot(qvec, qlit) / (vscale * F.lit(qscale))
 
     candidates = (
@@ -534,7 +548,9 @@ def _pq_unit_base(
     projected column (not a prunable side column), JVM-side, no extra
     action."""
     norm = _norm(F.col(vec_col))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    unit = _let(
+        norm, lambda nn: F.transform(F.col(vec_col), lambda x: x.cast("double") / nn)
+    )
     if expected_dim is not None:
         unit = F.when(
             F.size(F.col(vec_col)) == F.lit(expected_dim), unit
