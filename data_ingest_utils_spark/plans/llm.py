@@ -2776,13 +2776,22 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Empty-range guard (same hazard llm_doc_chunking documents): a
     # 0-token doc would make sequence(0, -1) DESCEND and emit phantom
     # negative segment indices; the oracle's range(0, 0) is empty.
-    seg_arr = F.when(
-        n_segs > 0,
-        F.transform(
-            F.sequence(F.lit(0), (n_segs - 1).cast("int")),
-            lambda i: F.concat_ws(" ", F.slice(t, i * 10 + 1, 10)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # The token array is LET-BOUND (transform over a one-element
+    # array, same trick as text.shingles): interpreted HOF lambdas
+    # re-evaluate captured expression trees per element, so the naive
+    # capture re-ran the split once per SEGMENT — O(tokens²/10) per
+    # doc.  Byte-identical output.
+    def _seg_body(tk):
+        ns = F.ceil(F.size(tk) / F.lit(10)).cast("long")
+        return F.when(
+            ns > 0,
+            F.transform(
+                F.sequence(F.lit(0), (ns - 1).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(tk, i * 10 + 1, 10)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    seg_arr = F.element_at(F.transform(F.array(t), _seg_body), 1)
     segs = d.select(
         "doc_id", F.posexplode(seg_arr).alias("i", "seg")
     )
