@@ -535,6 +535,116 @@ def quantized_rerank_topk(
     )
 
 
+def pack_sign_bits(vals: Sequence[float], words: int) -> list[int]:
+    """Sign-bit binary quantization of one vector, driver-side: bit
+    ``j`` of word ``w`` is set iff element ``w*64 + j`` is strictly
+    positive (missing / NULL / ≤0 elements leave the bit clear — the
+    same rule the in-plan encoder applies).  Words are two's-complement
+    signed 64-bit, matching Spark LongType."""
+    out = []
+    for w in range(words):
+        acc = 0
+        for j in range(64):
+            idx = w * 64 + j
+            if idx < len(vals) and vals[idx] is not None and vals[idx] > 0:
+                acc |= 1 << j
+        if acc >= 1 << 63:
+            acc -= 1 << 64  # wrap bit 63 into the sign bit
+        out.append(acc)
+    return out
+
+
+def binary_sign_codes(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, _bits)`` sign-bit binary codes: 1 bit per dimension,
+    packed into ``ceil(dim/64)`` signed 64-bit words — 8 bytes per 64
+    dims, a 32× compression of float32 and the coarse index of
+    binary-quantization retrieval (the BQ rung popular in production
+    vector stores; public formulation).  Bit ``j`` of word ``w`` set
+    iff ``vec[w*64 + j] > 0``; NULL or missing elements (``zip_with``
+    null-pads the trailing word) leave the bit clear, mirroring
+    :func:`pack_sign_bits`.
+
+    The packer is one SQL higher-order expression per word —
+    ``shiftleft`` takes a column shift amount in SQL (the PySpark
+    wrapper only accepts int literals, hence ``F.expr``)."""
+    if dim <= 0:
+        raise ValueError(f"binary_sign_codes: dim={dim} must be positive")
+    words = (dim + 63) // 64
+    word_exprs = [
+        F.expr(
+            f"aggregate(zip_with(slice({vec_col}, {w * 64 + 1}, 64), "
+            "sequence(0, 63), (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), "
+            "0L, (a, b) -> a | b)"
+        )
+        for w in range(words)
+    ]
+    return df.select(id_col, F.array(*word_exprs).alias("_bits"))
+
+
+def binary_hamming_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    coarse_k: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Two-stage binary-quantization retrieval: sign-bit codes +
+    Hamming distance prune to ``coarse_k`` candidates, exact float
+    cosine reranks those to the final ``k``.
+
+    The retrieval ladder's cheapest coarse rung (vs int8's 4× and
+    PQ-ADC's LUT folds): the full scan is ``ceil(dim/64)`` XOR +
+    popcount JVM long ops per row over an 8-byte-per-64-dims index —
+    at 100 TB the codes frame IS the index (store it like the packed
+    PQ codes; here it is derived in-plan), the coarse top-``coarse_k``
+    finishes as TakeOrdered (per-partition heads, no global sort), and
+    only ``coarse_k`` rows are joined back (broadcast) for the exact
+    rerank.  Deterministic end to end: Hamming ties break by id, the
+    rerank orders by rounded sim then id — so a SQL oracle can
+    recompute the WHOLE pipeline (sign disagreement count ==
+    Hamming distance on the packed codes, by construction) and
+    hash-certify it at any scale.  Recall-vs-exact is asserted in
+    tests/test_invariants.py, same protocol as the int8 and PQ rungs.
+    """
+    q = [float(v) for v in query]
+    words = (len(q) + 63) // 64
+    qbits = pack_sign_bits(q, words)
+    qlit = F.array(*[F.lit(int(b)).cast("long") for b in qbits])
+
+    codes = binary_sign_codes(df, dim=len(q), vec_col=vec_col, id_col=id_col)
+    hd = F.aggregate(
+        F.zip_with(
+            F.col("_bits"), qlit,
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        codes.select(id_col, hd.alias("_hd"))
+        .orderBy(F.col("_hd").asc(), F.col(id_col))
+        .limit(coarse_k)
+    )
+    # 100-row coarse side broadcast into the vector join-back: the
+    # corpus frame never re-shuffles and the rerank touches coarse_k
+    # rows only.
+    candidates = df.select(id_col, vec_col).join(F.broadcast(coarse), id_col)
+    sim = F.round(cosine_to_query(candidates, vec_col, query), round_dp)
+    return (
+        candidates.select(id_col, sim.alias("sim"))
+        .filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _pq_unit_base(
     df: DataFrame, vec_col: str, id_col: str, expected_dim: int | None = None
 ) -> DataFrame:

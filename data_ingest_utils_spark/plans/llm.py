@@ -476,6 +476,49 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "llm_sim_binary_hamming",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    ham AS (
+      SELECT e.vec_id, e.embedding,
+             len(list_filter(range(1, len(e.embedding) + 1),
+                 i -> coalesce(e.embedding[i] > 0, false)
+                      <> coalesce(q.qv[i] > 0, false))) AS hd
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    ),
+    coarse AS (SELECT vec_id, embedding FROM ham ORDER BY hd, vec_id LIMIT 100)
+    SELECT c.vec_id,
+           round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 4) AS sim
+    FROM coarse c, q
+    WHERE list_cosine_similarity(c.embedding::DOUBLE[], q.qv) IS NOT NULL
+      AND NOT isnan(list_cosine_similarity(c.embedding::DOUBLE[], q.qv))
+    ORDER BY sim DESC, c.vec_id
+    LIMIT 5
+    """,
+)
+def llm_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval (round 13): sign-bit codes —
+    1 bit/dim, 8 B per 64 dims — Hamming-pruned to 100 candidates,
+    exact cosine rerank to top-5.  The cheapest coarse rung of the
+    retrieval ladder (exact < int8 < binary < PQ-ADC < IVF-PQ in
+    bytes-touched per corpus row).
+
+    The oracle recomputes the ENTIRE two-stage pipeline: the sign
+    DISAGREEMENT count per dimension equals the Hamming distance on
+    the packed 64-bit words by construction (bit j of word w ==
+    vec[w*64+j] > 0 on both sides), the coarse cut is deterministic
+    (hd, vec_id), and the rerank mirrors llm_sim_topk's certified
+    cosine arithmetic — so the hash match certifies the encode, the
+    Hamming prune, and the rerank at ANY scale, not just the fixture.
+    Recall-vs-exact is the separate invariant test, per the int8/PQ
+    protocol (tests/test_invariants.py)."""
+    q, _ = _query_vec(spark, sf_dir, 0)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return sim.binary_hamming_topk(emb, q, k=5, coarse_k=100)
+
+
+@plan(
     "llm_sim_ivf",
     oracle="""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv, label AS ql

@@ -553,6 +553,51 @@ def test_rerank_recall_vs_exact(spark):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_binary_hamming_recall_and_packing(spark):
+    """Binary-quantization rung (round 13): recall@5 vs exact >= 4/5
+    on the fixture (coarse_k=100 of 500 vectors), sims non-increasing;
+    with coarse_k >= corpus the pipeline must equal exact brute-force
+    top-k EXACTLY (the prune is then a no-op and only the rerank
+    arithmetic remains); and the in-plan 64-bit packer must agree with
+    the driver-side pack_sign_bits on every corpus row, including a
+    poisoned row with NULL elements (clear bits both sides)."""
+    from data_ingest_utils_spark.operators import similarity as sim
+    from data_ingest_utils_spark.plans import QUERIES
+    from data_ingest_utils_spark.plans.llm import _query_vec
+
+    exact_rows = QUERIES["llm_sim_topk"](spark, SF_T2).collect()
+    exact = [r.vec_id for r in exact_rows]
+    rows = QUERIES["llm_sim_binary_hamming"](spark, SF_T2).collect()
+    bq = [r.vec_id for r in rows]
+    assert len(set(exact) & set(bq)) >= 4
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    q, _ = _query_vec(spark, SF_T2, 0)
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet").filter(
+        F.col("vec_id") != 0
+    )
+    full = sim.binary_hamming_topk(emb, q, k=5, coarse_k=10_000_000)
+    assert [(r.vec_id, r.sim) for r in full.collect()] == [
+        (r.vec_id, r.sim) for r in exact_rows
+    ]
+
+    poisoned = emb.limit(8).union(
+        spark.createDataFrame(
+            [(999_999, [None, 1.0] + [0.0] * 62, 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    planned = {
+        r.vec_id: list(r._bits)
+        for r in sim.binary_sign_codes(poisoned, dim=64).collect()
+    }
+    for r in poisoned.collect():
+        assert planned[r.vec_id] == sim.pack_sign_bits(
+            list(r.embedding), 1
+        ), f"packer mismatch on vec_id={r.vec_id}"
+
+
 def test_pq_recall_at_least_int8_rerank(spark):
     """PQ retrieve-then-rerank (VERDICT r10 #6 done-criterion): its
     recall@5 vs exact brute force must be >= the int8 rerank's on the
