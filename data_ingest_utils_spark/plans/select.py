@@ -7,7 +7,7 @@ parquet scan (PushedFilters) and prunes columns (ReadSchema) — the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingest_utils_spark.plans.registry import plan
@@ -97,4 +97,42 @@ def sel_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.filter(bucket < 10).select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice")
+    )
+
+
+@plan(
+    "sel_sample_reservoir_group",
+    oracle="""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) _t
+    WHERE rk <= 5
+    """,
+)
+def sel_sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k-per-group sample (k=5 per language) — the
+    distributed, replay-stable stand-in for per-group reservoir
+    sampling: rank rows inside each stratum by a keyed hash and keep
+    the first k.  Unlike rand()-reservoirs it draws the SAME rows on
+    every run, engine, and task retry, and appending new rows only
+    ever displaces existing picks (a row's rank depends on its own
+    hash), so balanced training subsets stay stable across corpus
+    epochs.
+
+    Plan shape: one hash-partitioned window per stratum, row_number
+    cut at k — a single shuffle on the group key.  At 100 TB put a
+    permissive hash-bucket pre-filter in front (keep hash-bucket <
+    ~10·k·|strata|/|T| of rows map-side) so the window sorts a sliver,
+    not the corpus; the md5-hex ordering here is the cross-engine
+    dialect (swap xxhash64 for the production path, same shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
     )
