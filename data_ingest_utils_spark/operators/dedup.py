@@ -686,9 +686,18 @@ def connected_components(
             .agg(F.min("c").alias("nc"))
             .withColumnRenamed("a", "v")
         )
+        # carry the round's INCOMING label (_oc) through step + jump so
+        # convergence is a filter-count on the already-checkpointed
+        # frame — the former join-back against `comp` re-shuffled both
+        # sides once per round just to count changes (round 13; one
+        # join + one exchange per round saved, labels identical)
         stepped = (
             comp.join(nbr_min, "v", "left")
-            .select("v", F.least(F.col("c"), F.coalesce("nc", "c")).alias("c"))
+            .select(
+                "v",
+                F.least(F.col("c"), F.coalesce("nc", "c")).alias("c"),
+                F.col("c").alias("_oc"),
+            )
         )
         # pointer jumping: c <- comp[c].c
         jumped = (
@@ -700,16 +709,16 @@ def connected_components(
                 F.col("s.c") == F.col("_cv"),
                 "left",
             )
-            .select(F.col("s.v").alias("v"),
-                    F.coalesce("_cc", F.col("s.c")).alias("c"))
+            .select(
+                F.col("s.v").alias("v"),
+                F.coalesce("_cc", F.col("s.c")).alias("c"),
+                (F.coalesce("_cc", F.col("s.c")) != F.col("s._oc")).alias(
+                    "_changed"
+                ),
+            )
         ).localCheckpoint(eager=True)
-        n_changed = (
-            jumped.alias("n")
-            .join(comp.alias("o"), "v")
-            .filter(F.col("n.c") != F.col("o.c"))
-            .count()
-        )
-        comp = jumped
+        n_changed = jumped.filter("_changed").count()
+        comp = jumped.select("v", "c")
         if n_changed == 0:
             break
     else:
