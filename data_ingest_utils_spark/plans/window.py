@@ -121,6 +121,14 @@ OUTPUT_CHANGED: list[tuple[str, int]] = [
     ("scan_partition_prune", 13),
     ("sql_view_query", 13),
     ("sql_recursive_cte", 13),
+    # Round 13 (cont.): ``llm_semdedup``'s output also changed (cells
+    # now from the fingerprint-cached epoch centroids; 12-dp GEMM
+    # scores) but it is NOT listed here: OUTPUT_CHANGED exists to
+    # re-front *hash*-graded keys, and a rows-only key's driver row is
+    # a fresh rows-executed run every time it rotates through the
+    # backfill — fronting it would put a rows-only key ahead of
+    # oracle-backed ones, the exact ordering the window-shape
+    # invariant forbids.
 ]
 
 #: Driver truncation point — grades per round observed in every
