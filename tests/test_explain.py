@@ -85,6 +85,18 @@ def test_sim_topk_no_join(spark):
     assert "Join" not in plan
 
 
+def test_binary_hamming_takeordered_coarse_broadcast_rerank(spark):
+    """llm_sim_binary_hamming: the Hamming coarse cut must finish as
+    TakeOrderedAndProject (per-partition heads over the 8-byte codes,
+    no global sort) and the 100-row join-back must be a broadcast hash
+    join — the corpus never re-shuffles for the rerank."""
+    plan = _plan(spark, "llm_sim_binary_hamming")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_global_agg_partial_final(spark):
     """agg_global must be a two-phase hash aggregate (partial map-side
     combine before the single-partition exchange)."""
