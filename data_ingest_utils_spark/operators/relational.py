@@ -144,19 +144,26 @@ def salted_join_hotkeys(
     which is affordable only for broadcast-sized dims.  When skew is a
     handful of pathological keys in an otherwise well-distributed join
     (the common 100 TB case — discover them first with
-    ``approx_top_k``/``count``), the right shape splits the fact on
-    key membership: hot rows get a deterministic salt in
-    [0, salt_mod) and join against ONLY the dim's hot rows exploded
+    ``approx_top_k``/``count``), only hot rows get a deterministic
+    salt in [0, salt_mod) and only the dim's hot rows replicate
     salt_mod× (|hot_keys| · salt_mod extra rows — dozens, not
-    |dim| · salt_mod); cold rows take the plain shuffled join
-    untouched.  Each hot key's rows spread over salt_mod reducers, so
-    max-task-rows drops from |hot| to ~|hot| / salt_mod, and the
-    union of the two branches is byte-identical to the unsalted join
-    for fact-preserving join types.
+    |dim| · salt_mod).  Each hot key's rows spread over salt_mod
+    reducers, so max-task-rows drops from |hot| to ~|hot| / salt_mod,
+    byte-identical to the unsalted join for fact-preserving join
+    types.
 
-    Both branches scan the fact once each with the hot-membership
-    predicate pushed down; at scale that is two pruned scans, the
-    same I/O as one unpruned pass.
+    SINGLE-SCAN shape (round 13): instead of splitting the fact into
+    hot/cold branches (two pruned scans + two joins + a union), BOTH
+    sides carry an inline salt — hot fact rows a hashed salt in
+    [0, salt_mod), cold fact rows the constant 0; hot dim rows explode
+    over all salt_mod salts, cold dim rows get the one-element [0] —
+    and ONE equi-join on (key, salt) does everything.  Each
+    (fact row, dim row) match pairs on exactly one salt, so results
+    are identical to the unsalted join for fact-preserving types,
+    while the fact is scanned ONCE and the plan has a single join to
+    AQE-tune.  Cold keys all sit at salt 0, so their shuffle
+    distribution is exactly the plain join's; the hot key spreads over
+    salt_mod reducers as before.
     """
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
                    "leftsemi", "left_anti", "leftanti"):
@@ -167,28 +174,33 @@ def salted_join_hotkeys(
     hot_list = list(hot_keys)
     if not hot_list:
         raise ValueError("salted_join_hotkeys: hot_keys must be non-empty")
-    # NULL-keyed fact rows must land in the COLD branch: `~isin` is
-    # NULL (not false) for them, and filtering on it would silently
-    # drop rows that a left/left_anti join is required to keep.
-    is_hot = F.coalesce(F.col(left_key).isin(hot_list), F.lit(False))
-    fact_hot = fact.filter(is_hot).withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_mod))
-    )
-    fact_cold = fact.filter(~is_hot)
-    dim_hot = dim.filter(F.col(right_key).isin(hot_list)).withColumn(
+    # NULL-keyed fact rows take the cold (constant) salt: `isin` is
+    # NULL (not false) for them, and a NULL salt would silently drop
+    # rows that a left/left_anti join is required to keep.
+    is_hot_fact = F.coalesce(F.col(left_key).isin(hot_list), F.lit(False))
+    salted_fact = fact.withColumn(
         "_salt",
-        F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1)).cast("array<long>")),
+        F.when(
+            is_hot_fact,
+            F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_mod)),
+        ).otherwise(F.lit(0).cast("long")),
     )
-    j_hot = fact_hot.join(
-        dim_hot,
-        (fact_hot[left_key] == dim_hot[right_key])
-        & (fact_hot["_salt"] == dim_hot["_salt"]),
+    is_hot_dim = F.coalesce(F.col(right_key).isin(hot_list), F.lit(False))
+    salted_dim = dim.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                is_hot_dim,
+                F.sequence(F.lit(0), F.lit(salt_mod - 1)).cast("array<long>"),
+            ).otherwise(F.array(F.lit(0).cast("long")))
+        ),
+    )
+    return salted_fact.join(
+        salted_dim,
+        (salted_fact[left_key] == salted_dim[right_key])
+        & (salted_fact["_salt"] == salted_dim["_salt"]),
         how,
     ).drop("_salt")
-    j_cold = fact_cold.join(
-        dim, fact_cold[left_key] == dim[right_key], how
-    )
-    return j_hot.unionByName(j_cold)
 
 
 def as_of_attach(
