@@ -645,6 +645,76 @@ def binary_hamming_topk(
     )
 
 
+def binary_hamming_batch_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 5,
+    coarse_k: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """BATCHED binary-quantization serving: top-``k`` for MANY queries
+    through ONE sign-bit encode pass of the corpus — the batch rung of
+    the binary ladder, mirroring :func:`pq_batch_topk`'s shape with an
+    8-byte-per-64-dims index instead of PQ codes.
+
+    The query batch rides ONE broadcast frame of packed sign words
+    (|Q| rows × ceil(dim/64) longs); the coarse stage is a broadcast
+    nested-loop over it — ceil(dim/64) XOR+popcount long ops per
+    (query, vector), the cheapest batch scan any rung offers — and the
+    shared :func:`_batch_coarse_topk_rerank` tail takes each query's
+    Hamming top-``coarse_k`` (lower distance = better, negated into
+    the helper's desc ordering; ties by id) and exact-reranks
+    |Q|·coarse_k rows.  Deterministic end to end, so a SQL oracle can
+    recompute the whole per-query pipeline (sign-disagreement count ≡
+    packed-word Hamming) and hash-certify it at any scale.
+    Returns ``(query_id, vec_id, sim)``."""
+    qlist = [(int(qid), [float(v) for v in vec]) for qid, vec in queries]
+    if not qlist:
+        raise ValueError("binary_hamming_batch_topk: empty query batch")
+    dim = len(qlist[0][1])
+    if any(len(vec) != dim for _, vec in qlist):
+        raise ValueError(
+            "binary_hamming_batch_topk: ragged query dims in one batch"
+        )
+    for qid, vec in qlist:
+        if math.sqrt(sum(v * v for v in vec)) == 0.0:
+            raise ValueError(
+                f"binary_hamming_batch_topk: zero-norm query {qid} has no "
+                "cosine ranking"
+            )
+    words = (dim + 63) // 64
+    spark = df.sparkSession
+    qframe = F.broadcast(
+        spark.createDataFrame(
+            [(qid, pack_sign_bits(vec, words)) for qid, vec in qlist],
+            T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("_qbits", T.ArrayType(T.LongType())),
+                ]
+            ),
+        )
+    )
+    codes = binary_sign_codes(df, dim=dim, vec_col=vec_col, id_col=id_col)
+    hd = F.aggregate(
+        F.zip_with(
+            F.col("_bits"), F.col("_qbits"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse = (
+        codes.crossJoin(qframe)  # broadcast nested-loop: |Q| small rows
+        .select("query_id", id_col, (-hd).cast("double").alias("_coarse"))
+    )
+    return _batch_coarse_topk_rerank(
+        df, coarse, qlist, k, coarse_k, vec_col, id_col, round_dp
+    )
+
+
 def _pq_unit_base(
     df: DataFrame, vec_col: str, id_col: str, expected_dim: int | None = None
 ) -> DataFrame:

@@ -519,6 +519,67 @@ def llm_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "llm_sim_binary_hamming_batch",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), ham AS (
+      SELECT q.query_id, e.vec_id, e.embedding,
+             len(list_filter(range(1, len(e.embedding) + 1),
+                 i -> coalesce(e.embedding[i] > 0, false)
+                      <> coalesce(q.qv[i] > 0, false))) AS hd
+      FROM embeddings e, q
+      WHERE e.vec_id NOT IN (0, 1, 2)
+    ), coarse AS (
+      SELECT query_id, vec_id, embedding FROM (
+        SELECT query_id, vec_id, embedding,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hd, vec_id) AS crk
+        FROM ham) _c
+      WHERE crk <= 100
+    ), ranked AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 4)
+               AS sim,
+             row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                     q.qv), 4) DESC,
+                        c.vec_id) AS rk
+      FROM coarse c JOIN q USING (query_id)
+      WHERE list_cosine_similarity(c.embedding::DOUBLE[], q.qv) IS NOT NULL
+        AND NOT isnan(list_cosine_similarity(c.embedding::DOUBLE[], q.qv))
+    )
+    SELECT query_id, vec_id, sim FROM ranked WHERE rk <= 5
+    ORDER BY query_id, sim DESC, vec_id
+    """,
+)
+def llm_sim_binary_hamming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED binary-quantization serving (round 13): top-5 for a
+    3-query probe batch through ONE sign-bit encode pass — the batch
+    rung of the binary ladder, completing the batch-serving story
+    (pq_batch, ivf_pq_batch, binary_batch).  The coarse scan is
+    ceil(dim/64) XOR+popcount long ops per (query, vector) over a
+    broadcast |Q|-row frame of packed sign words; the shared batch
+    tail windows each query's Hamming top-100 and exact-reranks
+    |Q|·100 rows.  The oracle recomputes the WHOLE per-query pipeline
+    (sign-disagreement count ≡ packed-word Hamming by construction),
+    so the hash match certifies encode, prune, and rerank for every
+    query in the batch at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = (0, 1, 2)
+    qrows = (
+        emb.filter(F.col("vec_id").isin(*qids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = sorted((int(r.vec_id), list(r.embedding)) for r in qrows)
+    corpus = emb.filter(~F.col("vec_id").isin(*qids))
+    return sim.binary_hamming_batch_topk(corpus, queries, k=5, coarse_k=100)
+
+
+@plan(
     "llm_sim_ivf",
     oracle="""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv, label AS ql

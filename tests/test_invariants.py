@@ -598,6 +598,35 @@ def test_binary_hamming_recall_and_packing(spark):
         ), f"packer mismatch on vec_id={r.vec_id}"
 
 
+def test_binary_hamming_batch_equals_per_query_single(spark):
+    """The batched binary rung must reproduce the single-query rung
+    EXACTLY per query on the same corpus — the two share the encode
+    and tie-break rules, so any divergence is a real defect (ordering,
+    negation of the Hamming score into the shared rerank tail, or the
+    broadcast frame's packing)."""
+    from data_ingest_utils_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    qids = (0, 1, 2)
+    qrows = {
+        int(r.vec_id): list(r.embedding)
+        for r in emb.filter(F.col("vec_id").isin(*qids)).collect()
+    }
+    corpus = emb.filter(~F.col("vec_id").isin(*qids))
+    batch = sim.binary_hamming_batch_topk(
+        corpus, sorted(qrows.items()), k=5, coarse_k=100
+    ).collect()
+    for qid in qids:
+        got = [(r.vec_id, r.sim) for r in batch if r.query_id == qid]
+        want = [
+            (r.vec_id, r.sim)
+            for r in sim.binary_hamming_topk(
+                corpus, qrows[qid], k=5, coarse_k=100
+            ).collect()
+        ]
+        assert got == want, f"query {qid}: batch {got} != single {want}"
+
+
 def test_pq_recall_at_least_int8_rerank(spark):
     """PQ retrieve-then-rerank (VERDICT r10 #6 done-criterion): its
     recall@5 vs exact brute force must be >= the int8 rerank's on the
