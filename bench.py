@@ -85,6 +85,12 @@ HEAVY_SF1 = [
     # drain + join-state cost; the result itself is small (~3.4 k
     # rows), so the in-plan memory-sink collect is noise.
     "evt_stream_stream_join",
+    # batch ANN shape (round 13): batched binary-quantization serving —
+    # one sign-bit encode pass of the 20 k scaled embeddings scores a
+    # 3-query batch (XOR+popcount coarse, window top-100/query, exact
+    # rerank on Q×100 rows).  The batch-retrieval read path the
+    # per-query vector shapes can't exercise.
+    "llm_sim_binary_hamming_batch",
 ]
 # Median-of-3 by default (VERDICT r7 #1): the documented host
 # CPU-steal noise band (BASELINE.md:97-105, same-plan totals vary up
