@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_ingest_utils_spark.operators.exprs import let_bind
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -35,16 +37,9 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _let(bound: Column, body) -> Column:
-    """Let-bind an expensive expression for use inside a higher-order
-    lambda: HOFs run interpreted, so a captured expression TREE is
-    re-evaluated on every lambda call — a whole-vector aggregate (norm,
-    max-abs) captured in a per-element transform turns O(dim) work
-    into O(dim²) per row.  ``transform(array(bound), v -> body(v))``
-    evaluates ``bound`` once and hands the lambda a variable reference.
-    Same trick as text.shingles' token binding (measured 7.5× there);
-    byte-identical results."""
-    return F.element_at(F.transform(F.array(bound), body), 1)
+# the shared one-element-array let-binding (operators/exprs.py) under
+# this module's historical local name
+_let = let_bind
 
 
 def _to_double(a: Column) -> Column:
@@ -583,7 +578,24 @@ def binary_sign_codes(
         )
         for w in range(words)
     ]
-    return df.select(id_col, F.array(*word_exprs).alias("_bits"))
+    # Ragged-dim guard (code-review r13, same pattern as
+    # _pq_unit_base's expected_dim): the packer slices to the QUERY's
+    # dim while a SQL oracle counts sign disagreements over each
+    # corpus vector's full length — a dim mismatch must fail loudly
+    # in-plan, not silently diverge.  NULL vectors pass through as
+    # NULL codes (⇒ NULL Hamming, sorted last by the coarse cut).
+    bits = F.when(
+        F.col(vec_col).isNull() | (F.size(vec_col) == F.lit(dim)),
+        F.array(*word_exprs),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"binary_sign_codes: vector dim != query dim {dim}; got "),
+                F.size(vec_col).cast("string"),
+            )
+        ).cast("array<bigint>")
+    )
+    return df.select(id_col, bits.alias("_bits"))
 
 
 def binary_hamming_topk(
@@ -629,7 +641,12 @@ def binary_hamming_topk(
     )
     coarse = (
         codes.select(id_col, hd.alias("_hd"))
-        .orderBy(F.col("_hd").asc(), F.col(id_col))
+        # NULLS LAST explicitly (code-review r13): a NULL-embedding
+        # row has NULL codes ⇒ NULL hd, and Spark's ASC default is
+        # nulls FIRST — it would consume coarse_k slots and diverge
+        # from both the DuckDB oracle (nulls last) and the batch
+        # rung's negated-desc ordering (nulls last).
+        .orderBy(F.col("_hd").asc_nulls_last(), F.col(id_col))
         .limit(coarse_k)
     )
     # 100-row coarse side broadcast into the vector join-back: the

@@ -13,6 +13,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_ingest_utils_spark.operators.exprs import let_bind
+
 #: Stopword list used by quality scoring / language scoring demos.
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 
@@ -48,17 +50,13 @@ def shingles(text: Column, n: int = 3) -> Column:
     matters because ``sequence(1, 0)`` descends by default and would
     otherwise index ``element_at(t, 0)`` → runtime error.
 
-    The token array is LET-BOUND via a single-element-array transform
-    (``transform(array(tokens), t -> ...)``): higher-order lambdas run
-    interpreted (no whole-stage codegen), so an outer expression
-    referenced inside the lambda body is RE-EVALUATED per element —
-    with the naive capture, each of the n ``element_at(t, i+k)`` calls
-    re-ran the ``split`` per offset, making shingling O(tokens²) per
-    doc.  Binding ``t`` as a lambda variable makes every inner
-    reference a variable lookup.  Measured on the 50 k-doc sf1.0 bench
-    corpus (round 13): distinct-shingle-hash arrays 4.6 s → 0.6 s
-    (7.5×), byte-identical output including the <n-token, blank, and
-    multi-space edge cases.
+    The token array is LET-BOUND (:func:`~data_ingest_utils_spark.
+    operators.exprs.let_bind`): with the naive capture, each of the n
+    ``element_at(t, i+k)`` calls re-ran the ``split`` per offset,
+    making shingling O(tokens²) per doc.  Measured on the 50 k-doc
+    sf1.0 bench corpus (round 13): distinct-shingle-hash arrays
+    4.6 s → 0.6 s (7.5×), byte-identical output including the
+    <n-token, blank, and multi-space edge cases.
     """
 
     def _body(t: Column) -> Column:
@@ -73,7 +71,7 @@ def shingles(text: Column, n: int = 3) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    return F.element_at(F.transform(F.array(tokens(text)), _body), 1)
+    return let_bind(tokens(text), _body)
 
 
 def distinct_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:

@@ -217,8 +217,10 @@ def join_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs the join key's clustering.  ``salted_join_hotkeys``
     (salt_mod=32, salt hashed from l_partkey+l_linenumber —
     high-cardinality sources, so the hot key's rows spread across all
-    32 salts) salts ONLY the hot key: the dim replicates 32 hot rows,
-    not 32× the table, and cold keys take the untouched shuffled join.
+    32 salts) salts ONLY the hot key: the dim replicates 32 hot rows
+    (cold dim rows carry the one constant salt), and since the
+    round-13 single-scan rewrite the whole thing is ONE (key, salt)
+    equi-join over ONE fact scan — no hot/cold branch split or union.
     The per-salt bound is asserted in tests/test_invariants.py and the
     oracle is the UNSALTED remapped join, so the driver hash-match
     certifies salting is result-invariant (sums in exact integer

@@ -596,6 +596,13 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _fixture_cache_path(sf_dir, "events", "ssj_src") + "_p8"
     sink = f"ssj_out_{uuid.uuid4().hex[:12]}"
     if not (os.path.exists(f"{src}/_SUCCESS") and _cache_manifest_ok(src)):
+        # Build into a uuid-private dir and RENAME into place
+        # (code-review r13): writing/overwriting the shared path
+        # directly would delete it under a concurrent invocation's
+        # in-flight stream — the race the old per-run uuid staging
+        # existed to prevent.  rename is atomic; a concurrent builder
+        # losing the race just discards its build.
+        build = f"{src}.build_{uuid.uuid4().hex[:12]}"
         (
             load_table(spark, sf_dir, "events")
             .select(
@@ -613,9 +620,17 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # since a multi-batch split would watermark-drop older rows).
             .repartition(8)
             .write.mode("overwrite")
-            .parquet(src)
+            .parquet(build)
         )
-        _write_cache_manifest(src)
+        _write_cache_manifest(build)
+        import shutil
+
+        if os.path.exists(src):  # torn cache: replace it
+            shutil.rmtree(src, ignore_errors=True)
+        try:
+            os.rename(build, src)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # concurrent winner
     stream = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string"
     ).parquet(src)
@@ -828,6 +843,7 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to both the file-stream source and the batch read-backs.
     src = _fixture_cache_path(sf_dir, "events", "late_metrics_src") + "_b4"
     sink = f"late_metrics_out_{uuid.uuid4().hex[:12]}"
+    build = None
     try:
         if not (
             os.path.isdir(src)
@@ -835,8 +851,11 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             == [f"batch_{i:03d}.parquet" for i in range(4)]
             and _cache_manifest_ok(src)
         ):
-            shutil.rmtree(src, ignore_errors=True)
-            os.makedirs(src)
+            # Build into a uuid-private dir, then RENAME into place
+            # (code-review r13) — never rmtree/rewrite the shared path
+            # a concurrent invocation's stream may be draining.
+            build = f"{src}.build_{uuid.uuid4().hex[:12]}"
+            os.makedirs(build)
             ev = load_table(spark, sf_dir, "events").select(
                 "event_id",
                 F.col("ts").cast("timestamp").alias("ts"),
@@ -871,14 +890,20 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             base = time.time() - 1000
             for i, bdf in enumerate(batches):
-                tmp = f"{src}_stage{i}"
+                tmp = f"{build}_stage{i}"
                 bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
                 part = glob.glob(f"{tmp}/part-*.parquet")[0]
-                dst = f"{src}/batch_{i:03d}.parquet"
+                dst = f"{build}/batch_{i:03d}.parquet"
                 shutil.move(part, dst)
                 os.utime(dst, (base + i * 10, base + i * 10))
                 shutil.rmtree(tmp, ignore_errors=True)
-            _write_cache_manifest(src)
+            _write_cache_manifest(build)
+            if os.path.exists(src):  # torn cache: replace it
+                shutil.rmtree(src, ignore_errors=True)
+            try:
+                os.rename(build, src)
+            except OSError:
+                shutil.rmtree(build, ignore_errors=True)  # concurrent winner
         # 8 state stores for a 4-micro-batch drain whose windowed
         # state is tiny: at the batch default 32 the per-store
         # snapshot/commit fixed cost is paid 128 times (see
@@ -916,7 +941,11 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.catalog.dropTempView(sink)
         except Exception:
             pass  # sink view may not exist if the run failed early
-        for stale in glob.glob(f"{src}_stage*"):
-            shutil.rmtree(stale, ignore_errors=True)
+        # Clean only THIS run's build debris (a mid-crash build dir and
+        # its _stage tmps) — never glob a shared prefix, which would
+        # delete a concurrent builder's in-flight staging.
+        if build is not None:
+            for stale in glob.glob(f"{build}*"):
+                shutil.rmtree(stale, ignore_errors=True)
         # src persists — fingerprint-addressed staged-source cache
     return spark.createDataFrame(rows, "metric string, value long")

@@ -18,6 +18,7 @@ from data_ingest_utils_spark.operators import dedup as dd
 from data_ingest_utils_spark.operators import multimodal as mm
 from data_ingest_utils_spark.operators import similarity as sim
 from data_ingest_utils_spark.operators import text as tx
+from data_ingest_utils_spark.operators.exprs import let_bind
 from data_ingest_utils_spark.operators.relational import (
     ensure_parallelism,
     topk_per_group,
@@ -2887,11 +2888,10 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Empty-range guard (same hazard llm_doc_chunking documents): a
     # 0-token doc would make sequence(0, -1) DESCEND and emit phantom
     # negative segment indices; the oracle's range(0, 0) is empty.
-    # The token array is LET-BOUND (transform over a one-element
-    # array, same trick as text.shingles): interpreted HOF lambdas
-    # re-evaluate captured expression trees per element, so the naive
-    # capture re-ran the split once per SEGMENT — O(tokens²/10) per
-    # doc.  Byte-identical output.
+    # The token array is LET-BOUND (operators/exprs.py let_bind —
+    # interpreted HOF lambdas re-evaluate captured expression trees
+    # per element): the naive capture re-ran the split once per
+    # SEGMENT, O(tokens²/10) per doc.  Byte-identical output.
     def _seg_body(tk):
         ns = F.ceil(F.size(tk) / F.lit(10)).cast("long")
         return F.when(
@@ -2902,7 +2902,7 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    seg_arr = F.element_at(F.transform(F.array(t), _seg_body), 1)
+    seg_arr = let_bind(t, _seg_body)
     segs = d.select(
         "doc_id", F.posexplode(seg_arr).alias("i", "seg")
     )

@@ -429,15 +429,20 @@ def test_null_safe_join_is_hash_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_skew_stress_hot_branch_broadcasts(spark):
-    """join_skew_stress must keep its two-branch shape: the hot-key
-    branch joins the salt-replicated (|hot_keys| x salt_mod)-row dim
-    slice via BroadcastHashJoin (dozens of rows — broadcast is the
-    only sane build side), the cold branch stays a plain equi-join,
-    and no branch degenerates into a nested loop."""
+def test_skew_stress_single_scan_one_join(spark):
+    """join_skew_stress (round-13 single-scan shape): ONE equi-join on
+    (key, salt) — no hot/cold branch split, so no Union and exactly
+    one join in the plan — and it must stay a hash join, never a
+    nested loop.  The salt is an inline projection on both sides, so
+    the fact is scanned once."""
+    import re
+
     plan = _plan(spark, "join_skew_stress")
-    assert "Union" in plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Union" not in plan
+    # formatted explain repeats node names in the detail section —
+    # count join NODES via their "(N) NodeName" detail headers
+    joins = re.findall(r"^\(\d+\) (\w*Join\w*)$", plan, re.M)
+    assert len(joins) == 1, joins
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
