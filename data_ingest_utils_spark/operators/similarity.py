@@ -148,6 +148,15 @@ def cosine_to_query(df: DataFrame, vec_col: str, query: Sequence[float]) -> Colu
     )
 
 
+def dot_to_query(df: DataFrame, vec_col: str, query: Sequence[float]) -> Column:
+    """RAW inner product of each row's vector with a literal query —
+    the MIPS scoring rule (unnormalized embeddings: DPR retrievers,
+    recommender factor models), where magnitude is part of the score
+    and cosine's normalization would erase it."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return _dot(F.col(vec_col), q)
+
+
 def cosine_topk(
     df: DataFrame,
     query: Sequence[float],

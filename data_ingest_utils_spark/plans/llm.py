@@ -581,6 +581,41 @@ def llm_sim_binary_hamming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "llm_sim_mips",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_inner_product(e.embedding::DOUBLE[], q.qv), 4) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+      AND list_inner_product(e.embedding::DOUBLE[], q.qv) IS NOT NULL
+      AND NOT isnan(list_inner_product(e.embedding::DOUBLE[], q.qv))
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def llm_sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-5 (round 13) — retrieval by RAW dot
+    product, the scoring rule for unnormalized embeddings (DPR-style
+    retrievers, recommender factor models) where vector magnitude IS
+    part of the score and cosine's normalization would erase it.
+    Same scan → project → TakeOrderedAndProject shape as llm_sim_topk;
+    the classic norm-augmentation reduction (append
+    sqrt(M²−‖x‖²) so MIPS becomes cosine ANN) is how this rung rides
+    the binary/PQ coarse indexes at 100 TB — documented here, exact
+    scan demonstrated."""
+    q, _ = _query_vec(spark, sf_dir, 0)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    score = F.round(sim.dot_to_query(emb, "embedding", q), 4)
+    return (
+        emb.select("vec_id", score.alias("score"))
+        .filter(F.col("score").isNotNull() & ~F.isnan("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+@plan(
     "llm_sim_ivf",
     oracle="""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv, label AS ql
@@ -839,6 +874,57 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.length("text").cast("double") / F.nullif(re_tok, F.lit(0)), 6
         ).alias("chars_per_token"),
+    )
+
+
+@plan(
+    "llm_token_fertility",
+    oracle="""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS total_chars,
+           sum(len(regexp_extract_all(text, '[a-z0-9]+')))::BIGINT
+             AS total_re_tokens,
+           round(sum(length(text))::DOUBLE
+                 / nullif(sum(len(regexp_extract_all(text, '[a-z0-9]+'))), 0),
+                 6) AS chars_per_token,
+           round(sum(len(string_split(text, ' ')))::DOUBLE
+                 / nullif(sum(len(regexp_extract_all(text, '[a-z0-9]+'))), 0),
+                 6) AS ws_per_re_token
+    FROM documents GROUP BY lang
+    """,
+)
+def llm_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility report (round 13): corpus-level
+    chars-per-token and whitespace-vs-regex token ratios by language —
+    the table a pretraining budget is planned from (fertility drives
+    token cost per byte, and per-language drift flags tokenizer
+    mismatch).  ONE map-side-combinable hash agg over the corpus; the
+    per-doc token expressions are the same certified columns
+    llm_token_count emits."""
+    docs = load_table(spark, sf_dir, "documents")
+    re_tok = tx.regex_token_count(F.col("text"))
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(re_tok).alias("total_re_tokens"),
+        F.sum(tx.token_count(F.col("text"))).alias("_ws"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_re_tokens",
+        F.round(
+            F.col("total_chars").cast("double")
+            / F.nullif(F.col("total_re_tokens"), F.lit(0)),
+            6,
+        ).alias("chars_per_token"),
+        F.round(
+            F.col("_ws").cast("double")
+            / F.nullif(F.col("total_re_tokens"), F.lit(0)),
+            6,
+        ).alias("ws_per_re_token"),
     )
 
 
