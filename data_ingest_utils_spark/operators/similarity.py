@@ -542,15 +542,22 @@ def quantized_rerank_topk(
 def pack_sign_bits(vals: Sequence[float], words: int) -> list[int]:
     """Sign-bit binary quantization of one vector, driver-side: bit
     ``j`` of word ``w`` is set iff element ``w*64 + j`` is strictly
-    positive (missing / NULL / ≤0 elements leave the bit clear — the
-    same rule the in-plan encoder applies).  Words are two's-complement
+    positive (missing / NULL / NaN / ≤0 elements leave the bit clear —
+    the same rule the in-plan encoder applies; NaN is explicit on BOTH
+    sides because Python's ``nan > 0`` is False while Spark SQL orders
+    NaN above every number, ADVICE r13).  Words are two's-complement
     signed 64-bit, matching Spark LongType."""
     out = []
     for w in range(words):
         acc = 0
         for j in range(64):
             idx = w * 64 + j
-            if idx < len(vals) and vals[idx] is not None and vals[idx] > 0:
+            if (
+                idx < len(vals)
+                and vals[idx] is not None
+                and not math.isnan(vals[idx])
+                and vals[idx] > 0
+            ):
                 acc |= 1 << j
         if acc >= 1 << 63:
             acc -= 1 << 64  # wrap bit 63 into the sign bit
@@ -569,20 +576,27 @@ def binary_sign_codes(
     dims, a 32× compression of float32 and the coarse index of
     binary-quantization retrieval (the BQ rung popular in production
     vector stores; public formulation).  Bit ``j`` of word ``w`` set
-    iff ``vec[w*64 + j] > 0``; NULL or missing elements (``zip_with``
-    null-pads the trailing word) leave the bit clear, mirroring
-    :func:`pack_sign_bits`.
+    iff ``vec[w*64 + j]`` is strictly positive AND not NaN; NULL, NaN
+    or missing elements (``zip_with`` null-pads the trailing word)
+    leave the bit clear, mirroring :func:`pack_sign_bits` — the NaN
+    test is explicit because Spark SQL's ``>`` orders NaN above every
+    number while Python's does not (ADVICE r13).
 
     The packer is one SQL higher-order expression per word —
     ``shiftleft`` takes a column shift amount in SQL (the PySpark
-    wrapper only accepts int literals, hence ``F.expr``)."""
+    wrapper only accepts int literals, hence ``F.expr``); the column
+    identifier is backtick-quoted so names with spaces/dots/hyphens
+    parse like they do everywhere else in the Column-API module
+    (ADVICE r13)."""
     if dim <= 0:
         raise ValueError(f"binary_sign_codes: dim={dim} must be positive")
     words = (dim + 63) // 64
+    vq = "`" + vec_col.replace("`", "``") + "`"
     word_exprs = [
         F.expr(
-            f"aggregate(zip_with(slice({vec_col}, {w * 64 + 1}, 64), "
-            "sequence(0, 63), (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), "
+            f"aggregate(zip_with(slice({vq}, {w * 64 + 1}, 64), "
+            "sequence(0, 63), "
+            "(x, i) -> IF(NOT isnan(x) AND x > 0, shiftleft(1L, i), 0L)), "
             "0L, (a, b) -> a | b)"
         )
         for w in range(words)
@@ -635,6 +649,14 @@ def binary_hamming_topk(
     tests/test_invariants.py, same protocol as the int8 and PQ rungs.
     """
     q = [float(v) for v in query]
+    # Same bad-input contract as the batch twin (ADVICE r13): a
+    # zero-norm or empty query has no cosine ranking — fail loudly
+    # instead of silently returning 0 rows through the NULL-sim filter.
+    if not q or math.sqrt(sum(v * v for v in q)) == 0.0:
+        raise ValueError(
+            "binary_hamming_topk: empty or zero-norm query has no "
+            "cosine ranking"
+        )
     words = (len(q) + 63) // 64
     qbits = pack_sign_bits(q, words)
     qlit = F.array(*[F.lit(int(b)).cast("long") for b in qbits])
@@ -1727,7 +1749,23 @@ def semdedup(
     12 dp before the threshold compare — an unrounded-vs-12-dp flip
     needs a cosine within 5e-13 of the threshold, far beyond encoder
     noise; NaN-element vectors still poison nothing (non-finite
-    scores drop in the scorer, the pairwise_cosine NULL contract)."""
+    scores drop in the scorer, the pairwise_cosine NULL contract).
+
+    Fail-loud contracts (ADVICE r13, mirroring the binary/PQ dim
+    guards): a RAGGED-dimension vector now fails the whole plan at
+    ``np.stack`` inside the GEMM scorer — intentional; the pre-r13
+    zip_with path silently skipped such a vector via a NULL cosine,
+    which is exactly the silent-wrong-answer shape the dim guards
+    exist to prevent.  Likewise, passing ``centroids`` makes
+    ``iters`` irrelevant (no refit happens) but ``n_cells`` must
+    agree with ``len(centroids)`` — a mismatch raises instead of
+    being silently ignored."""
+    if centroids is not None and n_cells != len(centroids):
+        raise ValueError(
+            f"semdedup: n_cells={n_cells} inconsistent with "
+            f"len(centroids)={len(centroids)}; pass matching values "
+            "(or omit n_cells) when serving from a prefit model"
+        )
     if centroids is not None:
         assigned = kmeans_assign(
             df, centroids, vec_col=vec_col, id_col=id_col

@@ -578,6 +578,7 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_ingest_utils_spark.plans.scans import (
         _cache_manifest_ok,
+        _promote_cache_build,
         _write_cache_manifest,
     )
     from data_ingest_utils_spark.streaming.runner import run_available_now
@@ -623,14 +624,10 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(build)
         )
         _write_cache_manifest(build)
-        import shutil
-
-        if os.path.exists(src):  # torn cache: replace it
-            shutil.rmtree(src, ignore_errors=True)
-        try:
-            os.rename(build, src)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)  # concurrent winner
+        # Promotion re-checks src validity right before replacing
+        # (ADVICE r13: the torn check above is ~1 s stale after the
+        # build — a concurrent invocation may have promoted validly).
+        _promote_cache_build(build, src)
     stream = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long, event_type string"
     ).parquet(src)
@@ -829,6 +826,7 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingest_utils_spark.plans.llm import _fixture_cache_path
     from data_ingest_utils_spark.plans.scans import (
         _cache_manifest_ok,
+        _promote_cache_build,
         _write_cache_manifest,
     )
 
@@ -898,12 +896,10 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.utime(dst, (base + i * 10, base + i * 10))
                 shutil.rmtree(tmp, ignore_errors=True)
             _write_cache_manifest(build)
-            if os.path.exists(src):  # torn cache: replace it
-                shutil.rmtree(src, ignore_errors=True)
-            try:
-                os.rename(build, src)
-            except OSError:
-                shutil.rmtree(build, ignore_errors=True)  # concurrent winner
+            # Re-checks src validity right before replacing (ADVICE
+            # r13: the torn check above is stale after the 4-batch
+            # staging — a concurrent invocation may have promoted).
+            _promote_cache_build(build, src)
         # 8 state stores for a 4-micro-batch drain whose windowed
         # state is tiny: at the batch default 32 the per-store
         # snapshot/commit fixed cost is paid 128 times (see

@@ -273,6 +273,39 @@ def _cache_manifest_ok(path: str) -> bool:
     return recorded == _cache_part_inventory(path)
 
 
+def _promote_cache_build(build: str, src: str) -> None:
+    """Atomically promote a freshly-built cache directory into place.
+
+    Re-checks ``src`` validity IMMEDIATELY before replacing (ADVICE
+    r13): the caller's pre-build torn-cache check is ~1 s stale by the
+    time the Spark write finishes, so a concurrent invocation may have
+    validly promoted ``src`` in the meantime — rmtree-ing it here
+    would delete the cache under that invocation's in-flight stream,
+    exactly the race the rename-into-place protocol exists to prevent.
+    If ``src`` became valid, the local build is discarded (it is
+    byte-equivalent by construction).  A still-torn ``src`` is renamed
+    ASIDE first — an atomic move, never an in-place delete a reader
+    could be mid-scan on — and only the aside copy is removed."""
+    import shutil
+    import uuid
+
+    if os.path.exists(f"{src}/_SUCCESS") and _cache_manifest_ok(src):
+        shutil.rmtree(build, ignore_errors=True)  # concurrent winner
+        return
+    if os.path.exists(src):  # still torn: move aside, never delete in place
+        aside = f"{src}.torn_{uuid.uuid4().hex[:12]}"
+        try:
+            os.rename(src, aside)
+        except OSError:
+            pass  # a concurrent promoter already moved/replaced it
+        else:
+            shutil.rmtree(aside, ignore_errors=True)
+    try:
+        os.rename(build, src)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)  # concurrent winner
+
+
 @plan(
     "join_bucketed_pair",
     oracle=f"""
