@@ -32,12 +32,21 @@ re-certification slot — so the window is now DERIVED from the committed
    oracle-backed greens, OLDEST latest-green round first (registry
    order within a round), so every green key cycles back through the
    driver on a bounded cadence (~206 keys / 50 slots ≈ every 5
-   rounds).  Rows-only keys WITH a prior driver row are never pulled
-   forward: their driver signal (``no_oracle`` rows-executed) is
-   strictly weaker than the invariant tests that already cover them,
-   so an oracle key always outranks them for a slot — which also
-   satisfies the window-shape test (oracle keys precede rows-only
-   keys, never-graded exceptions aside).
+   rounds).  Rows-only keys WITH a prior driver row never outrank an
+   oracle key for a non-tail slot: their driver signal (``no_oracle``
+   rows-executed) is strictly weaker than the invariant tests that
+   already cover them.
+5. **Rows-only rotation tail** (round 14, VERDICT r13 #1) — the FINAL
+   window slot goes to the rows-only key whose latest driver row is
+   OLDEST (registry order on ties).  The sweeps execute every key
+   every round, so breakage is caught regardless — but a rows-only
+   key's driver row could previously age forever (``llm_dedup_near``
+   sat at r03 for ten rounds).  One tail slot bounds that age
+   (~12 rows-only keys / 1 slot ≈ every 12 rounds) while keeping
+   every oracle key ahead of it, so the window-shape ordering
+   (oracle keys first, weakest signal truncated first) still holds.
+   The slot only replaces a BACKFILL key — a window full of fronted
+   stale/new signal is never displaced.
 
 With no artifacts on disk (fresh checkout) the registry order is left
 untouched — the driver then just grades the first 50 keys, which is the
@@ -220,6 +229,20 @@ def derive_window(
         key=lambda k: ((history[k]["green_round"]), pos[k]),
     )
     window = (fronted + backfill)[:size]
+    # Rows-only rotation tail (round 14, VERDICT r13 #1): the final
+    # slot rotates the STALEST rows-only driver row back through the
+    # driver — only when that slot would otherwise re-certify a green
+    # (never displacing fronted stale/new signal).
+    rotation = sorted(
+        (
+            k for k in queries
+            if k not in oracles and k in history and k not in fronted
+        ),
+        key=lambda k: (history[k]["round"], pos[k]),
+    )
+    if rotation and len(window) == size and len(fronted) < size:
+        if rotation[0] not in window:
+            window[-1] = rotation[0]
     if len(window) < size:  # degenerate tiny registries (tests)
         window += [k for k in queries if k not in window][: size - len(window)]
     return window

@@ -139,38 +139,46 @@ def test_window_derivation_policy():
                       output_changed=[("c", 7)], size=5)
     # stale (b regressed, e never graded) in registry order, then the
     # declared output-changed c (green r6 < declared r7 -> fronts),
-    # then greens oldest-first (d r2, a r3).
-    assert w == ["b", "e", "c", "d", "a"]
-    # rows-only f HAS a driver row (r4) so it never takes a slot while
-    # oracle greens remain.
-    assert "f" not in w
+    # then greens oldest-first (d r2) — and the TAIL slot rotates the
+    # stalest rows-only driver row (f, r4) back through the driver
+    # (round-14 policy, VERDICT r13 #1), displacing the newest
+    # backfill green (a), never the fronted signal.
+    assert w == ["b", "e", "c", "d", "f"]
     # A rows-only key with NO driver row at all fronts once (round-13
     # policy): g has no history entry, so it lands right after the
     # stale oracle front and before the output-changed/backfill keys.
     queries_g = {**queries, "g": None}
     wg = derive_window(queries_g, oracles, history=history,
                        output_changed=[("c", 7)], size=5)
-    assert wg == ["b", "e", "g", "c", "d"]
-    # …and self-prunes: one driver row of any verdict removes it.
+    assert wg == ["b", "e", "g", "c", "f"]
+    # …and self-prunes: one driver row of any verdict removes it from
+    # the fronted class — after which it competes for the ROTATION
+    # tail, where the OLDEST driver row wins (f r4 beats g r7).
     hist_g = {**history,
               "g": {"round": 7, "hash_match": False, "green_round": None}}
     wg2 = derive_window(queries_g, oracles, history=hist_g,
                         output_changed=[("c", 7)], size=5)
     assert "g" not in wg2
+    assert wg2 == ["b", "e", "c", "d", "f"]
     # One window slot per key (code-review r13): a key declared
     # output-changed in two rounds, or stale AND output-changed, must
     # not occupy two slots.
     wd = derive_window(queries, oracles, history=history,
                        output_changed=[("c", 7), ("c", 8), ("b", 7)], size=5)
     assert len(wd) == len(set(wd)), wd
-    assert wd == ["b", "e", "c", "d", "a"]
+    assert wd == ["b", "e", "c", "d", "f"]
     # self-pruning: once c is hash-green AT/after its declaration
-    # round, the entry stops fronting and c rejoins the backfill (its
-    # r7 green is the newest, so it sorts last among the greens).
+    # round, the entry stops fronting and c rejoins the backfill
+    # (newest green, so it is the key the rotation tail displaces).
     history["c"] = {"round": 7, "hash_match": True, "green_round": 7}
     w2 = derive_window(queries, oracles, history=history,
                        output_changed=[("c", 7)], size=5)
-    assert w2 == ["b", "e", "d", "a", "c"]
+    assert w2 == ["b", "e", "d", "a", "f"]
+    # The rotation never displaces FRONTED signal: with the window
+    # entirely consumed by stale keys, no rows-only swap happens.
+    wf = derive_window(queries, oracles, history=history,
+                       output_changed=[("c", 7)], size=2)
+    assert wf == ["b", "e"]
 
 
 def test_window_output_changed_consumed():
