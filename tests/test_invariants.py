@@ -663,6 +663,44 @@ def test_binary_hamming_recall_monotone_in_coarse_k_at_scale(spark):
     assert recalls[-1] >= 4, recalls
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SCALE_SF1),
+    reason="scale dir absent — run tools/make_scale_data.py",
+)
+def test_banded_jaccard_planted_recall_at_scale(spark):
+    """Banded-dedup candidate recall AT SCALE (round 14, same evidence
+    pattern as the binary rung's sf1.0 certificate): 15 planted
+    one-token-edit near-dups unioned into the full 50 k-doc sf1.0
+    corpus must ALL survive the SimHash-band blocking + exact-Jaccard
+    verify — the fixture-scale planted test can't show that band
+    selectivity holds when every band bucket is ~100× fuller.  Every
+    planted pair must also carry its true exact Jaccard >= 0.5 (the
+    verify stage is exact, so recall is the only approximate part)."""
+    docs = spark.read.parquet(f"{SCALE_SF1}/documents.parquet")
+    bases = [
+        (int(r.doc_id), r.text)
+        for r in docs.orderBy("doc_id").limit(15).collect()
+    ]
+    planted = []
+    for i, (base_id, text) in enumerate(bases):
+        toks = text.split()
+        toks[len(toks) // 2] = "PLANTEDEDIT"
+        planted.append((1_000_000 + base_id, " ".join(toks)))
+    corpus = docs.select("doc_id", "text").union(
+        spark.createDataFrame(planted, "doc_id long, text string")
+    )
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_banded(corpus, n=3, threshold=0.5).collect()
+    }
+    missing = [
+        (base_id, 1_000_000 + base_id)
+        for base_id, _ in bases
+        if (base_id, 1_000_000 + base_id) not in found
+    ]
+    assert not missing, f"planted pairs lost at scale: {missing}"
+
+
 def test_pq_recall_at_least_int8_rerank(spark):
     """PQ retrieve-then-rerank (VERDICT r10 #6 done-criterion): its
     recall@5 vs exact brute force must be >= the int8 rerank's on the
