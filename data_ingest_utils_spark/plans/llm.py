@@ -2883,6 +2883,106 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "llm_mixture_weighted",
+    oracle="""
+    WITH wt(lang, w) AS (
+      VALUES ('en', 26214), ('zh', 13107), ('de', 9830),
+             ('fr', 9830), ('es', 6555)
+    ),
+    tok AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' '))::BIGINT AS tok
+      FROM documents
+    ),
+    tot AS (SELECT lang, sum(tok)::BIGINT AS t_tokens
+            FROM tok GROUP BY lang),
+    rt AS (
+      SELECT tot.lang, tot.t_tokens, wt.w,
+             min((tot.t_tokens * 65536) // wt.w) OVER () AS s_scaled
+      FROM tot JOIN wt USING (lang)
+    ),
+    kept AS (
+      SELECT tok.lang, tok.tok
+      FROM tok JOIN rt USING (lang)
+      WHERE ('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR)), 1, 4))::BIGINT
+            * rt.t_tokens < rt.w * rt.s_scaled
+    )
+    SELECT rt.lang, rt.w, rt.t_tokens,
+           count(tok) AS n_docs_kept,
+           coalesce(sum(tok), 0)::BIGINT AS n_tokens_kept
+    FROM rt LEFT JOIN kept ON rt.lang = kept.lang
+    GROUP BY rt.lang, rt.w, rt.t_tokens
+    """,
+)
+def llm_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture RESAMPLING — drawing a TARGET pretraining mix,
+    the step after :func:`llm_domain_mix`'s report (and the
+    target-share complement of :func:`llm_mixture_sample`'s
+    keep-every-k systematic thinning): given per-language target token
+    weights, downsample each language so the kept corpus hits the
+    target shares, with NO upsampling (the feasible total is
+    ``S = min_l(T_l / w_l)``, the classic downsample-to-mix rule used
+    by C4/Pile-style mixture builders; public technique).
+
+    Everything is INTEGER-exact so the oracle hash certifies at any
+    scale: weights are /65536 fractions (summing to exactly 65536),
+    the feasible scaled total ``s_scaled = min((T_l * 65536) div w_l)``
+    uses integer division on both engines, and a doc is kept iff
+    ``bucket16 * T_l < w_l * s_scaled`` where ``bucket16`` is the
+    first 16 bits of md5(doc_id) — the replay-stable keyed-hash draw
+    of sel_sample_hash, so the same docs are drawn on every run,
+    engine, and task retry.  16-bit buckets keep the cross-multiplied
+    compare inside int64 even at 100 TB (bucket < 2^16, T_l ≲ 2.5e13
+    tokens ⇒ products ≲ 1.6e18 < 2^63; ppm buckets would overflow).
+
+    Plan shape: pass 1 is a column-pruned map-side-combinable agg for
+    per-language token totals (5 rows); the rate frame (totals × the
+    literal weight table, min-over-5-rows window) stays in-plan — no
+    driver collect — and broadcast-joins back onto the corpus for the
+    map-side keep filter; pass 2 aggregates the kept rows.  Two corpus
+    scans total — the inherent stats-then-sample shape; at 100 TB the
+    stats pass reads two columns.  Returns per-language
+    ``(lang, w, t_tokens, n_docs_kept, n_tokens_kept)`` — the
+    mixture-audit table (kept token shares ≈ w/65536 by
+    construction).  LEFT join keeps a language row even if its rate
+    rounds to zero docs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.token_count(F.col("text")).cast("long").alias("tok")
+    )
+    weights = spark.createDataFrame(
+        [("en", 26214), ("zh", 13107), ("de", 9830), ("fr", 9830), ("es", 6555)],
+        "lang string, w int",
+    )
+    tot = docs.groupBy("lang").agg(F.sum("tok").alias("t_tokens"))
+    rt = (
+        tot.join(F.broadcast(weights), "lang")
+        .withColumn(
+            "s_scaled",
+            F.min(F.expr("(t_tokens * 65536) div w")).over(Window.partitionBy()),
+        )
+    )
+    bucket16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    kept = (
+        docs.join(F.broadcast(rt), "lang")
+        .filter(bucket16 * F.col("t_tokens") < F.col("w") * F.col("s_scaled"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("tok").alias("n_tokens_kept"),
+        )
+    )
+    return rt.join(F.broadcast(kept), "lang", "left").select(
+        "lang",
+        "w",
+        "t_tokens",
+        F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+        F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+    )
+
+
+@plan(
     "llm_prefix_dedup",
     oracle="""
     WITH f AS (
