@@ -92,15 +92,19 @@ HEAVY_SF1 = [
     # per-query vector shapes can't exercise.
     "llm_sim_binary_hamming_batch",
 ]
-# Median-of-3 by default (VERDICT r7 #1): the documented host
-# CPU-steal noise band (BASELINE.md:97-105, same-plan totals vary up
-# to ~3×) means a single sf1 run can land anywhere in that band — the
-# round-7 committed artifact caught llm_dedup_ngram_banded at 28.5 s
-# when the session's best was 15.8 s.  The committed ``queries_sf1``
-# numbers are per-query MEDIANS across reps (robust to one noisy rep
-# in either direction); per-query bests ride along as
-# ``queries_sf1_best`` so the warm floor stays visible.
-SF1_REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPS", "3")))
+# Median-of-5 by default (round 14; was median-of-3 since VERDICT r7
+# #1): the documented host CPU-steal noise band (BASELINE.md:97-105,
+# same-plan totals vary up to ~3×) means a single sf1 run can land
+# anywhere in that band — the round-7 committed artifact caught
+# llm_dedup_ngram_banded at 28.5 s when the session's best was 15.8 s.
+# Median-of-3 still let ONE noisy rep drag a committed median (r13's
+# join_skew_stress landed at 2.11 s inside an otherwise-accepted
+# window while SKEWAB_r14 measured its quiet floor at 1.2-1.6 s in
+# every ordering); a median-of-5 needs three bad reps, at the cost of
+# ~40 s more window per attempt.  The committed ``queries_sf1``
+# numbers are per-query MEDIANS across reps; per-query bests ride
+# along as ``queries_sf1_best`` so the warm floor stays visible.
+SF1_REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPS", "5")))
 
 # Best-of-6, taken as TWO back-to-back bursts of 3 reps per query
 # (burst 2 runs after every other query's burst 1).  Within a burst,
