@@ -649,13 +649,15 @@ def binary_hamming_topk(
     tests/test_invariants.py, same protocol as the int8 and PQ rungs.
     """
     q = [float(v) for v in query]
-    # Same bad-input contract as the batch twin (ADVICE r13): a
-    # zero-norm or empty query has no cosine ranking — fail loudly
-    # instead of silently returning 0 rows through the NULL-sim filter.
-    if not q or math.sqrt(sum(v * v for v in q)) == 0.0:
+    # Same bad-input contract as the batch twin (ADVICE r13): an
+    # empty, zero-norm or NaN-poisoned query has no cosine ranking —
+    # fail loudly instead of silently returning 0 rows through the
+    # NaN-sim filter.  `not norm > 0` (not `norm == 0`) so a NaN norm
+    # trips the guard too (code-review r14).
+    if not q or not math.sqrt(sum(v * v for v in q)) > 0:
         raise ValueError(
-            "binary_hamming_topk: empty or zero-norm query has no "
-            "cosine ranking"
+            "binary_hamming_topk: empty, zero-norm or NaN query has "
+            "no cosine ranking"
         )
     words = (len(q) + 63) // 64
     qbits = pack_sign_bits(q, words)
@@ -727,10 +729,12 @@ def binary_hamming_batch_topk(
             "binary_hamming_batch_topk: ragged query dims in one batch"
         )
     for qid, vec in qlist:
-        if math.sqrt(sum(v * v for v in vec)) == 0.0:
+        # `not norm > 0`, not `norm == 0`: a NaN element makes the
+        # norm NaN, which must trip the guard too (code-review r14).
+        if not math.sqrt(sum(v * v for v in vec)) > 0:
             raise ValueError(
-                f"binary_hamming_batch_topk: zero-norm query {qid} has no "
-                "cosine ranking"
+                f"binary_hamming_batch_topk: zero-norm or NaN query {qid} "
+                "has no cosine ranking"
             )
     words = (dim + 63) // 64
     spark = df.sparkSession
@@ -1719,7 +1723,7 @@ def ivf_topk_kmeans(
 def semdedup(
     df: DataFrame,
     threshold: float = 0.95,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -1757,10 +1761,17 @@ def semdedup(
     zip_with path silently skipped such a vector via a NULL cosine,
     which is exactly the silent-wrong-answer shape the dim guards
     exist to prevent.  Likewise, passing ``centroids`` makes
-    ``iters`` irrelevant (no refit happens) but ``n_cells`` must
-    agree with ``len(centroids)`` — a mismatch raises instead of
-    being silently ignored."""
-    if centroids is not None and n_cells != len(centroids):
+    ``iters`` irrelevant (no refit happens) and ``n_cells``, IF also
+    passed explicitly, must agree with ``len(centroids)`` — a
+    mismatch raises instead of being silently ignored (``n_cells``
+    defaults to None so an omitted value never conflicts with a
+    prefit model of any size, code-review r14; the fit path uses 8
+    when unset)."""
+    if (
+        centroids is not None
+        and n_cells is not None
+        and n_cells != len(centroids)
+    ):
         raise ValueError(
             f"semdedup: n_cells={n_cells} inconsistent with "
             f"len(centroids)={len(centroids)}; pass matching values "
@@ -1772,7 +1783,8 @@ def semdedup(
         ).select(id_col, "cell")
     else:
         assigned, _, _ = kmeans_fit_predict(
-            df, k=n_cells, iters=iters, vec_col=vec_col, id_col=id_col
+            df, k=8 if n_cells is None else n_cells, iters=iters,
+            vec_col=vec_col, id_col=id_col,
         )
     vecs = df.select(id_col, vec_col).join(assigned, id_col)
     dup_ids = (

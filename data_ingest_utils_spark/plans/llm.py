@@ -483,8 +483,10 @@ def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham AS (
       SELECT e.vec_id, e.embedding,
              len(list_filter(range(1, len(e.embedding) + 1),
-                 i -> coalesce(e.embedding[i] > 0, false)
-                      <> coalesce(q.qv[i] > 0, false))) AS hd
+                 i -> coalesce(NOT isnan(e.embedding[i])
+                               AND e.embedding[i] > 0, false)
+                      <> coalesce(NOT isnan(q.qv[i])
+                                  AND q.qv[i] > 0, false))) AS hd
       FROM embeddings e, q
       WHERE e.vec_id <> 0
     ),
@@ -508,7 +510,10 @@ def llm_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the ENTIRE two-stage pipeline: the sign
     DISAGREEMENT count per dimension equals the Hamming distance on
     the packed 64-bit words by construction (bit j of word w ==
-    vec[w*64+j] > 0 on both sides), the coarse cut is deterministic
+    "strictly positive and not NaN" for vec[w*64+j] on both sides —
+    the NaN clause spelled out in both engines since code-review r14,
+    because Spark's and DuckDB's ``>`` both order NaN above numbers
+    while the packer contract clears the bit), the coarse cut is deterministic
     (hd, vec_id), and the rerank mirrors llm_sim_topk's certified
     cosine arithmetic — so the hash match certifies the encode, the
     Hamming prune, and the rerank at ANY scale, not just the fixture.
@@ -528,8 +533,10 @@ def llm_sim_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ham AS (
       SELECT q.query_id, e.vec_id, e.embedding,
              len(list_filter(range(1, len(e.embedding) + 1),
-                 i -> coalesce(e.embedding[i] > 0, false)
-                      <> coalesce(q.qv[i] > 0, false))) AS hd
+                 i -> coalesce(NOT isnan(e.embedding[i])
+                               AND e.embedding[i] > 0, false)
+                      <> coalesce(NOT isnan(q.qv[i])
+                                  AND q.qv[i] > 0, false))) AS hd
       FROM embeddings e, q
       WHERE e.vec_id NOT IN (0, 1, 2)
     ), coarse AS (

@@ -285,11 +285,18 @@ def _promote_cache_build(build: str, src: str) -> None:
     If ``src`` became valid, the local build is discarded (it is
     byte-equivalent by construction).  A still-torn ``src`` is renamed
     ASIDE first — an atomic move, never an in-place delete a reader
-    could be mid-scan on — and only the aside copy is removed."""
+    could be mid-scan on — and only the aside copy is removed.
+
+    Validity = ``_cache_manifest_ok`` ALONE (code-review r14): the
+    manifest is written last by every builder, so a matching inventory
+    implies a complete build — and requiring ``_SUCCESS`` here would
+    mark the evt_late_data_metrics cache (staged batch files moved in
+    by hand, no Spark _SUCCESS at the top level) forever-torn and
+    delete a concurrent invocation's validly promoted copy."""
     import shutil
     import uuid
 
-    if os.path.exists(f"{src}/_SUCCESS") and _cache_manifest_ok(src):
+    if _cache_manifest_ok(src):
         shutil.rmtree(build, ignore_errors=True)  # concurrent winner
         return
     if os.path.exists(src):  # still torn: move aside, never delete in place

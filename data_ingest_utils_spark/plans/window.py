@@ -45,8 +45,12 @@ re-certification slot — so the window is now DERIVED from the committed
    (~12 rows-only keys / 1 slot ≈ every 12 rounds) while keeping
    every oracle key ahead of it, so the window-shape ordering
    (oracle keys first, weakest signal truncated first) still holds.
-   The slot only replaces a BACKFILL key — a window full of fronted
-   stale/new signal is never displaced.
+   The slot only replaces a BACKFILL key, and only when the window
+   holds at least TWO backfill greens — a window full of fronted
+   stale/new signal is never displaced, and the single-green case
+   keeps its slot (it is the OLDEST green, the key the backfill
+   cadence most owes a re-certification; displacing it every round
+   would recreate the indefinite-aging pathology for an oracle key).
 
 With no artifacts on disk (fresh checkout) the registry order is left
 untouched — the driver then just grades the first 50 keys, which is the
@@ -231,8 +235,12 @@ def derive_window(
     window = (fronted + backfill)[:size]
     # Rows-only rotation tail (round 14, VERDICT r13 #1): the final
     # slot rotates the STALEST rows-only driver row back through the
-    # driver — only when that slot would otherwise re-certify a green
-    # (never displacing fronted stale/new signal).
+    # driver — only when that slot would otherwise re-certify a green,
+    # never displacing fronted stale/new signal, and only when the
+    # window holds at least TWO backfill greens (code-review r14: with
+    # exactly one, window[-1] is the OLDEST green — the key most in
+    # need of re-certification — and a persistently full front would
+    # starve it indefinitely, the very pathology this tail fixes).
     rotation = sorted(
         (
             k for k in queries
@@ -240,7 +248,7 @@ def derive_window(
         ),
         key=lambda k: (history[k]["round"], pos[k]),
     )
-    if rotation and len(window) == size and len(fronted) < size:
+    if rotation and len(window) == size and size - len(fronted) >= 2:
         if rotation[0] not in window:
             window[-1] = rotation[0]
     if len(window) < size:  # degenerate tiny registries (tests)

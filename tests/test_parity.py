@@ -150,7 +150,10 @@ def test_window_derivation_policy():
     queries_g = {**queries, "g": None}
     wg = derive_window(queries_g, oracles, history=history,
                        output_changed=[("c", 7)], size=5)
-    assert wg == ["b", "e", "g", "c", "f"]
+    # Only ONE backfill green (d) fits after the 4-key front — the
+    # rotation tail stands down rather than displace the oldest green
+    # (code-review r14), so d keeps its slot and f waits.
+    assert wg == ["b", "e", "g", "c", "d"]
     # …and self-prunes: one driver row of any verdict removes it from
     # the fronted class — after which it competes for the ROTATION
     # tail, where the OLDEST driver row wins (f r4 beats g r7).

@@ -110,13 +110,19 @@ def main() -> int:
         "verdict": None,
     }
     med = {a: evidence[a]["median"] for a in evidence}
-    ratio = med["after_banded"] / max(1e-9, med["standalone"])
-    out["after_banded_vs_standalone"] = round(ratio, 3)
-    out["verdict"] = (
-        "ordering-interference"
-        if ratio >= 1.15 and med["after_light"] / max(1e-9, med["standalone"]) < 1.15
-        else "no-ordering-effect"
-    )
+    banded_ratio = med["after_banded"] / max(1e-9, med["standalone"])
+    light_ratio = med["after_light"] / max(1e-9, med["standalone"])
+    out["after_banded_vs_standalone"] = round(banded_ratio, 3)
+    out["after_light_vs_standalone"] = round(light_ratio, 3)
+    # Three outcomes (code-review r14): banded-specific interference,
+    # ANY-predecessor interference (both orderings elevated — a host
+    # or session effect, not the banded shape's doing), or none.
+    if banded_ratio >= 1.15 and light_ratio < 1.15:
+        out["verdict"] = "ordering-interference"
+    elif banded_ratio >= 1.15 and light_ratio >= 1.15:
+        out["verdict"] = "generic-predecessor-interference"
+    else:
+        out["verdict"] = "no-ordering-effect"
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
