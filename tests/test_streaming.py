@@ -945,3 +945,61 @@ def test_available_now_multi_file_source_drains_in_one_batch(spark, tmp_path):
     assert len(data_batches) == 1, [p.get("numInputRows") for p in progress]
     assert data_batches[0]["numInputRows"] == 80
     spark.catalog.dropTempView("multifile_onebatch")
+
+
+def test_promote_cache_build_three_states(tmp_path):
+    """_promote_cache_build (ADVICE r13 / code-review r14): the
+    just-before-replace validity re-check.  Three states of src when a
+    finished build promotes: (1) VALID — a concurrent invocation won;
+    the local build is discarded and src is left byte-untouched (no
+    delete under its in-flight reader); (2) TORN — src is moved aside
+    and the build renamed in; (3) ABSENT — the build renames straight
+    in.  Validity is the manifest alone: a dir staged without a
+    Spark _SUCCESS (the late-data-metrics layout) must count as
+    valid."""
+    import os
+
+    from data_ingest_utils_spark.plans.scans import (
+        _cache_manifest_ok,
+        _promote_cache_build,
+        _write_cache_manifest,
+    )
+
+    def make_dir(path, marker, manifest=True, success=False):
+        os.makedirs(path)
+        with open(f"{path}/part-000.parquet", "w") as f:
+            f.write(marker)
+        if success:
+            open(f"{path}/_SUCCESS", "w").close()
+        if manifest:
+            _write_cache_manifest(path)
+
+    # 1: src valid (manifest, NO _SUCCESS — the staged-batch layout)
+    src = str(tmp_path / "c1")
+    build = str(tmp_path / "c1.build_x")
+    make_dir(src, "winner", manifest=True, success=False)
+    make_dir(build, "loser!", manifest=True)
+    _promote_cache_build(build, src)
+    assert open(f"{src}/part-000.parquet").read() == "winner"
+    assert not os.path.exists(build)
+    assert _cache_manifest_ok(src)
+
+    # 2: src torn (data mutated after manifest write)
+    src = str(tmp_path / "c2")
+    build = str(tmp_path / "c2.build_x")
+    make_dir(src, "torn..", manifest=True)
+    with open(f"{src}/part-000.parquet", "a") as f:
+        f.write("EXTRA")  # inventory no longer matches the manifest
+    make_dir(build, "fresh!", manifest=True)
+    _promote_cache_build(build, src)
+    assert open(f"{src}/part-000.parquet").read() == "fresh!"
+    assert not os.path.exists(build)
+    assert _cache_manifest_ok(src)
+    assert not [p for p in os.listdir(tmp_path) if ".torn_" in p]
+
+    # 3: src absent
+    src = str(tmp_path / "c3")
+    build = str(tmp_path / "c3.build_x")
+    make_dir(build, "solo..", manifest=True)
+    _promote_cache_build(build, src)
+    assert open(f"{src}/part-000.parquet").read() == "solo.."
