@@ -15,8 +15,8 @@ the BASELINE.md Spark column.  When ``.scale/sf1.0`` exists (generated
 by tools/make_scale_data.py), the heaviest shapes (HEAVY_SF1 — 6 since
 round 7's join_skew_stress) also run at ~sf1.0 and land on the same
 line as ``queries_sf1``/``value_sf1``/``sf1`` — per-query MEDIAN of
-``SF1_REPEATS`` (default 3) timed passes, with per-query bests in
-``queries_sf1_best``.
+``SF1_REPEATS`` (default 5) timed passes taken as two key-major
+bursts (3+2), with per-query bests in ``queries_sf1_best``.
 
 Round 12 (VERDICT r11 #1): the whole measurement window is NOISE-GATED
 — each window carries the control/steal evidence bracket, a window
@@ -228,19 +228,33 @@ def _measure_once(spark, QUERIES, sf_dir: str, sf1_dir: str | None) -> dict:
     sf1 = None
     if sf1_dir:
         sf1_reps: dict[str, list[float]] = {k: [] for k in HEAVY_SF1}
-        for rep in range(SF1_REPEATS):
+        # Key-major bursts, same protocol as the headline section
+        # (round 14): the old rep-major interleave made EVERY rep of a
+        # shape run right after the other 8 shapes touched ~2 GB of
+        # other tables, so each visit paid a working-set re-warm that
+        # is not the shape's cost — measured on join_skew_stress:
+        # interleaved reps 1.9-2.5 s in three accepted windows, while
+        # back-to-back reps in the SAME session run 1.0-1.3 s and only
+        # the first rep after foreign work pays 1.9-2.1 s.  Two
+        # separated bursts (3+2 at the default 5 reps) keep the median
+        # robust to a drifting window without re-paying the eviction
+        # penalty 5× per shape.
+        first = (SF1_REPEATS + 1) // 2
+        for burst, nreps in enumerate((first, SF1_REPEATS - first)):
             for key in HEAVY_SF1:
-                t0 = time.perf_counter()
-                # noop sink: full distributed materialization without
-                # driver-side row transfer — several sf1 shapes return
-                # millions of rows, and .collect() would time Python
-                # pickling instead of the engine (measured: 4.6 s vs
-                # 0.6 s for join_range_banded's 1.5 M-row result).
-                QUERIES[key](spark, sf1_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                sf1_reps[key].append(time.perf_counter() - t0)
-            print(f"bench: sf1 rep {rep + 1}/{SF1_REPEATS} done", file=sys.stderr)
+                for _ in range(nreps):
+                    t0 = time.perf_counter()
+                    # noop sink: full distributed materialization
+                    # without driver-side row transfer — several sf1
+                    # shapes return millions of rows, and .collect()
+                    # would time Python pickling instead of the engine
+                    # (measured: 4.6 s vs 0.6 s for
+                    # join_range_banded's 1.5 M-row result).
+                    QUERIES[key](spark, sf1_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    sf1_reps[key].append(time.perf_counter() - t0)
+            print(f"bench: sf1 burst {burst + 1}/2 done", file=sys.stderr)
         sf1 = {
             "timings": {
                 k: round(statistics.median(sf1_reps[k]), 4) for k in HEAVY_SF1
