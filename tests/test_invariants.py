@@ -1804,3 +1804,44 @@ def test_embed_near_dup_gemm_null_semantics(spark):
     }
     for r in gemm:
         assert r.vec_a not in null_label_ids and r.vec_b not in null_label_ids
+
+
+def test_mixture_weighted_semantics(spark):
+    """llm_mixture_weighted's SEMANTIC contract (the parity hash pins
+    values; this pins the mixture MATH against future edits): the
+    binding language — argmin((T_l*65536) div w_l) — keeps every
+    token (rate saturates at 1, the no-upsampling rule), every other
+    language is strictly downsampled, achieved token shares track the
+    /65536 targets within hash-sampling variance, and the draw is
+    deterministic across invocations."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    rows = {
+        r.lang: r
+        for r in QUERIES["llm_mixture_weighted"](spark, SF_T2).collect()
+    }
+    assert set(rows) == {"en", "zh", "de", "fr", "es"}
+    s_scaled = min((r.t_tokens * 65536) // r.w for r in rows.values())
+    binding = min(rows.values(), key=lambda r: ((r.t_tokens * 65536) // r.w))
+    # binding language: w*S = w*floor(T*65536/w) > T*65536 - w, so at
+    # most ceil(w/T) of the 65536 buckets reject — rate ~1, and any
+    # formula breakage would drop retention to ~target share (<0.5).
+    # 0.95 absorbs the unlikely token-heavy doc in a rejected bucket.
+    assert binding.n_tokens_kept >= 0.95 * binding.t_tokens, binding
+    total_kept = sum(r.n_tokens_kept for r in rows.values())
+    for r in rows.values():
+        assert r.n_tokens_kept <= r.t_tokens
+        # achieved share within 35% relative of the /65536 target
+        # (md5-bucket draw over ~100 docs/lang at sf0.01 — binomial
+        # noise; the parity hash pins the exact values, this bound
+        # only has to catch a broken formula, which is off by 2x+)
+        target = r.w / 65536.0
+        achieved = r.n_tokens_kept / total_kept
+        assert abs(achieved - target) / target < 0.35, (r.lang, achieved, target)
+    again = {
+        r.lang: (r.n_docs_kept, r.n_tokens_kept)
+        for r in QUERIES["llm_mixture_weighted"](spark, SF_T2).collect()
+    }
+    assert again == {
+        lang: (r.n_docs_kept, r.n_tokens_kept) for lang, r in rows.items()
+    }
