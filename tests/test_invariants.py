@@ -667,6 +667,39 @@ def test_binary_hamming_recall_monotone_in_coarse_k_at_scale(spark):
     not __import__("os").path.isdir(SCALE_SF1),
     reason="scale dir absent — run tools/make_scale_data.py",
 )
+def test_int8_and_pq_recall_monotone_in_coarse_k_at_scale(spark):
+    """The OTHER two coarse rungs' quality at scale (round 14,
+    completing the ladder after the binary rung's certificate): int8
+    quantized-rerank and PQ-ADC rerank recall@5 vs exact brute force
+    over the 20 k-vector sf1.0 embeddings, swept over coarse_k ∈
+    {20, 100, 500} — non-decreasing (nested candidate prefixes, both
+    rungs break coarse ties by id) and >= 4/5 at coarse_k=500, so no
+    rung's fixture-scale recall certificate is a small-corpus
+    artifact."""
+    from data_ingest_utils_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SCALE_SF1}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).head().embedding)
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in sim.cosine_topk(rest, q, k=5).collect()}
+    books = sim.pq_fit_codebooks(rest, m=32, codebook_k=16, iters=2)
+    for rung, make in (
+        ("int8", lambda ck: sim.quantized_rerank_topk(rest, q, k=5, coarse_k=ck)),
+        ("pq", lambda ck: sim.pq_rerank_topk(
+            rest, q, k=5, coarse_k=ck, codebooks=books)),
+    ):
+        recalls = []
+        for coarse_k in (20, 100, 500):
+            got = {r.vec_id for r in make(coarse_k).collect()}
+            recalls.append(len(exact & got))
+        assert recalls == sorted(recalls), (rung, recalls)
+        assert recalls[-1] >= 4, (rung, recalls)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SCALE_SF1),
+    reason="scale dir absent — run tools/make_scale_data.py",
+)
 def test_banded_jaccard_planted_recall_at_scale(spark):
     """Banded-dedup candidate recall AT SCALE (round 14, same evidence
     pattern as the binary rung's sf1.0 certificate): 15 planted
