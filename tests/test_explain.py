@@ -582,3 +582,17 @@ def test_substring_dedup_single_window_no_join_back(spark):
     # count physical nodes via the "(N) Exchange" detail headers —
     # each node appears once in the tree AND once in the detail list
     assert plan.count(") Exchange") <= 3, plan
+
+
+def test_mixture_weighted_broadcast_rates_no_smj(spark):
+    """llm_mixture_weighted's plan (round 14): the 5-row rate frame
+    broadcast-joins onto the corpus for the keep filter and onto the
+    kept aggregate for the audit join — no SortMergeJoin anywhere (a
+    shuffle join against a 5-row side is the 100 TB cliff this key
+    must never regress into), and the stats pass reads only the three
+    columns it needs (column pruning at the scan)."""
+    plan = _plan(spark, "llm_mixture_weighted")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "text" in plan.split("ReadSchema", 1)[1][:400]  # tok source col
+    assert "n_chars" not in plan  # untouched corpus column stays pruned
