@@ -57,6 +57,14 @@ def simhash64(
     equality is the O(n) candidate-pair blocking key (Hamming-distance
     near-dups share a band with high probability).
 
+    The 64 separate agg buffers are the MEASURED winner (round 14):
+    packing 2 or 4 bit-counters per 64-bit sum (fewer buffer updates,
+    unpack + 2·count>n sign after the agg) ran ~2.6–3.2 s vs ~1.1 s
+    for this form on the 50 k-doc sf1.0 corpus — the per-row
+    shift/OR expression tree costs far more inside codegen than the
+    extra aggregation-buffer adds it saves, so don't revisit lane
+    packing without new evidence.
+
     ``unit`` picks the feature space: ``"token"`` (whitespace tokens —
     Hamming tracks vocabulary overlap) or ``"shingle"`` (word
     ``n``-grams — Hamming tracks the n-gram feature space itself).
