@@ -95,6 +95,61 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @plan(
+    "sink_zorder_cluster",
+    oracle=f"""
+    WITH b AS (
+      SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp FROM lineitem
+    )
+    SELECT count(*) AS n_rows,
+           {money_sum_sql('l_extendedprice', 2)} AS sum_price
+    FROM lineitem, b
+    WHERE l_orderkey * 4 <= b.mo AND l_partkey * 4 <= b.mp
+    """,
+)
+def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering round trip — the multi-dimensional layout
+    tool a 100 TB lakehouse compaction pass runs (OPTIMIZE ZORDER):
+    lineitem rewritten as 16 files clustered on the Morton curve of
+    (l_orderkey, l_partkey), then a two-sided box query over the
+    raw columns reads it back.  A 1-D sort can prune on one column
+    only; the z-layout bounds every file's min/max span on BOTH
+    columns to ~1/sqrt(n_files) of the domain, so parquet file and
+    row-group skipping serves predicates on either or both — the
+    footer-span property is asserted in tests/test_invariants.py and
+    the box filter's scan pushdown in tests/test_explain.py.  The
+    oracle runs the identical box aggregate on the source table, so
+    the hash certifies the rewrite moved every row and no row twice.
+    Box bounds derive from in-plan maxima (bottom quarter of each key
+    domain, ~1/16 of rows) — scale-free, no literals to re-tune per
+    sf dir; sums accumulate in exact integer micro-units
+    (plans/money.py)."""
+    from data_ingest_utils_spark.sources.writers import zorder_write
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    path = f"{SCRATCH}/zorder_lineitem_{table_fingerprint(sf_dir, 'lineitem')[:12]}"
+    zorder_write(li, path, "l_orderkey", "l_partkey", n_files=16)
+    back = spark.read.parquet(path)
+    bounds = F.broadcast(
+        back.agg(
+            F.max("l_orderkey").alias("_mo"), F.max("l_partkey").alias("_mp")
+        )
+    )
+    return (
+        back.crossJoin(bounds)
+        .filter(
+            (F.col("l_orderkey") * 4 <= F.col("_mo"))
+            & (F.col("l_partkey") * 4 <= F.col("_mp"))
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@plan(
     "scan_orc",
     oracle="SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
 )

@@ -596,3 +596,27 @@ def test_mixture_weighted_broadcast_rates_no_smj(spark):
     assert "BroadcastHashJoin" in plan
     assert "text" in plan.split("ReadSchema", 1)[1][:400]  # tok source col
     assert "n_chars" not in plan  # untouched corpus column stays pruned
+
+
+def test_zorder_box_filter_pushed_to_scan(spark):
+    """sink_zorder_cluster's box predicate must reach the parquet
+    reader of the z-ordered files as pushed filters on BOTH columns —
+    with the footer spans bounded (test_invariants), pushed min/max
+    filters are what turns the layout into skipped IO."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    df = QUERIES["sink_zorder_cluster"](spark, SF_T2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the 1-row bounds frame attaches by broadcast nested-loop — never
+    # a shuffle join or a real cartesian against the fact scan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the box filter's columns reach the z-ordered files' reader (the
+    # bounds are runtime values, so the static pushdown is the
+    # IsNotNull pair; min/max skipping uses the footer spans pinned in
+    # test_invariants)
+    assert "PushedFilters: [IsNotNull(l_orderkey), IsNotNull(l_partkey)]" in plan

@@ -1878,3 +1878,66 @@ def test_mixture_weighted_semantics(spark):
     assert again == {
         lang: (r.n_docs_kept, r.n_tokens_kept) for lang, r in rows.items()
     }
+
+
+def test_zorder_layout_bounds_both_column_spans(spark, tmp_path):
+    """zorder_write's layout contract: every output file's min/max
+    span is bounded on BOTH clustering columns (~1/sqrt(n_files) of
+    the domain + curve-crossing slop), which is what lets parquet
+    file/row-group skipping serve box predicates on either column —
+    while a 1-D range layout on l_orderkey leaves l_partkey spans at
+    ~the full domain.  Asserted from the real parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingest_utils_spark.sources.writers import zorder_write
+
+    li = spark.read.parquet(f"{SF_T2}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+
+    def spans(path):
+        rel = {"l_orderkey": [], "l_partkey": []}
+        glo = {c: [float("inf"), float("-inf")] for c in rel}
+        per_file = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fmin = {c: float("inf") for c in rel}
+            fmax = {c: float("-inf") for c in rel}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name in rel and col.statistics is not None:
+                        fmin[name] = min(fmin[name], col.statistics.min)
+                        fmax[name] = max(fmax[name], col.statistics.max)
+            per_file.append((fmin, fmax))
+            for c in rel:
+                glo[c][0] = min(glo[c][0], fmin[c])
+                glo[c][1] = max(glo[c][1], fmax[c])
+        for c in rel:
+            width = glo[c][1] - glo[c][0] + 1
+            rel[c] = [
+                (fmax[c] - fmin[c] + 1) / width for fmin, fmax in per_file
+            ]
+        return {c: sum(v) / len(v) for c, v in rel.items()}
+
+    zp = str(tmp_path / "z")
+    zorder_write(li, zp, "l_orderkey", "l_partkey", n_files=16)
+    z_spans = spans(zp)
+    # both dimensions bounded — the property no 1-D layout has
+    assert z_spans["l_orderkey"] < 0.6, z_spans
+    assert z_spans["l_partkey"] < 0.6, z_spans
+
+    op = str(tmp_path / "o")
+    (
+        li.repartitionByRange(16, F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(op)
+    )
+    o_spans = spans(op)
+    assert o_spans["l_orderkey"] < 0.2, o_spans  # 1-D sort: tight on its key
+    assert o_spans["l_partkey"] > 0.8, o_spans  # ...and blind on the other
