@@ -108,7 +108,12 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER clustering round trip — the multi-dimensional layout
-    tool a 100 TB lakehouse compaction pass runs (OPTIMIZE ZORDER):
+    tool a 100 TB lakehouse compaction pass runs (OPTIMIZE ZORDER).
+    Completes ``sort_zorder_layout`` (plans/sorts_sets.py), which
+    certifies the interleave EXPRESSION cell-for-cell but never
+    writes: this key quantizes full-range keys to 16 bits, actually
+    lands the 16-file layout on disk, and certifies what the layout
+    BUYS — footer-span bounds and a round-trip box query:
     lineitem rewritten as 16 files clustered on the Morton curve of
     (l_orderkey, l_partkey), then a two-sided box query over the
     raw columns reads it back.  A 1-D sort can prune on one column

@@ -238,7 +238,10 @@ def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     stock Spark.  The z-value is a pure integer expression (shifts/
     masks, whole-stage codegen); the range partitioner samples it, so
     there is no global sort.  The oracle checks the interleave math
-    cell-for-cell."""
+    cell-for-cell.  The WRITE half lives in ``sink_zorder_cluster``
+    (plans/scans.py, round 14): min/max-quantized 16-bit coordinates,
+    a real 16-file landing, parquet-footer span certificates, and a
+    round-trip box-query oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     with_z = li.select(
         "l_orderkey", "l_partkey", F.expr(_ZVAL_EXPR).cast("long").alias("zval")
