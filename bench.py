@@ -12,8 +12,8 @@ warm: one shared SparkSession, one un-timed warmup pass (JVM/codegen/
 file-listing warmup), then best-of-6 per query (two bursts of 3).
 ``value`` is the sum of per-query best times — comparable to summing
 the BASELINE.md Spark column.  When ``.scale/sf1.0`` exists (generated
-by tools/make_scale_data.py), the heaviest shapes (HEAVY_SF1 — 6 since
-round 7's join_skew_stress) also run at ~sf1.0 and land on the same
+by tools/make_scale_data.py), the heaviest shapes (HEAVY_SF1 — 9 since
+round 13's binary-batch ANN) also run at ~sf1.0 and land on the same
 line as ``queries_sf1``/``value_sf1``/``sf1`` — per-query MEDIAN of
 ``SF1_REPEATS`` (default 5) timed passes taken as two key-major
 bursts (3+2), with per-query bests in ``queries_sf1_best``.

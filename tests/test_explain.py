@@ -618,5 +618,9 @@ def test_zorder_box_filter_pushed_to_scan(spark):
     # the box filter's columns reach the z-ordered files' reader (the
     # bounds are runtime values, so the static pushdown is the
     # IsNotNull pair; min/max skipping uses the footer spans pinned in
-    # test_invariants)
-    assert "PushedFilters: [IsNotNull(l_orderkey), IsNotNull(l_partkey)]" in plan
+    # test_invariants).  Containment, not exact-list equality — filter
+    # order / extra pushed filters are Spark's business (same
+    # tolerance as test_filter_pushed_to_scan).
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "IsNotNull(l_orderkey)" in pushed, plan
+    assert "IsNotNull(l_partkey)" in pushed, plan

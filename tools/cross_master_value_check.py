@@ -35,26 +35,74 @@ import os
 import sys
 
 
+def _cell(v):
+    """Recursive canonical cell: floats keep full precision (repr) at
+    EVERY nesting depth — arrays/structs of doubles must be
+    delta-comparable, not opaque str() images (code-review r14)."""
+    if isinstance(v, float):
+        return ("f", repr(v))
+    if isinstance(v, (list, tuple)):  # includes nested Row (tuple sub)
+        return ("l", tuple(_cell(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("b", bytes(v).hex())
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((str(k), _cell(x)) for k, x in v.items())))
+    return ("o", str(v))
+
+
+def _sort_image(cell):
+    """Ordering key with floats ROUNDED to 6 significant digits, so a
+    last-ulp difference between masters cannot reorder the row sort
+    and misalign the positional delta compare (code-review r14); the
+    full-precision form still decides exactness."""
+    t, v = cell
+    if t == "f":
+        f = float(v)
+        return ("f", "nan" if math.isnan(f) else f"{f:.6g}")
+    if t == "l":
+        return ("l", tuple(_sort_image(x) for x in v))
+    if t == "m":
+        return ("m", tuple((k, _sort_image(x)) for k, x in v))
+    return cell
+
+
 def _canon(rows) -> list[tuple]:
-    """Canonical, hashable form of a collected result: rows sorted by
-    their string image (column order is schema order, stable across
-    masters)."""
-    out = []
-    for r in rows:
-        vals = []
-        for v in r:
-            if isinstance(v, float):
-                vals.append(("f", repr(v)))  # repr: full precision
-            elif isinstance(v, (list, tuple)):
-                vals.append(("l", str(v)))
-            elif isinstance(v, bytearray):
-                vals.append(("b", bytes(v).hex()))
-            elif isinstance(v, bytes):
-                vals.append(("b", v.hex()))
-            else:
-                vals.append(("o", str(v)))
-        out.append(tuple(vals))
-    return sorted(out)
+    """Canonical form of a collected result: full-precision rows,
+    sorted by their rounded sort image (column order is schema order,
+    stable across masters)."""
+    out = [tuple(_cell(v) for v in r) for r in rows]
+    return sorted(out, key=lambda row: tuple(_sort_image(c) for c in row))
+
+
+def _cell_delta(a, b) -> float | None:
+    """Max |Δ| between two canonical cells; None = non-numeric
+    divergence."""
+    (ta, va), (tb, vb) = a, b
+    if ta != tb:
+        return None
+    if a == b:
+        return 0.0
+    if ta == "f":
+        try:
+            d = abs(float(va) - float(vb))
+        except ValueError:
+            return None
+        return None if math.isnan(d) else d
+    if ta in ("l", "m"):
+        if len(va) != len(vb):
+            return None
+        worst = 0.0
+        for xa, xb in zip(va, vb):
+            if ta == "m":
+                if xa[0] != xb[0]:
+                    return None
+                xa, xb = xa[1], xb[1]
+            d = _cell_delta(xa, xb)
+            if d is None:
+                return None
+            worst = max(worst, d)
+        return worst
+    return None
 
 
 def _max_delta(a: list[tuple], b: list[tuple]) -> float | None:
@@ -66,19 +114,11 @@ def _max_delta(a: list[tuple], b: list[tuple]) -> float | None:
     for ra, rb in zip(a, b):
         if len(ra) != len(rb):
             return None
-        for (ta, va), (tb, vb) in zip(ra, rb):
-            if (ta, va) == (tb, vb):
-                continue
-            if ta == "f" and tb == "f":
-                try:
-                    d = abs(float(va) - float(vb))
-                except ValueError:
-                    return None
-                if math.isnan(d):
-                    return None
-                worst = max(worst, d)
-            else:
+        for ca, cb in zip(ra, rb):
+            d = _cell_delta(ca, cb)
+            if d is None:
                 return None
+            worst = max(worst, d)
     return worst
 
 
