@@ -2915,7 +2915,7 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             * rt.t_tokens < rt.w * rt.s_scaled
     )
     SELECT rt.lang, rt.w, rt.t_tokens,
-           count(tok) AS n_docs_kept,
+           count(kept.lang) AS n_docs_kept,
            coalesce(sum(tok), 0)::BIGINT AS n_tokens_kept
     FROM rt LEFT JOIN kept ON rt.lang = kept.lang
     GROUP BY rt.lang, rt.w, rt.t_tokens

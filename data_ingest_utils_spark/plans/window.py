@@ -134,6 +134,11 @@ OUTPUT_CHANGED: list[tuple[str, int]] = [
     ("scan_partition_prune", 13),
     ("sql_view_query", 13),
     ("sql_recursive_cte", 13),
+    # Round 15: ``sink_zorder_cluster`` — the returned aggregate
+    # gained full-table n_total / sum_price_total columns (ADVICE r14:
+    # the box-only oracle was blind to row loss/duplication outside
+    # the box), so the certified schema+values change ⇒ re-grade.
+    ("sink_zorder_cluster", 15),
     # Round 13 (cont.): ``llm_semdedup``'s output also changed (cells
     # now from the fingerprint-cached epoch centroids; 12-dp GEMM
     # scores) but it is NOT listed here: OUTPUT_CHANGED exists to

@@ -101,9 +101,25 @@ def zorder_write(
     )
 
     def quant(c, lo, hi):
-        span = (F.col(hi) - F.col(lo) + F.lit(1)).cast("double")
-        return F.floor(
-            (F.col(c) - F.col(lo)).cast("double") * F.lit(65536.0) / span
+        # Span formula branches on the clustering column's type
+        # (ADVICE r14: the unconditional ``hi - lo + 1`` is the
+        # integer-domain form — it makes the 65536 buckets uniform
+        # over the hi-lo+1 distinct integers with max landing in
+        # bucket 65535.  Applied to a float/double/decimal column the
+        # +1 skews every bucket boundary by 1/(hi-lo+1) of the
+        # domain).  Fractional columns use the true span hi-lo with
+        # the max value clamped into the top bucket, and a constant
+        # column (span 0) degenerates to bucket 0 instead of a
+        # divide-by-zero NaN→null z-value.
+        from pyspark.sql import types as T
+
+        scaled = (F.col(c) - F.col(lo)).cast("double") * F.lit(65536.0)
+        if isinstance(df.schema[c].dataType, T.IntegralType):
+            span = (F.col(hi) - F.col(lo) + F.lit(1)).cast("double")
+            return F.floor(scaled / span).cast("long")
+        span = (F.col(hi) - F.col(lo)).cast("double")
+        return F.when(span == F.lit(0.0), F.lit(0)).otherwise(
+            F.least(F.floor(scaled / span), F.lit(65535))
         ).cast("long")
 
     with_z = (

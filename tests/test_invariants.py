@@ -1948,3 +1948,60 @@ def test_zorder_layout_bounds_both_column_spans(spark, tmp_path):
     o_spans = spans(op)
     assert o_spans["l_orderkey"] < 0.2, o_spans  # 1-D sort: tight on its key
     assert o_spans["l_partkey"] > 0.8, o_spans  # ...and blind on the other
+
+
+def test_zorder_write_fractional_columns(spark, tmp_path):
+    """zorder_write on DOUBLE clustering columns (ADVICE r14: the
+    integer span formula hi-lo+1 skewed fractional bucket boundaries;
+    the quantizer now branches on column type).  Contracts: (a) every
+    row survives the rewrite — a NaN/null z from a bad span formula
+    would silently drop rows into a null range partition or crash the
+    interleave; (b) the layout still bounds BOTH columns' per-file
+    spans; (c) a constant fractional column (span 0) degenerates to
+    bucket 0 instead of divide-by-zero null z."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingest_utils_spark.sources.writers import zorder_write
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.hash(F.col("id").cast("string")) / 2147483648.0).alias("x"),
+        (F.hash((F.col("id") + 7).cast("string")) / 2147483648.0).alias("y"),
+        F.col("id"),
+    )
+    zp = str(tmp_path / "zf")
+    zorder_write(df, zp, "x", "y", n_files=16)
+    back = spark.read.parquet(zp)
+    assert back.count() == n
+    assert back.agg(F.sum("id")).head()[0] == n * (n - 1) // 2
+
+    per_file = []
+    for f in sorted(glob.glob(f"{zp}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        if md.num_row_groups == 0:
+            continue
+        lo = {"x": float("inf"), "y": float("inf")}
+        hi = {"x": float("-inf"), "y": float("-inf")}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                s = col.statistics
+                if col.path_in_schema in lo and s is not None and s.has_min_max:
+                    lo[col.path_in_schema] = min(lo[col.path_in_schema], s.min)
+                    hi[col.path_in_schema] = max(hi[col.path_in_schema], s.max)
+        per_file.append((lo, hi))
+    assert len(per_file) >= 8
+    for c in ("x", "y"):  # domain ≈ [-1, 1): true-span form, no +1 skew
+        mean_span = sum(h[c] - l[c] for l, h in per_file) / len(per_file) / 2.0
+        assert mean_span < 0.6, (c, mean_span)
+
+    # constant fractional column: span 0 must not null out the curve
+    cp = str(tmp_path / "zc")
+    const = spark.range(64).select(
+        F.lit(0.5).alias("x"), (F.col("id") / 64.0).alias("y"), "id"
+    )
+    zorder_write(const, cp, "x", "y", n_files=4)
+    assert spark.read.parquet(cp).count() == 64
