@@ -36,21 +36,24 @@ re-certification slot — so the window is now DERIVED from the committed
    oracle key for a non-tail slot: their driver signal (``no_oracle``
    rows-executed) is strictly weaker than the invariant tests that
    already cover them.
-5. **Rows-only rotation tail** (round 14, VERDICT r13 #1) — the FINAL
-   window slot goes to the rows-only key whose latest driver row is
-   OLDEST (registry order on ties).  The sweeps execute every key
-   every round, so breakage is caught regardless — but a rows-only
-   key's driver row could previously age forever (``llm_dedup_near``
-   sat at r03 for ten rounds).  One tail slot bounds that age
-   (~12 rows-only keys / 1 slot ≈ every 12 rounds) while keeping
-   every oracle key ahead of it, so the window-shape ordering
-   (oracle keys first, weakest signal truncated first) still holds.
-   The slot only replaces a BACKFILL key, and only when the window
-   holds at least TWO backfill greens — a window full of fronted
-   stale/new signal is never displaced, and the single-green case
-   keeps its slot (it is the OLDEST green, the key the backfill
-   cadence most owes a re-certification; displacing it every round
-   would recreate the indefinite-aging pathology for an oracle key).
+5. **Rows-only rotation tail** (round 14, VERDICT r13 #1; widened
+   round 15, VERDICT r14 #1) — the final UP-TO-THREE window slots go
+   to the rows-only keys whose latest driver rows are OLDEST
+   (registry order on ties).  The sweeps execute every key every
+   round, so breakage is caught regardless — but a rows-only key's
+   driver row could previously age forever (``llm_dedup_near`` sat
+   at r03 for ten rounds), and the single-slot r14 tail still left a
+   9-round backlog on the r05-aged cohort; three slots bound the
+   refresh cadence at ~4 rounds (12 rows-only keys / 3 slots) while
+   keeping every oracle key ahead of the tail, so the window-shape
+   ordering (oracle keys first, weakest signal truncated first)
+   still holds.  Tail slots only replace BACKFILL keys — newest
+   greens first, the keys least owed a re-certification — and always
+   leave at least ONE backfill green standing: a window full of
+   fronted stale/new signal is never displaced, and the OLDEST green
+   (the key the backfill cadence most owes a slot) keeps its place,
+   else a persistently full front would recreate the
+   indefinite-aging pathology for an oracle key.
 
 With no artifacts on disk (fresh checkout) the registry order is left
 untouched — the driver then just grades the first 50 keys, which is the
@@ -238,14 +241,20 @@ def derive_window(
         key=lambda k: ((history[k]["green_round"]), pos[k]),
     )
     window = (fronted + backfill)[:size]
-    # Rows-only rotation tail (round 14, VERDICT r13 #1): the final
-    # slot rotates the STALEST rows-only driver row back through the
-    # driver — only when that slot would otherwise re-certify a green,
-    # never displacing fronted stale/new signal, and only when the
-    # window holds at least TWO backfill greens (code-review r14: with
-    # exactly one, window[-1] is the OLDEST green — the key most in
-    # need of re-certification — and a persistently full front would
-    # starve it indefinitely, the very pathology this tail fixes).
+    # Rows-only rotation tail (round 14, VERDICT r13 #1; widened to
+    # up to THREE slots round 15, VERDICT r14 #1): the final window
+    # slots rotate the STALEST rows-only driver rows back through the
+    # driver — at one slot/round the 12-key rows-only class took ~12
+    # rounds per refresh, so the r05-aged cohort was a 9-round
+    # backlog; three slots bound the staleness at ~4 rounds.  Tail
+    # slots only ever replace BACKFILL greens, never fronted
+    # stale/new signal, and always leave at least ONE backfill green
+    # in place (code-review r14, generalized: the oldest green is the
+    # key the re-certification cadence most owes a slot — a
+    # persistently full front must not starve it, the very pathology
+    # this tail fixes for rows-only keys).  Stalest rotation key
+    # takes the earliest replaced slot; newest backfill greens (the
+    # keys least owed a re-certification) are the ones displaced.
     rotation = sorted(
         (
             k for k in queries
@@ -253,9 +262,11 @@ def derive_window(
         ),
         key=lambda k: (history[k]["round"], pos[k]),
     )
-    if rotation and len(window) == size and size - len(fronted) >= 2:
-        if rotation[0] not in window:
-            window[-1] = rotation[0]
+    rotation = [k for k in rotation if k not in window]
+    if rotation and len(window) == size:
+        n_tail = min(3, len(rotation), (size - len(fronted)) - 1)
+        for i in range(max(0, n_tail)):
+            window[size - n_tail + i] = rotation[i]
     if len(window) < size:  # degenerate tiny registries (tests)
         window += [k for k in queries if k not in window][: size - len(window)]
     return window

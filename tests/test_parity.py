@@ -184,6 +184,43 @@ def test_window_derivation_policy():
     assert wf == ["b", "e"]
 
 
+def test_window_rotation_tail_multi_slot():
+    """Round-15 policy (VERDICT r14 #1): the rotation tail holds up to
+    THREE rows-only keys — stalest driver row first — displacing the
+    NEWEST backfill greens, never the oldest green and never fronted
+    signal.  At one slot/round the 12-key rows-only class refreshed
+    every ~12 rounds; three slots bound it at ~4."""
+    from data_ingest_utils_spark.plans.window import derive_window
+
+    queries = {k: None for k in
+               ["g1", "g2", "g3", "g4", "g5", "r1", "r2", "r3", "r4"]}
+    oracles = {k: "sql" for k in ["g1", "g2", "g3", "g4", "g5"]}
+    history = {
+        "g1": {"round": 2, "hash_match": True, "green_round": 2},
+        "g2": {"round": 3, "hash_match": True, "green_round": 3},
+        "g3": {"round": 4, "hash_match": True, "green_round": 4},
+        "g4": {"round": 5, "hash_match": True, "green_round": 5},
+        "g5": {"round": 6, "hash_match": True, "green_round": 6},
+        "r1": {"round": 9, "hash_match": False, "green_round": None},
+        "r2": {"round": 7, "hash_match": False, "green_round": None},
+        "r3": {"round": 8, "hash_match": False, "green_round": None},
+        "r4": {"round": 6, "hash_match": False, "green_round": None},
+    }
+    # No fronted signal, 5 backfill greens, 4 rotation candidates:
+    # 3 tail slots (the cap), stalest first (r4 r6 < r2 r7 < r3 r8),
+    # displacing the newest greens (g3, g4, g5) — g1/g2 (oldest,
+    # most-owed re-certification) keep their slots.
+    w = derive_window(queries, oracles, history=history,
+                      output_changed=[], size=5)
+    assert w == ["g1", "g2", "r4", "r2", "r3"]
+    # The at-least-one-green floor binds before the cap: with only two
+    # backfill slots available, a single tail slot is granted.
+    w2 = derive_window(queries, oracles, history=history,
+                       output_changed=[("g1", 9), ("g2", 9), ("g3", 9)],
+                       size=5)
+    assert w2 == ["g1", "g2", "g3", "g4", "r4"]
+
+
 def test_window_output_changed_consumed():
     """Every OUTPUT_CHANGED key actually exists in the registry, and
     every NOT-yet-repruned entry (no hash-green at/after its declared
