@@ -1896,10 +1896,10 @@ def test_zorder_layout_bounds_both_column_spans(spark, tmp_path):
         "l_orderkey", "l_partkey", "l_extendedprice"
     )
 
-    def spans(path):
+    def spans(path, per_file_out=None):
         rel = {"l_orderkey": [], "l_partkey": []}
         glo = {c: [float("inf"), float("-inf")] for c in rel}
-        per_file = []
+        per_file = per_file_out if per_file_out is not None else []
         for f in sorted(glob.glob(f"{path}/part-*.parquet")):
             md = pq.ParquetFile(f).metadata
             if md.num_row_groups == 0:
@@ -1933,7 +1933,8 @@ def test_zorder_layout_bounds_both_column_spans(spark, tmp_path):
 
     zp = str(tmp_path / "z")
     zorder_write(li, zp, "l_orderkey", "l_partkey", n_files=16)
-    z_spans = spans(zp)
+    z_files = []
+    z_spans = spans(zp, z_files)
     # both dimensions bounded — the property no 1-D layout has
     assert z_spans["l_orderkey"] < 0.6, z_spans
     assert z_spans["l_partkey"] < 0.6, z_spans
@@ -1945,9 +1946,26 @@ def test_zorder_layout_bounds_both_column_spans(spark, tmp_path):
         .write.mode("overwrite")
         .parquet(op)
     )
-    o_spans = spans(op)
+    o_files = []
+    o_spans = spans(op, o_files)
     assert o_spans["l_orderkey"] < 0.2, o_spans  # 1-D sort: tight on its key
     assert o_spans["l_partkey"] > 0.8, o_spans  # ...and blind on the other
+
+    # Skip-count invariant (round 15, VERDICT r14 #3): pin the READ
+    # benefit the spans imply, with the same min/max overlap test the
+    # parquet reader runs.  For a bottom-quarter predicate on the
+    # NON-sort column, the z-layout must let the reader skip at least
+    # 1/4 of its files while the 1-D layout can skip none; measured
+    # decode volumes at sf1.0 are in ZORDER_AB_r15.json / BASELINE.md
+    # (z decodes 32% of rows vs 100% for the 1-D twin on this shape).
+    pk_max = max(h["l_partkey"] for _, h in o_files)
+    cut = pk_max // 4
+
+    def files_skipped(per_file):
+        return sum(1 for lo, _hi in per_file if lo["l_partkey"] > cut)
+
+    assert files_skipped(z_files) >= 4, [l["l_partkey"] for l, _ in z_files]
+    assert files_skipped(o_files) == 0, [l["l_partkey"] for l, _ in o_files]
 
 
 def test_zorder_write_fractional_columns(spark, tmp_path):
