@@ -1,11 +1,17 @@
-"""JDBC ingestion (documented surface — no RDBMS/driver jar in sandbox).
+"""JDBC ingestion (jar-gated surface — executed for real since r15).
 
 SURVEY.md §2a ``scan_jdbc``: the classic ingestion-utility path
 (RDBMS → data-lake table).  Not declared in ``queries()`` because the
-sandbox has no database or JDBC driver jar; ``read_jdbc`` below is the
-real production shape.  The range-partition PLANNING, however, is
-factored into :func:`range_partition_predicates` and executed for
-real by the sqlite3-backed Python data source
+driver jar is an environment artifact and registry keys must run in
+every environment the sweeps/driver use — but :func:`read_jdbc` is
+EXECUTED end-to-end by tools/jdbc_real_probe.py and the gated
+tests/test_jdbc_real.py whenever a public ``duckdb_jdbc`` driver jar
+is discoverable in the local artifact caches (it is, as of round 15):
+a real database file pulled over 4 parallel executor-side JDBC
+connections, verified against the parquet fixture (JDBC_r15.json).
+The range-partition PLANNING is additionally factored into
+:func:`range_partition_predicates` and oracle-checked EVERY round by
+the sqlite3-backed Python data source
 (sources/pydatasource.SqlPartitionedDataSource, registry key
 ``scan_sqlite_partitioned``) — the same per-partition WHERE clauses
 Spark's JDBC relation generates, driving live SQL pulls on executors.
