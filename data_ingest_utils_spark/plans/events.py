@@ -945,3 +945,108 @@ def evt_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(stale, ignore_errors=True)
         # src persists — fingerprint-addressed staged-source cache
     return spark.createDataFrame(rows, "metric string, value long")
+
+
+@plan(
+    "evt_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS first_view
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, CASE WHEN event_type = 'click' AND ts > first_view
+                     THEN ts END AS qual_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(qual_click)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS first_click
+      FROM s2
+    ),
+    u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+             max(CASE WHEN qual_click IS NOT NULL THEN 1 ELSE 0 END) AS hc,
+             max(CASE WHEN event_type = 'purchase' AND ts > first_click
+                      THEN 1 ELSE 0 END) AS hp
+      FROM s3 GROUP BY user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 'view' AS stage, sum(hv)::BIGINT AS n_users FROM u
+      UNION ALL SELECT 'click', sum(hc)::BIGINT FROM u
+      UNION ALL SELECT 'purchase', sum(hp)::BIGINT FROM u
+    )
+    """,
+)
+def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED-SEQUENCE funnel (round 15) — the MATCH_RECOGNIZE-class
+    analytic every product pipeline runs: how many users did
+    view → click → purchase IN THAT EVENT-TIME ORDER (a click counts
+    only strictly after the user's first view, a purchase only
+    strictly after the first qualifying click).  Plain per-type
+    counts can't express this — order is the semantics.
+
+    Spark-first shape: ONE shuffle total.  Two running-min window
+    passes over the same (user_id, ts) spec — ``first_view`` =
+    earliest view seen so far, then ``first_click`` = earliest
+    qualifying click seen so far — flag each row's funnel
+    eligibility sequentially; the same sort serves both windows (no
+    second exchange), the per-user rollup is a map-side-combinable
+    hash agg, and the 3-row stage table falls out of one ``stack``.
+    At 100 TB this is a single repartition-by-user + sort, linear in
+    events, with no self-join (the textbook funnel-by-join pays one
+    shuffled self-join PER STAGE).
+
+    Tie-robust across engines by construction: both steps use STRICT
+    ``>``, so a step at the same timestamp as its prerequisite is
+    excluded under either tie order the engines' sorts pick — the
+    running min either already includes the tied prerequisite (equal,
+    fails ``>``) or not yet (NULL, fails ``>``)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        ev.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "qual_click",
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            ),
+        )
+        .withColumn("first_click", F.min("qual_click").over(w))
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("hv"),
+        F.max(F.col("qual_click").isNotNull().cast("int")).alias("hc"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_click"))
+            ).cast("int")
+        ).alias("hp"),
+    )
+    totals = per_user.agg(
+        F.sum("hv").alias("v"), F.sum("hc").alias("c"), F.sum("hp").alias("p")
+    )
+    return totals.select(
+        F.expr(
+            "stack(3, 'view', v, 'click', c, 'purchase', p) AS (stage, n_users)"
+        )
+    )

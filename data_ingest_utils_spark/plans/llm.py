@@ -3293,3 +3293,65 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.cast("long").alias("n_dup_shingles"),
         F.round(dup.cast("double") / F.sum("cnt"), 6).alias("dup_ratio"),
     )
+
+
+@plan(
+    "llm_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      FROM wf, LATERAL (SELECT unnest(range(1, length(w))) AS i) _l
+    )
+    SELECT pair, sum(freq)::BIGINT AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE MERGE-CANDIDATE counting (round 15) — the first iteration
+    of byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+    public technique): count every adjacent symbol pair across the
+    corpus and rank the merge candidates.
+
+    The 100 TB formulation is the one real BPE trainers use: collapse
+    the corpus to a WORD-FREQUENCY table first (one map-side
+    combinable hash agg over exploded words), then enumerate each
+    DISTINCT word's adjacent character pairs exactly once, weighted
+    by the word's corpus frequency.  Pair enumeration cost is then
+    bounded by vocabulary size (sub-linear in corpus growth — a 100×
+    corpus adds few new words), not by corpus tokens; the pair agg is
+    again map-side combinable, and only top-20 rows reach the driver
+    via TakeOrdered.  Pair extraction is one in-plan HOF
+    (``transform(sequence(...), i -> substring(w, i, 2))`` — the
+    bound loop variable is a cheap reference, not a re-evaluated
+    tree), guarded for 1-char words because Spark's ``sequence(1, 0)``
+    counts DOWN where DuckDB's ``range(1, 1)`` is empty.  Both
+    engines extract pairs by codepoint, so the oracle hash certifies
+    the full pipeline at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    pairs = wf.select(
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )

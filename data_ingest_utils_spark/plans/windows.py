@@ -283,3 +283,53 @@ def win_session_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("new_session").over(w).alias("session_id"),
     )
+
+
+@plan(
+    "win_gap_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    i AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS grp
+      FROM d
+    ),
+    s AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2)
+    SELECT len, count(*) AS n_streaks FROM s GROUP BY len ORDER BY len
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS (round 15) — consecutive-run detection, the
+    named classic behind activity streaks, sensor-uptime segments,
+    and inventory coverage windows: group each user's DISTINCT
+    activity days into maximal runs of consecutive dates via the
+    date-minus-row_number trick (consecutive days share a constant
+    ``d − rn``), then roll the per-user streak lengths into a
+    corpus-wide streak-length histogram.
+
+    100 TB shape: the distinct collapses raw events to user-days
+    (map-side combinable), the window shuffles ONCE on user_id (AQE
+    coalesces the distinct's hash exchange into it at runtime since
+    the keys are compatible), the island agg reuses the window's
+    partitioning, and only the tiny histogram hits the final
+    single-partition agg.  Every ordering is unique by construction
+    (distinct days within a user) so both engines' row_numbers agree
+    deterministically."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = d.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("len")
+        .agg(F.count("*").alias("n_streaks"))
+        .orderBy("len")
+    )

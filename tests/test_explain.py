@@ -624,3 +624,46 @@ def test_zorder_box_filter_pushed_to_scan(spark):
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "IsNotNull(l_orderkey)" in pushed, plan
     assert "IsNotNull(l_partkey)" in pushed, plan
+
+
+def test_zorder_pruned_read_literal_pushdown(spark):
+    """scan_zorder_pruned (round 15): the read-path grade derives its
+    bound as a LITERAL, so the non-sort-column predicate must push as
+    a real comparison filter — LessThanOrEqual(l_partkey, …) — into
+    the z-ordered files' parquet reader, where the bounded footer
+    spans (test_invariants) turn it into skipped row groups.  No join
+    of any kind: the graded plan is scan → filter → agg."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    df = QUERIES["scan_zorder_pruned"](spark, SF_T2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "LessThanOrEqual(l_partkey" in pushed, plan
+    for node in ("Join", "CartesianProduct", "Exchange hashpartitioning"):
+        assert node not in plan, plan
+
+
+def test_funnel_single_shuffle_no_self_join(spark):
+    """evt_funnel_steps: the ordered-sequence funnel must run as ONE
+    user-keyed shuffle — two Window passes sharing the same sort, a
+    per-user hash agg that REUSES the window's partitioning (no
+    exchange between them), and the trivial single-partition rollup.
+    The textbook funnel-by-self-join (one shuffled join per stage)
+    must not appear."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    df = QUERIES["evt_funnel_steps"](spark, SF_T2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plan.count("- Window (") == 2, plan  # tree nodes, not detail text
+    # events scan pruned to the three funnel columns
+    read = plan.split("ReadSchema", 1)[1][:200]
+    assert "user_id" in read and "event_type" in read, plan
+    assert "props" not in read and "value" not in read, plan
