@@ -12,8 +12,8 @@ warm: one shared SparkSession, one un-timed warmup pass (JVM/codegen/
 file-listing warmup), then best-of-6 per query (two bursts of 3).
 ``value`` is the sum of per-query best times — comparable to summing
 the BASELINE.md Spark column.  When ``.scale/sf1.0`` exists (generated
-by tools/make_scale_data.py), the heaviest shapes (HEAVY_SF1 — 9 since
-round 13's binary-batch ANN) also run at ~sf1.0 and land on the same
+by tools/make_scale_data.py), the heaviest shapes (HEAVY_SF1 — 10 since
+round 15's ordered funnel) also run at ~sf1.0 and land on the same
 line as ``queries_sf1``/``value_sf1``/``sf1`` — per-query MEDIAN of
 ``SF1_REPEATS`` (default 5) timed passes taken as two key-major
 bursts (3+2), with per-query bests in ``queries_sf1_best``.
@@ -91,6 +91,11 @@ HEAVY_SF1 = [
     # rerank on Q×100 rows).  The batch-retrieval read path the
     # per-query vector shapes can't exercise.
     "llm_sim_binary_hamming_batch",
+    # ordered-sequence shape (round 15): the strictly-ordered funnel
+    # (view → click → purchase) — two running-min windows sharing one
+    # user-keyed sort, the sequential-state class no plain agg/join
+    # shape exercises.  Baseline 0.77 s warm noop (BASELINE.md r15).
+    "evt_funnel_steps",
 ]
 # Median-of-5 by default (round 14; was median-of-3 since VERDICT r7
 # #1): the documented host CPU-steal noise band (BASELINE.md:97-105,
