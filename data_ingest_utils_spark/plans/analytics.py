@@ -479,63 +479,3 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_extendedprice"), 6).alias("skew"),
         F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt"),
     )
-
-
-@plan(
-    "evt_retention_cohorts",
-    oracle="""
-    WITH d AS (
-      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-    ),
-    f AS (SELECT user_id, min(d) AS d0 FROM d GROUP BY user_id),
-    wk AS (
-      SELECT d.user_id,
-             CAST((f.d0 - DATE '1970-01-05') // 7 AS BIGINT)
-               AS cohort_week,
-             CAST(((d.d - DATE '1970-01-05') // 7)
-                  - ((f.d0 - DATE '1970-01-05') // 7) AS BIGINT) AS week_n
-      FROM d JOIN f ON d.user_id = f.user_id
-    )
-    SELECT cohort_week, week_n, count(DISTINCT user_id) AS n_active
-    FROM wk GROUP BY cohort_week, week_n
-    ORDER BY cohort_week, week_n
-    """,
-)
-def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COHORT RETENTION matrix (round 15) — the growth-analytics
-    staple: users grouped by first-activity week, then per
-    (cohort_week, weeks_since_cohort) the count of users still
-    active.  Week arithmetic is INTEGER-EXACT on both engines —
-    cohort_week is the integer week index
-    floor(days_since_epoch_monday / 7) against the fixed Monday
-    1970-01-05 (its date is epoch_monday + 7·cohort_week) —
-    deliberately avoiding date_trunc('week'), whose week-start
-    convention is an engine/locale asymmetry the hash would
-    inherit, and date-typed output columns, whose dtype families
-    differ across the compare harness.
-
-    100 TB shape: ONE scan — raw events collapse to distinct
-    user-days (map-side combinable), first-activity is an unbounded
-    per-user window MIN over that same frame (not the textbook
-    self-join back to a first-activity table, which pays a second
-    scan plus a join exchange), and the final (cohort, week)
-    distinct-count agg emits only |cohorts| × |weeks| rows."""
-    epoch_monday = F.lit("1970-01-05").cast("date")
-    d = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", F.to_date("ts").alias("d"))
-        .distinct()
-    )
-    d0 = F.min("d").over(Window.partitionBy("user_id"))
-    wk_d = F.floor(F.datediff(F.col("d"), epoch_monday) / 7)
-    wk_d0 = F.floor(F.datediff(d0, epoch_monday) / 7)
-    wk = d.select(
-        "user_id",
-        wk_d0.cast("long").alias("cohort_week"),
-        (wk_d - wk_d0).cast("long").alias("week_n"),
-    )
-    return (
-        wk.groupBy("cohort_week", "week_n")
-        .agg(F.countDistinct("user_id").alias("n_active"))
-        .orderBy("cohort_week", "week_n")
-    )

@@ -989,7 +989,12 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     view → click → purchase IN THAT EVENT-TIME ORDER (a click counts
     only strictly after the user's first view, a purchase only
     strictly after the first qualifying click).  Plain per-type
-    counts can't express this — order is the semantics.
+    counts can't express this — order is the semantics.  Completes
+    the sequence-analytics trio: :func:`evt_funnel_conversion` is the
+    TIME-BOUNDED two-step ("B within 30 min of A"),
+    :func:`evt_sequence_pattern` the arbitrary-regex CEP matcher;
+    this key is the multi-STAGE funnel triangle (per-stage user
+    counts), the report marketing/product funnels are read from.
 
     Spark-first shape: ONE shuffle total.  Two running-min window
     passes over the same (user_id, ts) spec — ``first_view`` =

@@ -308,7 +308,11 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity days into maximal runs of consecutive dates via the
     date-minus-row_number trick (consecutive days share a constant
     ``d − rn``), then roll the per-user streak lengths into a
-    corpus-wide streak-length histogram.
+    corpus-wide streak-length histogram.  The calendar-grid sibling
+    of :func:`win_session_id`'s gap-threshold sessionization: session
+    ids segment a CONTINUOUS timeline by inactivity gaps, islands
+    segment a DISCRETE grid by missing cells — the row_number
+    constant-group trick has no session_window equivalent.
 
     100 TB shape: the distinct collapses raw events to user-days
     (map-side combinable), the window shuffles ONCE on user_id (AQE
