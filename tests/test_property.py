@@ -459,3 +459,149 @@ def test_prop_wav_roundtrip(samples, rate):
     n, got_rate, s = mm.parse_wav(buf.getvalue())
     assert (n, got_rate) == (len(samples), rate)
     assert s.tolist() == samples
+
+
+FUNNEL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user_id — few users, dense
+        st.integers(0, 6),                      # ts — SMALL domain: ties on purpose
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=FUNNEL_EVENTS)
+def test_prop_funnel_order_semantics_tie_robust(spark, rows):
+    """evt_funnel_steps' sequencing core vs the identical DuckDB SQL on
+    RANDOM event sets with deliberate timestamp TIES (ts domain 0-6,
+    up to 30 events over 4 users).  The strict-> construction claims
+    engine-order independence under ties: the running min either
+    already includes a tied prerequisite (equal ts fails >) or not yet
+    (NULL fails >) — either tie order, same outcome.  Hypothesis hunts
+    the counterexample; a single divergent frame shrinks to minimal."""
+    from pyspark.sql import Window
+
+    sdf = spark.createDataFrame(
+        [(int(u), int(t), e) for u, t, e in rows],
+        "user_id long, ts long, event_type string",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        sdf.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "qual_click",
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            ),
+        )
+        .withColumn("first_click", F.min("qual_click").over(w))
+    )
+    got = (
+        flagged.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("hv"),
+            F.max(F.col("qual_click").isNotNull().cast("int")).alias("hc"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click")),
+                    1,
+                ).otherwise(0)
+            ).alias("hp"),
+        )
+        .toPandas()
+    )
+    want = _duck(
+        {"ev": pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])},
+        """
+        WITH s1 AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS first_view
+          FROM ev
+        ),
+        s2 AS (
+          SELECT *, CASE WHEN event_type = 'click' AND ts > first_view
+                         THEN ts END AS qual_click
+          FROM s1
+        ),
+        s3 AS (
+          SELECT *, min(qual_click)
+                      OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS first_click
+          FROM s2
+        )
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+               max(CASE WHEN qual_click IS NOT NULL THEN 1 ELSE 0 END) AS hc,
+               max(CASE WHEN event_type = 'purchase' AND ts > first_click
+                        THEN 1 ELSE 0 END) AS hp
+        FROM s3 GROUP BY user_id
+        """,
+    )
+    assert _norm(got) == _norm(want)
+
+
+ISLAND_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15)),  # (user, day) w/ dups
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(rows=ISLAND_ROWS)
+def test_prop_gap_islands_histogram(spark, rows):
+    """win_gap_islands' core (distinct days → date-minus-row_number
+    islands → streak-length histogram) vs the identical DuckDB SQL on
+    random duplicate-laden (user, day) sets.  Duplicate days collapse
+    before numbering, so the islands are a pure function of the day
+    SET — engine sort order can't matter; hypothesis hunts the
+    counterexample."""
+    from pyspark.sql import Window
+
+    base = "2024-01-01"
+    sdf = spark.createDataFrame(
+        [(int(u), int(d)) for u, d in rows], "user_id long, off int"
+    ).select(
+        "user_id",
+        F.date_add(F.lit(base).cast("date"), F.col("off")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    got = (
+        sdf.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+        .groupBy("len")
+        .agg(F.count("*").alias("n_streaks"))
+        .toPandas()
+    )
+    want = _duck(
+        {"t": pd.DataFrame(rows, columns=["user_id", "off"])},
+        f"""
+        WITH d AS (
+          SELECT DISTINCT user_id, DATE '{base}' + CAST(off AS INT) AS d
+          FROM t
+        ),
+        i AS (
+          SELECT user_id, d,
+                 d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                          AS INT) AS grp
+          FROM d
+        ),
+        s AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2)
+        SELECT len, count(*) AS n_streaks FROM s GROUP BY len
+        """,
+    )
+    assert _norm(got) == _norm(want)
