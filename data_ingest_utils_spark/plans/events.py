@@ -1037,15 +1037,20 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("first_click", F.min("qual_click").over(w))
     )
-    # hp's condition is three-valued: for an all-purchase user,
-    # first_click is NULL, (purchase AND ts > NULL) is NULL, and
-    # max-over-only-NULLs is NULL where the oracle's CASE gives 0 —
-    # invisible in the summed totals (sum skips NULLs) but a real
-    # per-user divergence the hypothesis fuzz surfaced
+    # The stage flags' conditions are three-valued: for an
+    # all-purchase user, first_click is NULL, (purchase AND ts > NULL)
+    # is NULL, and max-over-only-NULLs is NULL where the oracle's CASE
+    # gives 0 — invisible in the summed totals (sum skips NULLs) but a
+    # real per-user divergence the hypothesis fuzz surfaced
     # (tests/test_property.py::test_prop_funnel_order_semantics_*).
-    # when(cond, 1).otherwise(0) collapses NULL to 0, matching CASE.
+    # Same class for hv under a NULL event_type (NULL == 'view' is
+    # NULL, not False — code-review r15; the fuzz now samples NULL
+    # types).  when(cond, 1).otherwise(0) collapses NULL to 0 exactly
+    # like CASE; hc's isNotNull is two-valued and needs no guard.
     per_user = flagged.groupBy("user_id").agg(
-        F.max((F.col("event_type") == "view").cast("int")).alias("hv"),
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("hv"),
         F.max(F.col("qual_click").isNotNull().cast("int")).alias("hc"),
         F.max(
             F.when(

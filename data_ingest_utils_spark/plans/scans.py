@@ -474,13 +474,28 @@ def _promote_cache_build(build: str, src: str) -> None:
             try:
                 os.rename(src, aside)
             except OSError:
-                pass  # a non-promoter moved it (manual cleanup)
+                pass  # src vanished under us, or could not be displaced
             else:
                 shutil.rmtree(aside, ignore_errors=True)
         try:
             os.rename(build, src)
         except OSError:
-            shutil.rmtree(build, ignore_errors=True)  # path reappeared
+            # Two ways to get here under the lock: (a) src reappeared
+            # VALID (a non-promoter path restored it) — discard the
+            # byte-equivalent build; (b) the torn src could not be
+            # displaced (rename-aside failed with src still in place,
+            # e.g. a permission change on SCRATCH) — the pre-r15 code
+            # silently discarded the only valid copy here and left
+            # every future invocation rebuilding against (and readers
+            # serving) the torn directory forever (code-review r15).
+            # Fail LOUDLY instead: a torn cache that cannot be
+            # replaced is an environment fault, not a race to absorb.
+            shutil.rmtree(build, ignore_errors=True)
+            if not _cache_manifest_ok(src):
+                raise RuntimeError(
+                    f"cache promotion failed: torn cache at {src} could "
+                    f"not be displaced and would be served as-is"
+                )
     finally:
         os.close(lock_fd)  # closing the fd releases the flock
 

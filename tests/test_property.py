@@ -465,7 +465,10 @@ FUNNEL_EVENTS = st.lists(
     st.tuples(
         st.integers(0, 3),                      # user_id — few users, dense
         st.integers(0, 6),                      # ts — SMALL domain: ties on purpose
-        st.sampled_from(["view", "click", "purchase", "error"]),
+        # None included deliberately: NULL event_type exercises the
+        # three-valued (NULL == 'view') edge the hv flag must collapse
+        # to 0 exactly like the oracle's CASE (code-review r15)
+        st.sampled_from(["view", "click", "purchase", "error", None]),
     ),
     max_size=30,
 )
@@ -510,7 +513,9 @@ def test_prop_funnel_order_semantics_tie_robust(spark, rows):
     got = (
         flagged.groupBy("user_id")
         .agg(
-            F.max((F.col("event_type") == "view").cast("int")).alias("hv"),
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("hv"),
             F.max(F.col("qual_click").isNotNull().cast("int")).alias("hc"),
             F.max(
                 F.when(

@@ -17,7 +17,9 @@ every oracle-backed key's full result on BOTH masters and compares:
   last-ulp accumulation difference is distinguishable from a real
   divergence.
 
-Writes one JSON artifact (default XMASTER_r14.json): n_exact /
+Writes one JSON artifact (default XMASTER.json — pass --out
+XMASTER_r{N}[...].json for the committed per-round artifacts so a
+bare run can never clobber them): n_exact /
 n_close / n_diverged plus per-key detail for anything non-exact.
 
 Round 15 (VERDICT r14 #2): ``--rows-only`` extends the certificate to
@@ -151,7 +153,7 @@ def main() -> int:
     ap.add_argument("--rows-only", action="store_true",
                     help="compare the rows-only keys (minus declared "
                          "exclusions) instead of the oracle-backed ones")
-    ap.add_argument("--out", default="XMASTER_r14.json")
+    ap.add_argument("--out", default="XMASTER.json")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

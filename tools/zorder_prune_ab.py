@@ -132,7 +132,6 @@ def main() -> int:
         table_fingerprint,
     )
     from data_ingest_utils_spark.session import get_session
-    from data_ingest_utils_spark.sources.writers import zorder_write
 
     spark = get_session("dius-zorder-ab")
     sf_dir = os.path.join(repo, args.sf) if not os.path.isabs(args.sf) else args.sf
@@ -146,18 +145,29 @@ def main() -> int:
     import uuid
 
     build_secs = {}
-    for path, writer in (
-        (zpath, lambda d, p: zorder_write(d, p, "l_orderkey", "l_partkey", n_files=16)),
-        (opath, lambda d, p: d.repartitionByRange(16, F.col("l_orderkey"))
-            .sortWithinPartitions("l_orderkey").write.mode("overwrite").parquet(p)),
-    ):
-        if not (os.path.exists(f"{path}/_SUCCESS") and _cache_manifest_ok(path)):
-            t0 = time.monotonic()
-            build = f"{path}.build_{uuid.uuid4().hex[:12]}"
-            writer(li, build)
-            _write_cache_manifest(build)
-            _promote_cache_build(build, path)
-            build_secs[os.path.basename(path)] = round(time.monotonic() - t0, 2)
+    # The z-layout is OWNED by _ensure_zorder_fixture (the same cache
+    # sink_zorder_cluster / scan_zorder_pruned serve from) — call it
+    # rather than re-implementing its build recipe here, so a recipe
+    # change can never promote a divergent layout into the shared
+    # fingerprint path (code-review r15).  Only the 1-D twin, which no
+    # registry key reads, is built inline.
+    from data_ingest_utils_spark.plans.scans import _ensure_zorder_fixture
+
+    if not (os.path.exists(f"{zpath}/_SUCCESS") and _cache_manifest_ok(zpath)):
+        t0 = time.monotonic()
+        _ensure_zorder_fixture(spark, sf_dir)
+        build_secs[os.path.basename(zpath)] = round(time.monotonic() - t0, 2)
+    if not (os.path.exists(f"{opath}/_SUCCESS") and _cache_manifest_ok(opath)):
+        t0 = time.monotonic()
+        build = f"{opath}.build_{uuid.uuid4().hex[:12]}"
+        (
+            li.repartitionByRange(16, F.col("l_orderkey"))
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite").parquet(build)
+        )
+        _write_cache_manifest(build)
+        _promote_cache_build(build, opath)
+        build_secs[os.path.basename(opath)] = round(time.monotonic() - t0, 2)
 
     cols = ("l_orderkey", "l_partkey")
     mo, mp = li.agg(F.max("l_orderkey"), F.max("l_partkey")).head()
