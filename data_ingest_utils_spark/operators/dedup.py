@@ -535,6 +535,24 @@ def simhash_band_candidates(
     is (band_idx, band_value), a 2^16-ary partition per band, so the
     pair space is Σ bucket² with hash-sized buckets, never n².
 
+    Recall geometry (quantified round 15 — "w.h.p." holds only for
+    VERY close pairs): a pair whose shingle-set Jaccard is J has
+    SimHash bit-disagreement p ≈ θ/π with cos θ ≈ 2J/(1+J), so the
+    any-of-4-bands match probability is 1 − (1 − (1−p)^16)^4 — ≈ 0.95
+    at J ≈ 0.99 (p ≈ 0.04) but only ≈ 0.5 at J ≈ 0.9 (p ≈ 0.10) for
+    independent bits; template-heavy real corpora land higher
+    (measured vs the exact-verify reference: 0.92 at sf0.01, 0.887 at
+    sf0.1 over pairs of J ∈ [0.7, 1.0] — tools/rowsonly_certificate
+    pins ≥ 0.85).  When the pipeline needs certified ~100% candidate
+    recall at a J ≥ 0.5 cut, use the deterministic banded-MinHash
+    generator (:func:`minhash_band_candidates` shape inside
+    ``llm_dedup_near_exactverify``): its per-pair miss probability is
+    (1−J)^16 ≈ 1e-11 at J = 0.8.  This generator's niche is cost — one
+    8-byte signature per doc vs 16 minhash values over every shingle;
+    a measured A/B of an 8-band double-signature variant (recall
+    ≈ 0.78 → 0.98 at J = 0.9 in theory, ~2× candidate volume) is the
+    standing round-16 lead.
+
     ``hamming_max`` adds a full-signature prefilter: candidate pairs
     whose 64-bit signatures differ in more than that many bits are cut
     BEFORE any downstream (expensive) exact verification — one
