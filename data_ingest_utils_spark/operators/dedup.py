@@ -47,6 +47,7 @@ def simhash64(
     unit: str = "token",
     n: int = 3,
     hash_fn: str = "xxhash64",
+    signatures: int = 1,
 ) -> DataFrame:
     """64-bit SimHash per document from hash_fn(feature).
 
@@ -56,6 +57,15 @@ def simhash64(
     columns), entirely JVM-side.  Emits 16-bit bands b0..b3: same-band
     equality is the O(n) candidate-pair blocking key (Hamming-distance
     near-dups share a band with high probability).
+
+    ``signatures`` (round 16) asks for that many INDEPENDENT 64-bit
+    signatures — signature s hashes the feature salted with s bytes of
+    ``\\x01`` (s=0 is unsalted, so ``signatures=1`` output is
+    bit-identical to every prior round).  All ``signatures * 64``
+    bit-sums still run in the SAME single hash aggregation (one
+    shuffle, wider agg state), and the output gains ``simhash{s}``
+    plus bands ``band{s*4+b}`` per extra signature — the input to the
+    8x16-band blocking geometry in :func:`simhash_band_candidates`.
 
     The 64 separate agg buffers are the MEASURED winner (round 14):
     packing 2 or 4 bit-counters per 64-bit sum (fewer buffer updates,
@@ -92,6 +102,8 @@ def simhash64(
         raise ValueError(f"unit={unit!r} must be 'token' or 'shingle'")
     if hash_fn not in ("xxhash64", "sha256"):
         raise ValueError(f"hash_fn={hash_fn!r} must be 'xxhash64' or 'sha256'")
+    if not 1 <= signatures <= 4:
+        raise ValueError(f"signatures={signatures} must be in 1..4")
     # split('', ' ') is [''] — empty tokens must be REMOVED, matching
     # the module's documented blank-doc contract (minhash_signatures /
     # minhash_lsh_pairs): without this, every blank/whitespace doc
@@ -108,41 +120,63 @@ def simhash64(
         else shingles(F.col(text_col), n)
     )
     tok = df.select(id_col, F.explode(feats).alias("term"))
-    if hash_fn == "xxhash64":
-        tok = tok.withColumn("th", F.xxhash64("term"))
-    else:
-        # First 64 bits of SHA-256, reconstructed from two 32-bit hex
-        # halves (conv() on 16 hex chars would overflow signed long);
-        # upper<<32 wraps into the sign bit — same two's-complement
-        # value DuckDB gets from ('0x'||substr(sha256(t),1,16))::UBIGINT.
-        h = F.sha2(F.col("term"), 256)
-        upper = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-        lower = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
-        tok = tok.withColumn("th", F.shiftleft(upper, 32).bitwiseOR(lower))
+    for s in range(signatures):
+        # Signature s hashes the feature salted with s \x01 bytes —
+        # independent hash families from one feature stream, so every
+        # signature shares the single explode + hash agg below.
+        term = (
+            F.col("term") if s == 0
+            else F.concat(F.col("term"), F.lit("\x01" * s))
+        )
+        if hash_fn == "xxhash64":
+            tok = tok.withColumn(f"th{s}", F.xxhash64(term))
+        else:
+            # First 64 bits of SHA-256, reconstructed from two 32-bit
+            # hex halves (conv() on 16 hex chars would overflow signed
+            # long); upper<<32 wraps into the sign bit — same two's-
+            # complement value DuckDB gets from
+            # ('0x'||substr(sha256(t),1,16))::UBIGINT.
+            h = F.sha2(term, 256)
+            upper = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            lower = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+            tok = tok.withColumn(
+                f"th{s}", F.shiftleft(upper, 32).bitwiseOR(lower)
+            )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+            F.when(
+                F.shiftright(F.col(f"th{s}"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{s}b{i}")
+        for s in range(signatures)
         for i in range(64)
     ]
     per_doc = tok.groupBy(id_col).agg(*bit_sums)
     # bit 63 wraps into the sign bit (two's complement) — intended for a
     # raw 64-bit signature; shiftleft stays in JVM long arithmetic.
-    sig = sum(
-        (
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
+    sig_names = ["simhash"] + [f"simhash{s}" for s in range(1, signatures)]
+    sigs = [
+        sum(
+            (
+                F.when(
+                    F.col(f"s{s}b{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ),
+            start=F.lit(0).cast("long"),
+        ).alias(sig_names[s])
+        for s in range(signatures)
+    ]
+    out = per_doc.select(id_col, *sigs)
+    for s in range(signatures):
+        for b in range(4):
+            out = out.withColumn(
+                f"band{s * 4 + b}",
+                F.shiftrightunsigned(F.col(sig_names[s]), b * 16).bitwiseAND(
+                    F.lit(0xFFFF)
+                ),
             )
-            for i in range(64)
-        ),
-        start=F.lit(0).cast("long"),
-    )
-    out = per_doc.select(id_col, sig.alias("simhash"))
-    for b in range(4):
-        out = out.withColumn(
-            f"band{b}",
-            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)),
-        )
     return out
 
 
@@ -529,77 +563,95 @@ def simhash_band_candidates(
     unit: str = "token",
     n: int = 3,
     hamming_max: int | None = None,
+    signatures: int = 2,
 ) -> DataFrame:
     """Candidate pairs from SimHash band collisions: docs sharing ANY
-    of the four 16-bit bands.  Near-linear at scale — the self-join key
-    is (band_idx, band_value), a 2^16-ary partition per band, so the
-    pair space is Σ bucket² with hash-sized buckets, never n².
+    of the ``signatures * 4`` 16-bit bands.  Near-linear at scale —
+    the self-join key is (band_idx, band_value), a 2^16-ary partition
+    per band, so the pair space is Σ bucket² with hash-sized buckets,
+    never n²; extra signatures add bands WITHOUT changing per-band
+    bucket sizes (the scale property that matters — background
+    collision rate stays 2^-16 per band).
 
-    Recall geometry (quantified round 15 — "w.h.p." holds only for
-    VERY close pairs): a pair whose shingle-set Jaccard is J has
-    SimHash bit-disagreement p ≈ θ/π with cos θ ≈ 2J/(1+J), so the
-    any-of-4-bands match probability is 1 − (1 − (1−p)^16)^4 — ≈ 0.95
-    at J ≈ 0.99 (p ≈ 0.04) but only ≈ 0.5 at J ≈ 0.9 (p ≈ 0.10) for
-    independent bits; template-heavy real corpora land higher
-    (measured vs the exact-verify reference: 0.92 at sf0.01, 0.887 at
-    sf0.1 over pairs of J ∈ [0.7, 1.0] — tools/rowsonly_certificate
-    pins ≥ 0.85).  When the pipeline needs certified ~100% candidate
-    recall at a J ≥ 0.5 cut, use the deterministic banded-MinHash
-    generator (:func:`minhash_band_candidates` shape inside
+    Recall geometry (quantified round 15, 8-band form LANDED round
+    16): a pair whose shingle-set Jaccard is J has SimHash
+    bit-disagreement p ≈ θ/π with cos θ ≈ 2J/(1+J), so the any-of-B
+    bands match probability is 1 − (1 − (1−p)^16)^B.  The historical
+    B=4 single-signature geometry sits at ≈ 0.5 for J ≈ 0.9 pairs
+    (p ≈ 0.10) — measured recall vs the exact-verify reference 0.92 /
+    0.887 / 0.921 at sf0.01 / sf0.1 / the 50 k-doc bench corpus.  The
+    B=8 double-signature default (``signatures=2``) doubles the
+    exponent — ≈ 0.78 → 0.95 at J ≈ 0.9 in theory — and measured
+    1.0 / 0.965 / 0.976 at the same three scales for ~1.9× candidate
+    volume and ~1.5× candidate-stage time (SIMHASH8_r15*.json;
+    tools/rowsonly_certificate pins recall ≥ 0.95).  When the
+    pipeline needs certified ~100% candidate recall at a J ≥ 0.5 cut,
+    use the deterministic banded-MinHash generator
+    (:func:`minhash_band_candidates` shape inside
     ``llm_dedup_near_exactverify``): its per-pair miss probability is
-    (1−J)^16 ≈ 1e-11 at J = 0.8.  This generator's niche is cost — one
-    8-byte signature per doc vs 16 minhash values over every shingle;
-    a measured A/B of an 8-band double-signature variant (recall
-    ≈ 0.78 → 0.98 at J = 0.9 in theory, ~2× candidate volume) is the
-    standing round-16 lead.
+    (1−J)^16 ≈ 1e-11 at J = 0.8.  This generator's niche is cost —
+    ``signatures`` 8-byte words per doc vs 16 minhash values over
+    every shingle.  ``signatures=1`` restores the pre-round-16 4-band
+    geometry exactly.
 
     ``hamming_max`` adds a full-signature prefilter: candidate pairs
-    whose 64-bit signatures differ in more than that many bits are cut
-    BEFORE any downstream (expensive) exact verification — one
-    ``bit_count(xor)`` JVM expression per collision, no extra shuffle
-    beyond the two narrow signature-attach joins.  A J ≥ 0.5 shingle
-    pair has cosine ≈ 2J/(1+J) = 2/3 ⇒ expected Hamming ≈ 64·θ/π ≈ 17
-    (σ ≈ 3.5), so ``hamming_max=28`` keeps ≥ 3σ of recall headroom
-    while discarding the band-collision background (E[H] = 32).
+    whose signatures differ in more than ``signatures * hamming_max``
+    bits TOTAL are cut BEFORE any downstream (expensive) exact
+    verification — one ``bit_count(xor)`` JVM expression per signature
+    per collision, no extra shuffle beyond the two narrow
+    signature-attach joins.  A J ≥ 0.5 shingle pair has cosine ≈
+    2J/(1+J) = 2/3 ⇒ expected Hamming ≈ 64·θ/π ≈ 17 per 64-bit
+    signature (σ ≈ 3.5, and summing over signatures halves the
+    relative σ), so ``hamming_max=28`` keeps ≥ 3σ of recall headroom
+    while discarding the band-collision background (E[H] = 32/64).
     """
     # Materialize the signature table ONCE before the band self-join:
     # both sides of the (band_idx, band_val) join consume `bands`, and
-    # without this the full tokenize → explode → 64-column hash agg
+    # without this the full tokenize → explode → 64·S-column hash agg
     # lineage executes once PER SIDE (exchange reuse does not kick in
     # across the two differently-aliased branches).  One row per doc
-    # (signature + 4 band ints ≈ 48 B) — the classic LSH signature
-    # table, same localCheckpoint trade as _shingle_hash_arrays.
-    # Measured round 13 on the 50 k-doc sf1.0 bench corpus:
-    # candidates count 4.9 s → 1.7 s, identical output.
-    sig = simhash64(df, text_col, id_col, unit, n).localCheckpoint(eager=True)
-    # Ship the full 64-bit signature through the band-collision
-    # shuffle ONLY when the Hamming prefilter will consume it — it's
-    # dead payload on the job's widest exchange otherwise.
-    sig_cols = ["simhash"] if hamming_max is not None else []
+    # (signatures + band ints ≈ 100 B at S=2) — the classic LSH
+    # signature table, same localCheckpoint trade as
+    # _shingle_hash_arrays.  Measured round 13 on the 50 k-doc sf1.0
+    # bench corpus: candidates count 4.9 s → 1.7 s, identical output.
+    sig = simhash64(
+        df, text_col, id_col, unit, n, signatures=signatures
+    ).localCheckpoint(eager=True)
+    n_bands = signatures * 4
+    sig_names = ["simhash"] + [f"simhash{s}" for s in range(1, signatures)]
+    # Ship the full 64-bit signatures through the band-collision
+    # shuffle ONLY when the Hamming prefilter will consume them — dead
+    # payload on the job's widest exchange otherwise.
+    sig_cols = sig_names if hamming_max is not None else []
     bands = sig.select(
         id_col,
         *sig_cols,
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(4)])).alias(
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
             "band_idx", "band_val"
         ),
     )
     a = bands.select(
         F.col(id_col).alias("doc_a"),
-        *[F.col(c).alias("_sa") for c in sig_cols],
+        *[F.col(c).alias(f"_sa{i}") for i, c in enumerate(sig_cols)],
         "band_idx",
         "band_val",
     )
     b = bands.select(
         F.col(id_col).alias("doc_b"),
-        *[F.col(c).alias("_sb") for c in sig_cols],
+        *[F.col(c).alias(f"_sb{i}") for i, c in enumerate(sig_cols)],
         "band_idx",
         "band_val",
     )
     pairs = a.join(b, ["band_idx", "band_val"]).filter(F.col("doc_a") < F.col("doc_b"))
     if hamming_max is not None:
-        pairs = pairs.filter(
-            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= hamming_max
+        total_hamming = sum(
+            (
+                F.bit_count(F.col(f"_sa{i}").bitwiseXOR(F.col(f"_sb{i}")))
+                for i in range(1, len(sig_cols))
+            ),
+            start=F.bit_count(F.col("_sa0").bitwiseXOR(F.col("_sb0"))),
         )
+        pairs = pairs.filter(total_hamming <= signatures * hamming_max)
     return pairs.select("doc_a", "doc_b").distinct()
 
 
@@ -613,17 +665,21 @@ def ngram_jaccard_banded(
     verify: str = "array",
     broadcast_verify: bool | None = None,
     broadcast_max_docs: int = BROADCAST_VERIFY_MAX_DOCS,
+    signatures: int = 2,
 ) -> DataFrame:
     """Exact n-gram Jaccard scored ONLY over SimHash-band candidate
     pairs — the 100 TB shape of :func:`ngram_jaccard_pairs`.
 
     Candidates come from :func:`simhash_band_candidates` (near-dups
-    collide in a band w.h.p.; ``unit``/``hamming_max`` expose the
-    blocking dials — see that docstring's measured trade-off); the
-    exact score then confirms, so precision is always 1 and only
-    candidate recall is approximate.  Rows-only key (xxhash64 has no
-    DuckDB twin); recall/precision invariants asserted in
-    tests/test_invariants.py.
+    collide in a band w.h.p.; ``unit``/``hamming_max``/``signatures``
+    expose the blocking dials — see that docstring's measured
+    trade-offs; the ``signatures=2`` 8×16-band default landed round 16
+    lifts candidate recall 0.887 → 0.965 at sf0.1 for ~1.9× candidate
+    volume); the exact score then confirms, so precision is always 1
+    and only candidate recall is approximate.  Rows-only key (xxhash64
+    has no DuckDB twin); recall/precision invariants asserted in
+    tests/test_invariants.py and tools/rowsonly_certificate.py
+    (recall ≥ 0.95 vs the exact-verify reference).
 
     Two verify shapes (``verify=``):
 
@@ -662,7 +718,8 @@ def ngram_jaccard_banded(
     if verify not in ("array", "explode"):
         raise ValueError(f"verify={verify!r} must be 'array' or 'explode'")
     cands = simhash_band_candidates(
-        df, id_col=id_col, unit=unit, n=n, hamming_max=hamming_max
+        df, id_col=id_col, unit=unit, n=n, hamming_max=hamming_max,
+        signatures=signatures,
     )
     if verify == "explode":
         return _verify_pairs_explode(cands, df, n, id_col, threshold)

@@ -237,7 +237,10 @@ def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actually skips row groups (asserted in tests/test_explain.py).
     # In production the predicate constant is known at plan time; the
     # scalar lookup stands in for that.
-    mp = back.agg(F.max("l_partkey")).head()[0]
+    # `or 0`: max() is NULL on an empty/degenerate fixture (ADVICE
+    # r15) — the filter then matches nothing instead of the plan
+    # build raising TypeError on None // 4.
+    mp = back.agg(F.max("l_partkey")).head()[0] or 0
     return (
         back.filter(F.col("l_partkey") <= mp // 4)
         .agg(

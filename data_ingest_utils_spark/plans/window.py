@@ -37,22 +37,23 @@ re-certification slot — so the window is now DERIVED from the committed
    rows-executed) is strictly weaker than the invariant tests that
    already cover them.
 5. **Rows-only rotation tail** (round 14, VERDICT r13 #1; widened
-   round 15, VERDICT r14 #1) — the final UP-TO-THREE window slots go
-   to the rows-only keys whose latest driver rows are OLDEST
-   (registry order on ties).  The sweeps execute every key every
-   round, so breakage is caught regardless — but a rows-only key's
-   driver row could previously age forever (``llm_dedup_near`` sat
-   at r03 for ten rounds), and the single-slot r14 tail still left a
-   9-round backlog on the r05-aged cohort; three slots bound the
-   refresh cadence at ~4 rounds (12 rows-only keys / 3 slots) while
-   keeping every oracle key ahead of the tail, so the window-shape
-   ordering (oracle keys first, weakest signal truncated first)
-   still holds.  Tail slots only replace BACKFILL keys — newest
-   greens first, the keys least owed a re-certification — and always
-   leave at least ONE backfill green standing: a window full of
-   fronted stale/new signal is never displaced, and the OLDEST green
-   (the key the backfill cadence most owes a slot) keeps its place,
-   else a persistently full front would recreate the
+   rounds 15/16, VERDICT r14 #1 / r15 #2) — the final UP-TO-FOUR
+   window slots go to the rows-only keys whose latest driver rows are
+   OLDEST (registry order on ties), with ``ROWSONLY_OUTPUT_CHANGED``
+   keys sorting first AND each granting one extra slot (a re-grade of
+   a changed operator must not consume a staleness-cadence slot).
+   The sweeps execute every key every round, so breakage is caught
+   regardless — but a rows-only key's driver row could previously age
+   forever (``llm_dedup_near`` sat at r03 for ten rounds); four slots
+   bound the refresh cadence at ~3 rounds (12 rows-only keys /
+   4 slots) while keeping every oracle key ahead of the tail, so the
+   window-shape ordering (oracle keys first, weakest signal truncated
+   first) still holds.  Tail slots only replace BACKFILL keys —
+   newest greens first, the keys least owed a re-certification — and
+   always leave at least ONE backfill green standing: a window full
+   of fronted stale/new signal is never displaced, and the OLDEST
+   green (the key the backfill cadence most owes a slot) keeps its
+   place, else a persistently full front would recreate the
    indefinite-aging pathology for an oracle key.
 
 With no artifacts on disk (fresh checkout) the registry order is left
@@ -152,6 +153,26 @@ OUTPUT_CHANGED: list[tuple[str, int]] = [
     # invariant forbids.
 ]
 
+#: Rows-only twin of OUTPUT_CHANGED (round 16).  A rows-only key whose
+#: output changed must NOT enter OUTPUT_CHANGED (fronting it would put
+#: a rows-only key ahead of oracle-backed signal — the window-shape
+#: invariant), but its stale driver row still misrepresents the
+#: current operator; entries here (a) sort FIRST in the rotation-tail
+#: ordering regardless of row age and (b) grant the tail one EXTRA
+#: slot each, so the re-grade never steals a staleness-cadence slot
+#: from the aged cohort.  Self-pruning: once the key has ANY driver
+#: row from ``round_declared`` or later (rows-only rows are always
+#: ``no_oracle`` — a fresh rows-executed run IS the re-certification
+#: currency), the entry stops binding.
+#:
+#: Round 16: ``llm_dedup_ngram_banded`` — the 8×16-band
+#: double-signature SimHash landed (recall 0.887 → 0.965 at sf0.1 vs
+#: the exact-verify truth set); candidate recall GROWS, so the
+#: verified pair set gains previously-missed true near-dup pairs.
+ROWSONLY_OUTPUT_CHANGED: list[tuple[str, int]] = [
+    ("llm_dedup_ngram_banded", 16),
+]
+
 #: Driver truncation point — grades per round observed in every
 #: committed artifact.
 WINDOW_SIZE = 50
@@ -194,6 +215,7 @@ def derive_window(
     history: dict[str, dict] | None = None,
     output_changed: list[tuple[str, int]] | None = None,
     size: int = WINDOW_SIZE,
+    rowsonly_output_changed: list[tuple[str, int]] | None = None,
 ) -> list[str]:
     """The first-``size`` registry ordering for this round, per the
     module-docstring policy.  Pure function of its inputs (history
@@ -255,16 +277,37 @@ def derive_window(
     # this tail fixes for rows-only keys).  Stalest rotation key
     # takes the earliest replaced slot; newest backfill greens (the
     # keys least owed a re-certification) are the ones displaced.
+    ro_changed = (
+        ROWSONLY_OUTPUT_CHANGED
+        if rowsonly_output_changed is None
+        else rowsonly_output_changed
+    )
+    # Self-pruning like OUTPUT_CHANGED, but on the LATEST-ROW round
+    # (any verdict): a rows-only driver row is always ``no_oracle``,
+    # so one fresh rows-executed run after the declaration certifies
+    # the new form.
+    ro_pending = {
+        k for k, declared in ro_changed
+        if k in queries and k not in oracles
+        and ((history.get(k) or {}).get("round") or -1) < declared
+    }
     rotation = sorted(
         (
             k for k in queries
             if k not in oracles and k in history and k not in fronted
         ),
-        key=lambda k: (history[k]["round"], pos[k]),
+        key=lambda k: (k not in ro_pending, history[k]["round"], pos[k]),
     )
     rotation = [k for k in rotation if k not in window]
     if rotation and len(window) == size:
-        n_tail = min(3, len(rotation), (size - len(fronted)) - 1)
+        # Base cap FOUR (round 16; was three in r15, one in r14 —
+        # 12 rows-only keys / 4 slots bounds driver-row staleness at
+        # ~3 rounds) plus one EXTRA slot per pending output-changed
+        # rows-only key in the rotation, so a re-grade never consumes
+        # a staleness-cadence slot.  The at-least-one-backfill-green
+        # floor still binds last.
+        cap = 4 + sum(1 for k in rotation if k in ro_pending)
+        n_tail = min(cap, len(rotation), (size - len(fronted)) - 1)
         for i in range(max(0, n_tail)):
             window[size - n_tail + i] = rotation[i]
     if len(window) < size:  # degenerate tiny registries (tests)

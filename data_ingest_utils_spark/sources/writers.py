@@ -118,7 +118,14 @@ def zorder_write(
             span = (F.col(hi) - F.col(lo) + F.lit(1)).cast("double")
             return F.floor(scaled / span).cast("long")
         span = (F.col(hi) - F.col(lo)).cast("double")
-        return F.when(span == F.lit(0.0), F.lit(0)).otherwise(
+        # NULL clustering values must propagate as NULL in BOTH
+        # branches (ADVICE r15: F.least skips NULLs, so a NULL — or a
+        # NaN-propagated arithmetic result — would otherwise land in
+        # the top bucket 65535 while the integral branch's floor
+        # propagates NULL; NULL-keyed rows then silently co-locate).
+        return F.when(F.col(c).isNull(), F.lit(None).cast("long")).when(
+            span == F.lit(0.0), F.lit(0)
+        ).otherwise(
             F.least(F.floor(scaled / span), F.lit(65535))
         ).cast("long")
 

@@ -1393,6 +1393,67 @@ def test_simhash_band_candidates_drop_blank_docs(spark):
     assert {r.doc_id for r in sigs.collect()} == {3}
 
 
+def test_simhash_double_signature_geometry(spark, planted_docs):
+    """Round 16 (8×16-band landing): ``signatures=2`` must (a) keep
+    the FIRST signature and its four bands bit-identical to the
+    historical ``signatures=1`` form — ``llm_dedup_simhash``'s
+    driver-certified output rides that path, (b) produce a genuinely
+    independent second signature, and (c) make the band candidate set
+    a SUPERSET of the 4-band one (extra bands only add collision
+    opportunities — the measured recall lift's mechanism)."""
+    one = {r.doc_id: r for r in dd.simhash64(planted_docs).collect()}
+    two = {r.doc_id: r for r in
+           dd.simhash64(planted_docs, signatures=2).collect()}
+    assert set(one) == set(two)
+    for d, r1 in one.items():
+        r2 = two[d]
+        assert r2.simhash == r1.simhash
+        for b in range(4):
+            assert r2[f"band{b}"] == r1[f"band{b}"]
+    # salted hash family is independent: signatures differ for
+    # (essentially) every doc
+    diff = sum(1 for d in one if two[d].simhash1 != two[d].simhash)
+    assert diff >= 0.99 * len(one)
+    c1 = {(r.doc_a, r.doc_b) for r in
+          dd.simhash_band_candidates(planted_docs, signatures=1).collect()}
+    c2 = {(r.doc_a, r.doc_b) for r in
+          dd.simhash_band_candidates(planted_docs, signatures=2).collect()}
+    assert c1 <= c2, "8-band candidates must contain every 4-band pair"
+
+
+def test_zorder_write_null_fractional_propagates(spark, tmp_path):
+    """ADVICE r15: a NULL clustering value in the FRACTIONAL quant
+    branch must propagate NULL into the z-value (nulls-first range
+    placement, matching the integral branch's floor(NULL)) — not be
+    silently clamped by F.least into top bucket 65535, co-locating
+    NULL-keyed rows with the max-value rows."""
+    from data_ingest_utils_spark.sources.writers import zorder_write
+
+    rows = [(i, float(i), float(i % 97)) for i in range(1, 2001)]
+    src = spark.createDataFrame(
+        rows, "k int, x double, y double"
+    ).unionByName(
+        spark.createDataFrame(
+            [(9001, None, 50.0), (9002, None, 51.0)],
+            "k int, x double, y double",
+        )
+    )
+    zp = str(tmp_path / "znull")
+    zorder_write(src, zp, "x", "y", n_files=4)
+    back = spark.read.parquet(zp)
+    assert back.count() == 2002  # NULL-keyed rows never lost
+    wf = back.withColumn("f", F.input_file_name())
+    null_files = {
+        r.f for r in wf.filter(F.col("x").isNull()).select("f").collect()
+    }
+    max_file = wf.orderBy(F.desc("x")).select("f").first().f
+    assert null_files, "NULL rows vanished from the layout"
+    assert max_file not in null_files, (
+        "NULL-keyed rows co-located with the max-value bucket — the "
+        "F.least clamp regression"
+    )
+
+
 def test_with_audit_default_hash_distinguishes_null_position(spark):
     """xxhash64 skips null inputs, so without the per-column null
     flags ('a', NULL) and (NULL, 'a') collide on the default row

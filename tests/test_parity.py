@@ -185,40 +185,61 @@ def test_window_derivation_policy():
 
 
 def test_window_rotation_tail_multi_slot():
-    """Round-15 policy (VERDICT r14 #1): the rotation tail holds up to
-    THREE rows-only keys — stalest driver row first — displacing the
-    NEWEST backfill greens, never the oldest green and never fronted
-    signal.  At one slot/round the 12-key rows-only class refreshed
-    every ~12 rounds; three slots bound it at ~4."""
+    """Round-16 policy (VERDICT r15 #2, widening r14 #1): the rotation
+    tail holds up to FOUR rows-only keys — stalest driver row first —
+    displacing the NEWEST backfill greens, never the oldest green and
+    never fronted signal.  At one slot/round the 12-key rows-only
+    class refreshed every ~12 rounds; four slots bound it at ~3."""
     from data_ingest_utils_spark.plans.window import derive_window
 
     queries = {k: None for k in
-               ["g1", "g2", "g3", "g4", "g5", "r1", "r2", "r3", "r4"]}
-    oracles = {k: "sql" for k in ["g1", "g2", "g3", "g4", "g5"]}
+               ["g1", "g2", "g3", "g4", "g5", "g6",
+                "r1", "r2", "r3", "r4", "r5"]}
+    oracles = {k: "sql" for k in ["g1", "g2", "g3", "g4", "g5", "g6"]}
     history = {
         "g1": {"round": 2, "hash_match": True, "green_round": 2},
         "g2": {"round": 3, "hash_match": True, "green_round": 3},
         "g3": {"round": 4, "hash_match": True, "green_round": 4},
         "g4": {"round": 5, "hash_match": True, "green_round": 5},
         "g5": {"round": 6, "hash_match": True, "green_round": 6},
+        "g6": {"round": 7, "hash_match": True, "green_round": 7},
         "r1": {"round": 9, "hash_match": False, "green_round": None},
         "r2": {"round": 7, "hash_match": False, "green_round": None},
         "r3": {"round": 8, "hash_match": False, "green_round": None},
         "r4": {"round": 6, "hash_match": False, "green_round": None},
+        "r5": {"round": 10, "hash_match": False, "green_round": None},
     }
-    # No fronted signal, 5 backfill greens, 4 rotation candidates:
-    # 3 tail slots (the cap), stalest first (r4 r6 < r2 r7 < r3 r8),
-    # displacing the newest greens (g3, g4, g5) — g1/g2 (oldest,
-    # most-owed re-certification) keep their slots.
+    # No fronted signal, 6 backfill greens, 5 rotation candidates:
+    # 4 tail slots (the base cap), stalest first (r4 r6 < r2 r7 <
+    # r3 r8 < r1 r9), displacing the newest greens (g3..g6) — g1/g2
+    # (oldest, most-owed re-certification) keep their slots.
     w = derive_window(queries, oracles, history=history,
-                      output_changed=[], size=5)
-    assert w == ["g1", "g2", "r4", "r2", "r3"]
+                      output_changed=[], rowsonly_output_changed=[],
+                      size=6)
+    assert w == ["g1", "g2", "r4", "r2", "r3", "r1"]
     # The at-least-one-green floor binds before the cap: with only two
     # backfill slots available, a single tail slot is granted.
     w2 = derive_window(queries, oracles, history=history,
-                       output_changed=[("g1", 9), ("g2", 9), ("g3", 9)],
-                       size=5)
-    assert w2 == ["g1", "g2", "g3", "g4", "r4"]
+                       output_changed=[("g1", 9), ("g2", 9), ("g3", 9),
+                                       ("g4", 9)],
+                       rowsonly_output_changed=[], size=6)
+    assert w2 == ["g1", "g2", "g3", "g4", "g5", "r4"]
+    # ROWSONLY_OUTPUT_CHANGED (round 16): a declared rows-only key
+    # (r5, newest driver row — last in staleness order) sorts FIRST
+    # in the rotation and grants one EXTRA tail slot, so the re-grade
+    # does not consume a staleness-cadence slot: 5 tail slots cover
+    # r5 + all four aged keys, floor green g1 stands.
+    w3 = derive_window(queries, oracles, history=history,
+                       output_changed=[],
+                       rowsonly_output_changed=[("r5", 11)], size=6)
+    assert w3 == ["g1", "r5", "r4", "r2", "r3", "r1"]
+    # …and self-prunes on ANY driver row at/after the declared round.
+    hist2 = {**history,
+             "r5": {"round": 11, "hash_match": False, "green_round": None}}
+    w4 = derive_window(queries, oracles, history=hist2,
+                       output_changed=[],
+                       rowsonly_output_changed=[("r5", 11)], size=6)
+    assert w4 == ["g1", "g2", "r4", "r2", "r3", "r1"]
 
 
 def test_window_output_changed_consumed():

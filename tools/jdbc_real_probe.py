@@ -91,6 +91,18 @@ def main() -> int:
     # loudly at connect time, which is the correct gated behavior)
     os.makedirs(SCRATCH, exist_ok=True)
     db = f"{SCRATCH}/jdbc_orders_{os.getpid()}.duckdb"
+    # The db file must not outlive the probe on ANY exit path (ADVICE
+    # r15: a jar/storage-version mismatch or failed Spark read between
+    # connect and the success-path remove used to leak it).
+    import atexit
+
+    def _cleanup() -> None:
+        try:
+            os.remove(db)
+        except OSError:
+            pass
+
+    atexit.register(_cleanup)
     con = duckdb.connect(db)
     src = os.path.join(args.sf, "orders.parquet")
     con.execute(
@@ -167,10 +179,7 @@ def main() -> int:
     with open(os.path.join(repo, args.out), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
-    try:
-        os.remove(db)
-    except OSError:
-        pass
+    _cleanup()
     return 0 if all(checks.values()) else 1
 
 

@@ -107,6 +107,22 @@ def main() -> int:
         )
         return 2
     print(f"sweep: master={spark.sparkContext.master}", file=sys.stderr)
+    # Sacrificial warm-up (VERDICT r15 #5): the FIRST job on a fresh
+    # master absorbs one-time costs — executor JVM spin-up on
+    # local-cluster arms, Python-worker fork, codegen compiler warm-up
+    # — and the r15 cluster arms mis-attributed ~7 s of that to
+    # whatever key happened to run first (scan_zorder_pruned read
+    # 7.96 s cold vs 0.89 s warm).  One cheap untimed scan retires
+    # those costs so every recorded per-key number is a real key cost.
+    t0 = time.perf_counter()
+    QUERIES["scan_parquet"](spark, args.sf).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    print(
+        f"sweep: warm-up scan_parquet {time.perf_counter() - t0:.2f}s "
+        "(untimed, absorbs first-job spin-up)",
+        file=sys.stderr,
+    )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, key in enumerate(keys, 1):
@@ -122,6 +138,7 @@ def main() -> int:
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:12]
     payload = {
         "profile": args.profile,
+        "warmup": "scan_parquet (untimed first job, round 16)",
         "master": spark.sparkContext.master,
         "sf_dir": args.sf,
         "n_keys": len(keys),

@@ -161,23 +161,28 @@ def check_llm_dedup_ngram_banded(spark, sf_dir, rows, env):
     # candidate recall vs unblocked all-pairs at the same jaccard>=0.5
     # cut, so its output is a trustworthy exact reference here.
     #
-    # Floor = 0.85, the 4x16-bit SimHash band geometry's measured
-    # operating band on this corpus class (0.92 at sf0.01, 0.887 at
-    # sf0.1) — NOT a defect threshold borrowed from the MinHash
-    # family: per-pair band-match probability is (1-p)^16 per band
-    # with p = theta/pi (theta from cosine ~ 2J/(1+J)), so even
-    # J ~ 0.9 pairs sit near p ~ 0.10 and can miss all four bands;
-    # the repo's certified-100%-recall rung at this cut is the
-    # deterministic banded-MinHash llm_dedup_near_exactverify
-    # ((1-J)^16 miss probability, ~1e-11 at J = 0.8).  A drop BELOW
-    # 0.85 would signal a real blocking regression, not geometry.
+    # Floor = 0.95 (raised from 0.85 when the 8x16-band
+    # double-signature geometry landed, round 16).  Measured operating
+    # band for signatures=2: 1.0 at sf0.01, 0.965 at sf0.1, 0.976 at
+    # the 50 k-doc bench corpus (SIMHASH8_r15*.json) — the floor sits
+    # 0.015 below the weakest measured point, intentionally tight
+    # (ADVICE r15 #4 asked for floors derived from the measured band
+    # with explicit tolerance): any-of-8 band-match probability is
+    # 1-(1-(1-p)^16)^8 ≈ 0.95 at J ≈ 0.9 (p = theta/pi, cos theta ~
+    # 2J/(1+J)), so a drop below 0.95 on THIS fixture class means the
+    # blocking regressed (e.g. a signature silently dropped), not
+    # geometry noise — the J-distribution of planted near-dups is
+    # fixture-controlled, not sampled.  The repo's
+    # certified-100%-recall rung at this cut remains the deterministic
+    # banded-MinHash llm_dedup_near_exactverify ((1-J)^16 miss
+    # probability, ~1e-11 at J = 0.8).
     exact = {
         (r["doc_a"], r["doc_b"])
         for r in env["queries"]["llm_dedup_near_exactverify"](spark, sf_dir).collect()
     }
     got = {(r["doc_a"], r["doc_b"]) for r in rows}
     recall = len(got & exact) / len(exact) if exact else 1.0
-    out["recall_vs_exactverify_ge_85pct"] = recall >= 0.85
+    out["recall_vs_exactverify_ge_95pct"] = recall >= 0.95
     out["recall"] = round(recall, 4)
     out["n_exact_pairs"] = len(exact)
     return out
