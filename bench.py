@@ -96,6 +96,11 @@ HEAVY_SF1 = [
     # user-keyed sort, the sequential-state class no plain agg/join
     # shape exercises.  Baseline 0.77 s warm noop (BASELINE.md r15).
     "evt_funnel_steps",
+    # funnel-latency shape (round 16): per-transition time-to-convert
+    # EXACT percentiles over the same one-shuffle funnel spine — the
+    # sorted-digest percentile-aggregation class no other sf1 shape
+    # exercises.  Baseline 0.74 s warm noop (BASELINE.md r16).
+    "evt_funnel_time_to_convert",
 ]
 # Median-of-5 by default (round 14; was median-of-3 since VERDICT r7
 # #1): the documented host CPU-steal noise band (BASELINE.md:97-105,

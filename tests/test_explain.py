@@ -669,6 +669,30 @@ def test_funnel_single_shuffle_no_self_join(spark):
     assert "props" not in read and "value" not in read, plan
 
 
+def test_funnel_time_to_convert_single_event_shuffle(spark):
+    """evt_funnel_time_to_convert (round 16): the funnel-latency
+    percentiles must reuse the funnel spine's plan shape — ONE
+    user-keyed shuffle serving both Window passes AND the per-user
+    rollup, then one tiny stage-keyed exchange over one row per
+    converting user.  No self-join per transition (the textbook
+    funnel-latency query's cost), and the events scan pruned to the
+    three funnel columns."""
+    from data_ingest_utils_spark.plans import QUERIES
+
+    df = QUERIES["evt_funnel_time_to_convert"](spark, SF_T2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert plan.count("hashpartitioning(stage") == 1, plan
+    assert plan.count("- Window (") == 2, plan
+    read = plan.split("ReadSchema", 1)[1][:200]
+    assert "user_id" in read and "event_type" in read, plan
+    assert "props" not in read and "value" not in read, plan
+
+
 def test_runtime_bloom_filter_injection(spark):
     """Engine-capability certificate (round 15): Spark's runtime
     BLOOM-FILTER join pruning — the optimizer builds a bloom filter

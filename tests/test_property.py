@@ -559,6 +559,118 @@ def test_prop_funnel_order_semantics_tie_robust(spark, rows):
     assert _norm(got) == _norm(want)
 
 
+@SETTINGS
+@given(rows=FUNNEL_EVENTS)
+def test_prop_funnel_time_to_convert_percentiles(spark, rows):
+    """evt_funnel_time_to_convert's core vs the identical DuckDB SQL
+    on random tie-laden event sets: per-user first_view / qualifying
+    first_click / qualifying first_purchase, then EXACT interpolated
+    percentiles of the integer conversion delays.  Exercises the
+    cross-engine percentile contract (Spark ``percentile`` vs DuckDB
+    ``quantile_cont`` — same (n−1)·q linear interpolation) on top of
+    the strict-> sequencing the funnel fuzz already pins; a
+    divergence in either layer shrinks to a minimal frame."""
+    from pyspark.sql import Window
+
+    sdf = spark.createDataFrame(
+        [(int(u), int(t), e) for u, t, e in rows],
+        "user_id long, ts long, event_type string",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        sdf.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "qual_click",
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            ),
+        )
+        .withColumn("first_click", F.min("qual_click").over(w))
+        .withColumn(
+            "qual_purchase",
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_click")),
+                F.col("ts"),
+            ),
+        )
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min("qual_click").alias("fc"),
+        F.min("qual_purchase").alias("fp"),
+    )
+    got = (
+        per_user.select(
+            F.expr(
+                "stack(2, 'v2c', fc - fv, 'c2p', fp - fc) AS (stage, d)"
+            )
+        )
+        .filter(F.col("d").isNotNull())
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(d, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(d, 0.9)"), 6).alias("p90"),
+        )
+        .toPandas()
+    )
+    want = _duck(
+        {"ev": pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])},
+        """
+        WITH s1 AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS first_view
+          FROM ev
+        ),
+        s2 AS (
+          SELECT *, CASE WHEN event_type = 'click' AND ts > first_view
+                         THEN ts END AS qual_click
+          FROM s1
+        ),
+        s3 AS (
+          SELECT *, min(qual_click)
+                      OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS first_click
+          FROM s2
+        ),
+        s4 AS (
+          SELECT *, CASE WHEN event_type = 'purchase' AND ts > first_click
+                         THEN ts END AS qual_purchase
+          FROM s3
+        ),
+        u AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+                 min(qual_click) AS fc,
+                 min(qual_purchase) AS fp
+          FROM s4 GROUP BY user_id
+        ),
+        d AS (
+          SELECT 'v2c' AS stage, fc - fv AS d FROM u WHERE fc IS NOT NULL
+          UNION ALL
+          SELECT 'c2p', fp - fc FROM u WHERE fp IS NOT NULL
+        )
+        SELECT stage, count(*)::BIGINT AS n,
+               round(quantile_cont(d, 0.5), 6) AS p50,
+               round(quantile_cont(d, 0.9), 6) AS p90
+        FROM d GROUP BY stage
+        """,
+    )
+    assert _norm(got) == _norm(want)
+
+
 ISLAND_ROWS = st.lists(
     st.tuples(st.integers(0, 3), st.integers(0, 15)),  # (user, day) w/ dups
     max_size=40,
