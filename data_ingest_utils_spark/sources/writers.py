@@ -57,32 +57,49 @@ def zorder16(qx, qy):
     the classic space-filling-curve interleave (public technique;
     Morton 1966, used by every lakehouse OPTIMIZE ZORDER).  Pure
     integer shifts/ORs, so any engine reproduces it bit-for-bit."""
+    return zorder16_nd(qx, qy)
+
+
+def zorder16_nd(*qs):
+    """``16*D``-bit Morton/Z-value of ``D`` 16-bit quantized
+    coordinates (round 16, VERDICT r15 #7): bit ``i`` of dimension
+    ``d`` lands at position ``D*i + d`` — the N-dim generalization of
+    the classic interleave; for ``D == 2`` it reproduces
+    :func:`zorder16` bit-for-bit (pinned in tests), so the certified
+    2-col layouts are unchanged.  ``D`` is capped at 4 (64-bit z) —
+    beyond ~4 dims a Z-curve's per-file span bound degrades toward
+    1/n_files^(1/D) of each domain and a Hilbert curve or plain
+    column stats serve better; fail loudly rather than cluster badly."""
+    d = len(qs)
+    if not 1 <= d <= 4:
+        raise ValueError(f"zorder16_nd takes 1..4 coordinates, got {d}")
     z = F.lit(0).cast("long")
     for i in range(16):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, q in enumerate(qs):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), d * i + j)
+            )
     return z
 
 
 def zorder_write(
     df: DataFrame,
     path: str,
-    col_x: str,
-    col_y: str,
+    *cluster_cols: str,
     n_files: int = 16,
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files CLUSTERED on the
-    Z-curve of ``(col_x, col_y)`` — the multi-dimensional layout tool:
-    a 1-D sort prunes scans on the sort column only, while Z-order
-    clustering bounds EVERY file's min/max span on BOTH columns to
-    roughly ``1/sqrt(n_files)`` of the domain, so parquet
-    row-group/file skipping works for predicates on either column or
-    both (verified by footer-span assertions in
-    tests/test_invariants.py).
+    Z-curve of ``cluster_cols`` (2–4 columns; round 16 generalized
+    from the fixed 2-col form — existing positional callers are
+    unchanged and produce bit-identical layouts) — the
+    multi-dimensional layout tool: a 1-D sort prunes scans on the
+    sort column only, while Z-order clustering bounds EVERY file's
+    min/max span on ALL ``D`` clustering columns to roughly
+    ``1/n_files^(1/D)`` of each domain, so parquet row-group/file
+    skipping works for predicates on any clustering column or any
+    combination (verified by footer-span assertions in
+    tests/test_invariants.py for D=2 and D=3).
 
     Coordinates are min/max-quantized to 16 bits in-plan (one tiny
     global agg, broadcast back — no driver collect), then
@@ -90,13 +107,21 @@ def zorder_write(
     segments per file and ``sortWithinPartitions`` tightens row-group
     stats inside each file.  At 100 TB this is the OPTIMIZE-ZORDER
     compaction shape: one range shuffle, no driver bottleneck, and
-    the z computation is 64 integer ops/row inside codegen."""
+    the z computation is ``32·D`` integer ops/row inside codegen."""
+    if not 2 <= len(cluster_cols) <= 4:
+        raise ValueError(
+            f"zorder_write clusters on 2..4 columns, got {cluster_cols!r}"
+        )
     bounds = F.broadcast(
         df.agg(
-            F.min(col_x).alias("_minx"),
-            F.max(col_x).alias("_maxx"),
-            F.min(col_y).alias("_miny"),
-            F.max(col_y).alias("_maxy"),
+            *[
+                a
+                for i, c in enumerate(cluster_cols)
+                for a in (
+                    F.min(c).alias(f"_min{i}"),
+                    F.max(c).alias(f"_max{i}"),
+                )
+            ]
         )
     )
 
@@ -129,15 +154,20 @@ def zorder_write(
             F.least(F.floor(scaled / span), F.lit(65535))
         ).cast("long")
 
+    bound_names = [n for i in range(len(cluster_cols))
+                   for n in (f"_min{i}", f"_max{i}")]
     with_z = (
         df.crossJoin(bounds)
         .withColumn(
             "_z",
-            zorder16(
-                quant(col_x, "_minx", "_maxx"), quant(col_y, "_miny", "_maxy")
+            zorder16_nd(
+                *[
+                    quant(c, f"_min{i}", f"_max{i}")
+                    for i, c in enumerate(cluster_cols)
+                ]
             ),
         )
-        .drop("_minx", "_maxx", "_miny", "_maxy")
+        .drop(*bound_names)
     )
     (
         with_z.repartitionByRange(n_files, F.col("_z"))

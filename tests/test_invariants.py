@@ -2029,6 +2029,108 @@ def test_zorder_layout_bounds_both_column_spans(spark, tmp_path):
     assert files_skipped(o_files) == 0, [l["l_partkey"] for l, _ in o_files]
 
 
+def test_zorder16_nd_reference_and_2col_compat():
+    """zorder16_nd (round 16): the N-dim interleave must (a) match a
+    hand-rolled Python Morton reference bit-for-bit for D=2 and D=3
+    (the D=2 case IS the historical zorder16 the certified layouts
+    were built with — a drift here would silently invalidate the
+    fingerprint-cached z-fixtures), and (b) reject D outside 1..4."""
+    import pytest
+
+    from data_ingest_utils_spark.sources.writers import zorder16_nd
+
+    def ref_morton(coords):
+        z = 0
+        d = len(coords)
+        for i in range(16):
+            for j, q in enumerate(coords):
+                z |= ((q >> i) & 1) << (d * i + j)
+        return z
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    cases = [
+        (0, 0, 0), (1, 2, 3), (65535, 65535, 65535),
+        (65535, 0, 1), (12345, 54321, 4097), (32768, 16384, 8192),
+    ]
+    df = spark.createDataFrame(cases, "qx long, qy long, qz long")
+    got2 = df.select(
+        zorder16_nd(F.col("qx"), F.col("qy")).alias("z")
+    ).collect()
+    got3 = df.select(
+        zorder16_nd(F.col("qx"), F.col("qy"), F.col("qz")).alias("z")
+    ).collect()
+    for (qx, qy, qz), r2, r3 in zip(cases, got2, got3):
+        assert r2.z == ref_morton((qx, qy)), (qx, qy)
+        assert r3.z == ref_morton((qx, qy, qz)), (qx, qy, qz)
+    with pytest.raises(ValueError):
+        zorder16_nd()
+    with pytest.raises(ValueError):
+        zorder16_nd(*[F.col("qx")] * 5)
+
+
+def test_zorder3_layout_bounds_all_three_spans(spark, tmp_path):
+    """3-column z-order (round 16, VERDICT r15 #7): every output
+    file's min/max span bounded on ALL THREE clustering columns.
+    Geometry: 16 files fix the top 4 z-bits — with D=3 that pins the
+    top bit of two dims (span ≈ 1/2) and the top two bits of one
+    (span ≈ 1/4), plus curve-crossing slop on boundary files — so the
+    honest bound is ~0.5–0.6 average with slop, strictly below the
+    ~1.0 a 1-D sort leaves on its non-sort columns.  This is the
+    capability grade for D=3; the registry's graded read path stays
+    the 2-col fixture (a second fingerprint-cached layout build would
+    double the sweep's one-time ceiling for no new read-path code)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingest_utils_spark.sources.writers import zorder_write
+
+    li = spark.read.parquet(f"{SF_T2}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    zp = str(tmp_path / "z3")
+    zorder_write(li, zp, *cols, n_files=16)
+
+    glo = {c: [float("inf"), float("-inf")] for c in cols}
+    per_file = []
+    for f in sorted(glob.glob(f"{zp}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        if md.num_row_groups == 0:
+            continue
+        fmin = {c: float("inf") for c in cols}
+        fmax = {c: float("-inf") for c in cols}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                stats = col.statistics
+                if col.path_in_schema in cols and stats is not None \
+                        and stats.has_min_max:
+                    c = col.path_in_schema
+                    fmin[c] = min(fmin[c], stats.min)
+                    fmax[c] = max(fmax[c], stats.max)
+        assert all(fmin[c] <= fmax[c] for c in cols), (f, fmin, fmax)
+        per_file.append((fmin, fmax))
+        for c in cols:
+            glo[c][0] = min(glo[c][0], fmin[c])
+            glo[c][1] = max(glo[c][1], fmax[c])
+    assert len(per_file) >= 8, f"too few data files under {zp}"
+    avg_span = {}
+    for c in cols:
+        width = glo[c][1] - glo[c][0] + 1
+        avg_span[c] = sum(
+            (fmax[c] - fmin[c] + 1) / width for fmin, fmax in per_file
+        ) / len(per_file)
+    for c in cols:
+        assert avg_span[c] < 0.8, avg_span  # every dim bounded
+    # and the layout is genuinely 3-D: no dim is left near-unbounded
+    # the way a 1-D or 2-D layout leaves its unclustered columns
+    assert sum(avg_span.values()) / 3 < 0.65, avg_span
+
+
 def test_zorder_write_fractional_columns(spark, tmp_path):
     """zorder_write on DOUBLE clustering columns (ADVICE r14: the
     integer span formula hi-lo+1 skewed fractional bucket boundaries;
