@@ -26,10 +26,17 @@ Writes SIMHASH8_r{N}.json.  Decision protocol: land the 8-band form
 in round 16 only if recall gains hold AND the bench ngram_banded
 shape stays within its baseline under the ~2× verify load.
 
+ROUND 16 UPDATE: the 8-band form LANDED (``signatures=2`` is now the
+default in operators/dedup.py), so both arms are expressed through
+the landed ``signatures`` parameter — ``legacy_4x16`` is
+``signatures=1`` (the pre-round-16 geometry), ``landed_8x16`` is the
+default.  The r15 prototype closure this tool used for measurement is
+gone; the arms now exercise the exact production code path.
+
 Usage::
 
     python tools/simhash_bands_ab.py [--sf /root/testdata/sf0.1]
-        [--out SIMHASH8_r15.json]
+        [--out SIMHASH8_r16.json]
 """
 
 from __future__ import annotations
@@ -44,17 +51,12 @@ import time
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--out", default="SIMHASH8_r15.json")
+    ap.add_argument("--out", default="SIMHASH8_r16.json")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    from pyspark.sql import functions as F
-
-    from data_ingest_utils_spark.operators.dedup import (
-        simhash_band_candidates,
-        tokens,
-    )
+    from data_ingest_utils_spark.operators.dedup import simhash_band_candidates
     from data_ingest_utils_spark.plans import QUERIES
     from data_ingest_utils_spark.session import get_session
     from data_ingest_utils_spark.sources.readers import load_table
@@ -69,72 +71,10 @@ def main() -> int:
         for r in QUERIES["llm_dedup_near_exactverify"](spark, sf_dir).collect()
     }
 
-    def eight_band_candidates(df):
-        """Prototype: TWO independent signatures (feature hash and
-        salted feature hash) -> 8 bands x 16 bits.  Same one-hash-agg
-        shape as operators.dedup.simhash64, twice the bit columns;
-        band join identical to simhash_band_candidates."""
-        feats = F.array_remove(tokens(F.col("text")), "")
-        tok = df.select("doc_id", F.explode(feats).alias("term"))
-        tok = tok.withColumn("h0", F.xxhash64("term")).withColumn(
-            "h1", F.xxhash64(F.concat(F.col("term"), F.lit("\x01")))
-        )
-        sums = [
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"{h}b{i}")
-            for h in ("h0", "h1")
-            for i in range(64)
-        ]
-        per_doc = tok.groupBy("doc_id").agg(*sums)
-        sigs = []
-        for h in ("h0", "h1"):
-            sig = sum(
-                (
-                    F.when(
-                        F.col(f"{h}b{i}") > 0,
-                        F.shiftleft(F.lit(1).cast("long"), i),
-                    ).otherwise(F.lit(0).cast("long"))
-                    for i in range(64)
-                ),
-                start=F.lit(0).cast("long"),
-            )
-            sigs.append(sig.alias(f"sig_{h}"))
-        st = per_doc.select("doc_id", *sigs)
-        bands = st.select(
-            "doc_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftrightunsigned(F.col(f"sig_{h}"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        # band index must be globally unique across the
-                        # two signatures: (h_idx * 4 + b)
-                        for h in ("h0", "h1")
-                        for b in range(4)
-                    ]
-                )
-            ).alias("band_idx", "band_val"),
-        )
-        a = bands.select(
-            F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
-        )
-        b = bands.select(
-            F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
-        )
-        return (
-            a.join(b, ["band_idx", "band_val"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-
     arms = {}
     for name, gen in (
-        ("landed_4x16", lambda: simhash_band_candidates(docs)),
-        ("proto_8x16", lambda: eight_band_candidates(docs)),
+        ("legacy_4x16", lambda: simhash_band_candidates(docs, signatures=1)),
+        ("landed_8x16", lambda: simhash_band_candidates(docs)),
     ):
         t0 = time.monotonic()
         cands = {(r.doc_a, r.doc_b) for r in gen().collect()}
@@ -152,9 +92,9 @@ def main() -> int:
         "sf_dir": args.sf,
         "n_exact_reference_pairs": len(exact),
         "arms": arms,
-        "note": "measurement-only prototype; landing decision deferred "
-                "to round 16 (needs the bench ngram_banded cost under "
-                "the larger candidate volume)",
+        "note": "round 16: landed_8x16 IS the production default "
+                "(signatures=2 in operators/dedup.py); legacy_4x16 is "
+                "the pre-round-16 geometry via signatures=1",
     }
     with open(os.path.join(repo, args.out), "w") as f:
         json.dump(out, f, indent=1)
