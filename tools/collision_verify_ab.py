@@ -127,7 +127,15 @@ def main() -> int:
         arms: dict = {}
         rows_by_arm: dict[str, list] = {}
         for arm, build in (
-            ("landed", lambda: ngram_jaccard_banded(docs, n=n, threshold=threshold)),
+            # signatures=1 pins the 4×16-band geometry BOTH arms were
+            # designed around (the prototype's band explode is 4-band
+            # hardcoded): since round 16 the production default is
+            # signatures=2 (8 bands), and comparing an 8-band landed
+            # arm against the 4-band prototype would no longer be
+            # byte-identical — this tool A/Bs the VERIFY SHAPE, not
+            # the band geometry (tools/simhash_bands_ab.py does that).
+            ("landed", lambda: ngram_jaccard_banded(
+                docs, n=n, threshold=threshold, signatures=1)),
             ("prototype", lambda: prototype_collision_verify(docs, n, threshold)),
         ):
             build().write.format("noop").mode("overwrite").save()  # warm
