@@ -112,14 +112,33 @@ def zorder_write(
         raise ValueError(
             f"zorder_write clusters on 2..4 columns, got {cluster_cols!r}"
         )
+    from pyspark.sql import types as T
+
+    def _is_nanable(c: str) -> bool:
+        return isinstance(df.schema[c].dataType, (T.FloatType, T.DoubleType))
+
+    def _clean(c: str):
+        # NaN must not poison the domain bounds (code-review r16,
+        # live-reproduced): Spark's min/max order NaN LARGEST, so one
+        # NaN row would make span = NaN and floor(x/NaN) quantize
+        # EVERY row — not just the NaN one — to bucket 0, silently
+        # collapsing the whole dimension.  Exclude NaN from the
+        # bounds; the per-value guard in quant() then routes NaN rows
+        # themselves to a NULL z (nulls-first placement, same as NULL
+        # keys).  Decimals have no NaN; integrals can't hit this.
+        return (
+            F.when(~F.isnan(F.col(c)), F.col(c)) if _is_nanable(c)
+            else F.col(c)
+        )
+
     bounds = F.broadcast(
         df.agg(
             *[
                 a
                 for i, c in enumerate(cluster_cols)
                 for a in (
-                    F.min(c).alias(f"_min{i}"),
-                    F.max(c).alias(f"_max{i}"),
+                    F.min(_clean(c)).alias(f"_min{i}"),
+                    F.max(_clean(c)).alias(f"_max{i}"),
                 )
             ]
         )
@@ -143,12 +162,17 @@ def zorder_write(
             span = (F.col(hi) - F.col(lo) + F.lit(1)).cast("double")
             return F.floor(scaled / span).cast("long")
         span = (F.col(hi) - F.col(lo)).cast("double")
-        # NULL clustering values must propagate as NULL in BOTH
-        # branches (ADVICE r15: F.least skips NULLs, so a NULL — or a
-        # NaN-propagated arithmetic result — would otherwise land in
-        # the top bucket 65535 while the integral branch's floor
-        # propagates NULL; NULL-keyed rows then silently co-locate).
-        return F.when(F.col(c).isNull(), F.lit(None).cast("long")).when(
+        # NULL (and NaN — code-review r16) clustering values must
+        # propagate as NULL in BOTH branches (ADVICE r15: F.least
+        # skips NULLs, so a NULL would otherwise land in the top
+        # bucket 65535 while the integral branch's floor propagates
+        # NULL; a NaN would float through the arithmetic unclamped).
+        # NULL/NaN-keyed rows then take the nulls-first range slot
+        # instead of silently co-locating with the max-value bucket.
+        unkeyed = F.col(c).isNull()
+        if _is_nanable(c):
+            unkeyed = unkeyed | F.isnan(F.col(c))
+        return F.when(unkeyed, F.lit(None).cast("long")).when(
             span == F.lit(0.0), F.lit(0)
         ).otherwise(
             F.least(F.floor(scaled / span), F.lit(65535))

@@ -2029,7 +2029,53 @@ def test_zorder_layout_bounds_both_column_spans(spark, tmp_path):
     assert files_skipped(o_files) == 0, [l["l_partkey"] for l, _ in o_files]
 
 
-def test_zorder16_nd_reference_and_2col_compat():
+def test_zorder_write_nan_does_not_collapse_dimension(spark, tmp_path):
+    """Code-review r16 (live-reproduced): Spark's min/max order NaN
+    LARGEST, so one NaN row used to make span = NaN and
+    floor(x / NaN) quantize EVERY row to bucket 0 — silently
+    collapsing the whole dimension's layout.  With the fix, bounds
+    exclude NaN, NaN rows take the NULL (nulls-first) slot, and the
+    non-NaN rows still get a genuinely bounded per-file span."""
+    import glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    from data_ingest_utils_spark.sources.writers import zorder_write
+
+    rows = [(i, float(i), float(i % 97)) for i in range(1, 2001)]
+    src = spark.createDataFrame(
+        rows, "k int, x double, y double"
+    ).unionByName(
+        spark.createDataFrame(
+            [(9001, float("nan"), 50.0)], "k int, x double, y double"
+        )
+    )
+    zp = str(tmp_path / "znan")
+    zorder_write(src, zp, "x", "y", n_files=8)
+    back = spark.read.parquet(zp)
+    assert back.count() == 2001  # the NaN row survives
+    assert back.filter(F.isnan("x")).count() == 1
+    # the x dimension did NOT collapse: per-file x spans are bounded
+    # (bucket-0 collapse would put the full domain in every file)
+    spans = []
+    for f in sorted(glob.glob(f"{zp}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = float("inf"), float("-inf")
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                stats = col.statistics
+                if col.path_in_schema == "x" and stats is not None \
+                        and stats.has_min_max and not math.isnan(stats.min):
+                    lo, hi = min(lo, stats.min), max(hi, stats.max)
+        if hi >= lo:
+            spans.append((hi - lo) / 2000.0)
+    assert spans and sum(spans) / len(spans) < 0.8, spans
+
+
+def test_zorder16_nd_reference_and_2col_compat(spark):
     """zorder16_nd (round 16): the N-dim interleave must (a) match a
     hand-rolled Python Morton reference bit-for-bit for D=2 and D=3
     (the D=2 case IS the historical zorder16 the certified layouts
@@ -2047,9 +2093,6 @@ def test_zorder16_nd_reference_and_2col_compat():
                 z |= ((q >> i) & 1) << (d * i + j)
         return z
 
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
     cases = [
         (0, 0, 0), (1, 2, 3), (65535, 65535, 65535),
         (65535, 0, 1), (12345, 54321, 4097), (32768, 16384, 8192),
