@@ -114,20 +114,27 @@ def main() -> int:
     # whatever key happened to run first (scan_zorder_pruned read
     # 7.96 s cold vs 0.89 s warm).  One cheap untimed scan retires
     # those costs so every recorded per-key number is a real key cost.
-    t0 = time.perf_counter()
-    try:
-        QUERIES["scan_parquet"](spark, args.sf).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        print(
-            f"sweep: warm-up scan_parquet {time.perf_counter() - t0:.2f}s "
-            "(untimed, absorbs first-job spin-up)",
-            file=sys.stderr,
-        )
-    except Exception as exc:  # noqa: BLE001 — the sweep must still map
-        # the surface when the warm-up key itself is broken (its graded
-        # run below records the error like any other key)
-        print(f"sweep: warm-up failed, continuing: {exc}", file=sys.stderr)
+    # Two cheap keys, one per fixture family: scan_parquet (lineitem
+    # read path) and evt_tumbling (events nanos→timestamp read +
+    # window machinery) — the r16 first pass with scan_parquet alone
+    # still left ~4 s of events-side cold cost on whatever key graded
+    # first.
+    for wk in ("scan_parquet", "evt_tumbling"):
+        t0 = time.perf_counter()
+        try:
+            QUERIES[wk](spark, args.sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            print(
+                f"sweep: warm-up {wk} {time.perf_counter() - t0:.2f}s "
+                "(untimed, absorbs first-job spin-up)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — the sweep must still
+            # map the surface when a warm-up key itself is broken (its
+            # graded run below records the error like any other key)
+            print(f"sweep: warm-up {wk} failed, continuing: {exc}",
+                  file=sys.stderr)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, key in enumerate(keys, 1):
@@ -143,7 +150,7 @@ def main() -> int:
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:12]
     payload = {
         "profile": args.profile,
-        "warmup": "scan_parquet (untimed first job, round 16)",
+        "warmup": "scan_parquet + evt_tumbling (untimed first jobs, round 16)",
         "master": spark.sparkContext.master,
         "sf_dir": args.sf,
         "n_keys": len(keys),
