@@ -1414,6 +1414,17 @@ def test_simhash_double_signature_geometry(spark, planted_docs):
     # (essentially) every doc
     diff = sum(1 for d in one if two[d].simhash1 != two[d].simhash)
     assert diff >= 0.99 * len(one)
+    # the sha256 hash_fn composes with multi-signature salting too
+    # (the salted term feeds sha2 exactly as it feeds xxhash64):
+    # first signature matches the historical sha256 form, second is
+    # independent
+    sha1 = {r.doc_id: r.simhash
+            for r in dd.simhash64(planted_docs, hash_fn="sha256").collect()}
+    sha2 = {r.doc_id: r for r in dd.simhash64(
+        planted_docs, hash_fn="sha256", signatures=2).collect()}
+    assert all(sha2[d].simhash == s for d, s in sha1.items())
+    assert sum(1 for d in sha1 if sha2[d].simhash1 != sha2[d].simhash) \
+        >= 0.99 * len(sha1)
     c1 = {(r.doc_a, r.doc_b) for r in
           dd.simhash_band_candidates(planted_docs, signatures=1).collect()}
     c2 = {(r.doc_a, r.doc_b) for r in
