@@ -219,6 +219,14 @@ def as_of_attach(
     same stream": ONE window shuffle instead of a range join.  For an
     as-of join between two *different* tables, union the tables with a
     side tag first and apply the same window — still one shuffle.
+
+    NULL timestamps sort FIRST in Spark's ascending window order
+    (DuckDB defaults to NULLS LAST — a cross-engine twin must say
+    ``NULLS FIRST`` explicitly), so a NULL-ts value row is "before"
+    every real timestamp: engine-order semantics, not time semantics.
+    Filter null ``ts_col`` upstream when that isn't intended; the
+    tie/NULL contract is pinned cross-engine in
+    tests/test_property.py::test_prop_asof_attach_cross_engine.
     """
     order = [F.col(ts_col)] + [F.col(t) for t in tiebreakers]
     w = (

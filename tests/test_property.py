@@ -671,6 +671,72 @@ def test_prop_funnel_time_to_convert_percentiles(spark, rows):
     assert _norm(got) == _norm(want)
 
 
+ASOF_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 3),                        # user_id — dense
+        st.one_of(st.none(), st.integers(0, 6)),  # ts — ties AND NULLs
+        st.sampled_from(["view", "purchase", None]),
+    ),
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=ASOF_ROWS)
+def test_prop_asof_attach_cross_engine(spark, rows):
+    """as_of_attach (backward) and as_of_attach_forward vs the DuckDB
+    last_value/first_value IGNORE NULLS twins on random tie-laden,
+    NULL-laden frames.  Pins two semantics the fixture keys never
+    exercise: (a) TIES — the event_id tiebreaker makes the window
+    order total, so both engines agree on which 'most recent' value a
+    tied row sees; (b) NULL timestamps — Spark sorts NULL FIRST in
+    ascending window order while DuckDB defaults to NULLS LAST, so
+    the twin must say NULLS FIRST explicitly; a NULL-ts purchase is
+    then 'before' every real timestamp in both engines (documented
+    choice: as-of over a NULL timestamp is engine-order semantics,
+    not time semantics — real pipelines should filter null ts)."""
+    from data_ingest_utils_spark.operators.relational import (
+        as_of_attach,
+        as_of_attach_forward,
+    )
+
+    data = [(int(u), t, e, i) for i, (u, t, e) in enumerate(rows)]
+    sdf = spark.createDataFrame(
+        data, "user_id long, ts long, event_type string, event_id long"
+    )
+    val = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    got = (
+        as_of_attach_forward(
+            as_of_attach(sdf, ["user_id"], "ts", val, "asof_back",
+                         tiebreakers=["event_id"]),
+            ["user_id"], "ts", val, "asof_fwd", tiebreakers=["event_id"],
+        )
+        .select("event_id", "asof_back", "asof_fwd")
+        .toPandas()
+    )
+    want = _duck(
+        {"ev": pd.DataFrame(
+            data, columns=["user_id", "ts", "event_type", "event_id"])},
+        """
+        SELECT event_id,
+               last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts NULLS FIRST, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS asof_back,
+               first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                           IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts NULLS FIRST, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS asof_fwd
+        FROM ev
+        """,
+    )
+    assert _norm(got) == _norm(want)
+
+
 ISLAND_ROWS = st.lists(
     st.tuples(st.integers(0, 3), st.integers(0, 15)),  # (user, day) w/ dups
     max_size=40,
