@@ -737,6 +737,56 @@ def test_prop_asof_attach_cross_engine(spark, rows):
     assert _norm(got) == _norm(want)
 
 
+RANGE_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 2),                        # user — dense partitions
+        st.one_of(st.none(), st.integers(0, 9)),  # sort key — ties AND NULLs
+        st.one_of(st.none(), st.integers(-5, 5)), # value — avg skips NULLs
+    ),
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=RANGE_ROWS)
+def test_prop_range_frame_window_cross_engine(spark, rows):
+    """RANGE-frame windows (win_moving_avg_range's class) vs the
+    identical DuckDB SQL on random tie-laden, NULL-laden frames.
+    Pins three standard-SQL behaviors the fixture key never stresses:
+    tied sort keys are PEERS (every peer's row is in every peer's
+    frame — order-insensitive by construction), NULL sort keys form
+    one shared peer frame in BOTH engines (probed: Spark's nulls-first
+    and DuckDB's explicit NULLS FIRST agree), and avg skips NULL
+    values.  Values are exact small integers so avg is an exact
+    rational — 6-dp rounding can't mask a frame-membership bug."""
+    from pyspark.sql import Window
+
+    data = [(int(u), s, v, i) for i, (u, s, v) in enumerate(rows)]
+    sdf = spark.createDataFrame(
+        data, "u long, sec long, v long, id long"
+    )
+    w = Window.partitionBy("u").orderBy("sec").rangeBetween(
+        -3, Window.currentRow
+    )
+    got = sdf.select(
+        "id",
+        F.round(F.avg("v").over(w), 6).alias("mov_avg"),
+        F.count("v").over(w).alias("n_vals"),
+    ).toPandas()
+    want = _duck(
+        {"t": pd.DataFrame(data, columns=["u", "sec", "v", "id"])},
+        """
+        SELECT id,
+               round(avg(v) OVER w, 6) AS mov_avg,
+               count(v) OVER w AS n_vals
+        FROM t
+        WINDOW w AS (PARTITION BY u ORDER BY sec NULLS FIRST
+                     RANGE BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+    )
+    assert _norm(got) == _norm(want)
+
+
 ISLAND_ROWS = st.lists(
     st.tuples(st.integers(0, 3), st.integers(0, 15)),  # (user, day) w/ dups
     max_size=40,
