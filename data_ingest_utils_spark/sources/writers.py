@@ -60,21 +60,37 @@ def zorder16(qx, qy):
     return zorder16_nd(qx, qy)
 
 
+def zorder_bits(d: int) -> int:
+    """Per-dimension quantization width for a D-column z-value.  16
+    bits for D ≤ 3 (z ≤ 48 bits); 15 bits for D = 4 (ADVICE r16:
+    with 16-bit coordinates, dimension 3's top bit would land at
+    position ``4*15 + 3 = 63`` — the JVM long's SIGN bit — making
+    half the domain negative, and ``repartitionByRange``'s signed
+    ordering would then split the Morton curve at the sign seam, so
+    the file straddling it spans nearly the full domain on all four
+    columns.  15-bit coordinates top out at position 59 and the z
+    stays non-negative)."""
+    return 15 if d == 4 else 16
+
+
 def zorder16_nd(*qs):
-    """``16*D``-bit Morton/Z-value of ``D`` 16-bit quantized
-    coordinates (round 16, VERDICT r15 #7): bit ``i`` of dimension
-    ``d`` lands at position ``D*i + d`` — the N-dim generalization of
-    the classic interleave; for ``D == 2`` it reproduces
-    :func:`zorder16` bit-for-bit (pinned in tests), so the certified
-    2-col layouts are unchanged.  ``D`` is capped at 4 (64-bit z) —
-    beyond ~4 dims a Z-curve's per-file span bound degrades toward
-    1/n_files^(1/D) of each domain and a Hilbert curve or plain
-    column stats serve better; fail loudly rather than cluster badly."""
+    """``bits*D``-bit Morton/Z-value of ``D`` quantized coordinates
+    (round 16, VERDICT r15 #7): bit ``i`` of dimension ``d`` lands at
+    position ``D*i + d`` — the N-dim generalization of the classic
+    interleave; for ``D == 2`` it reproduces :func:`zorder16`
+    bit-for-bit (pinned in tests), so the certified 2-col layouts are
+    unchanged.  Coordinates must be quantized to :func:`zorder_bits`
+    (D) bits — 16 for D ≤ 3, 15 for D = 4 (sign-bit hazard; see
+    zorder_bits) — as :func:`zorder_write`'s quant stage guarantees.
+    ``D`` is capped at 4 — beyond ~4 dims a Z-curve's per-file span
+    bound degrades toward 1/n_files^(1/D) of each domain and a
+    Hilbert curve or plain column stats serve better; fail loudly
+    rather than cluster badly."""
     d = len(qs)
     if not 1 <= d <= 4:
         raise ValueError(f"zorder16_nd takes 1..4 coordinates, got {d}")
     z = F.lit(0).cast("long")
-    for i in range(16):
+    for i in range(zorder_bits(d)):
         for j, q in enumerate(qs):
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), d * i + j)
@@ -117,17 +133,31 @@ def zorder_write(
     def _is_nanable(c: str) -> bool:
         return isinstance(df.schema[c].dataType, (T.FloatType, T.DoubleType))
 
-    def _clean(c: str):
-        # NaN must not poison the domain bounds (code-review r16,
-        # live-reproduced): Spark's min/max order NaN LARGEST, so one
-        # NaN row would make span = NaN and floor(x/NaN) quantize
-        # EVERY row — not just the NaN one — to bucket 0, silently
-        # collapsing the whole dimension.  Exclude NaN from the
-        # bounds; the per-value guard in quant() then routes NaN rows
-        # themselves to a NULL z (nulls-first placement, same as NULL
-        # keys).  Decimals have no NaN; integrals can't hit this.
+    def _nonfinite(c: str):
+        # NaN AND ±Infinity (ADVICE r16: the r16 NaN fix alone left
+        # the same pathology open via inf — one inf row makes
+        # span = inf, so floor(x/inf) quantizes every FINITE row to
+        # bucket 0, silently collapsing the dimension).
+        col = F.col(c)
         return (
-            F.when(~F.isnan(F.col(c)), F.col(c)) if _is_nanable(c)
+            F.isnan(col)
+            | (col == F.lit(float("inf")))
+            | (col == F.lit(float("-inf")))
+        )
+
+    def _clean(c: str):
+        # Non-finite values must not poison the domain bounds
+        # (code-review r16, live-reproduced for NaN; ADVICE r16 for
+        # inf): Spark's min/max order NaN LARGEST, so one NaN row
+        # would make span = NaN and floor(x/NaN) quantize EVERY row —
+        # not just the NaN one — to bucket 0; an inf row collapses
+        # the dimension the same way through span = inf.  Exclude
+        # both from the bounds; the per-value guard in quant() then
+        # routes non-finite rows themselves to a NULL z (nulls-first
+        # placement, same as NULL keys).  Decimals have no
+        # NaN/inf; integrals can't hit this.
+        return (
+            F.when(~_nonfinite(c), F.col(c)) if _is_nanable(c)
             else F.col(c)
         )
 
@@ -144,12 +174,16 @@ def zorder_write(
         )
     )
 
+    n_buckets = float(1 << zorder_bits(len(cluster_cols)))
+
     def quant(c, lo, hi):
-        # Span formula branches on the clustering column's type
+        # Bucket count is 2^zorder_bits(D) — 65536 for D ≤ 3, 32768
+        # for D = 4 (ADVICE r16 sign-bit fix; see zorder_bits).  Span
+        # formula branches on the clustering column's type
         # (ADVICE r14: the unconditional ``hi - lo + 1`` is the
-        # integer-domain form — it makes the 65536 buckets uniform
-        # over the hi-lo+1 distinct integers with max landing in
-        # bucket 65535.  Applied to a float/double/decimal column the
+        # integer-domain form — it makes the buckets uniform over the
+        # hi-lo+1 distinct integers with max landing in the top
+        # bucket.  Applied to a float/double/decimal column the
         # +1 skews every bucket boundary by 1/(hi-lo+1) of the
         # domain).  Fractional columns use the true span hi-lo with
         # the max value clamped into the top bucket, and a constant
@@ -157,25 +191,26 @@ def zorder_write(
         # divide-by-zero NaN→null z-value.
         from pyspark.sql import types as T
 
-        scaled = (F.col(c) - F.col(lo)).cast("double") * F.lit(65536.0)
+        scaled = (F.col(c) - F.col(lo)).cast("double") * F.lit(n_buckets)
         if isinstance(df.schema[c].dataType, T.IntegralType):
             span = (F.col(hi) - F.col(lo) + F.lit(1)).cast("double")
             return F.floor(scaled / span).cast("long")
         span = (F.col(hi) - F.col(lo)).cast("double")
-        # NULL (and NaN — code-review r16) clustering values must
-        # propagate as NULL in BOTH branches (ADVICE r15: F.least
-        # skips NULLs, so a NULL would otherwise land in the top
-        # bucket 65535 while the integral branch's floor propagates
-        # NULL; a NaN would float through the arithmetic unclamped).
-        # NULL/NaN-keyed rows then take the nulls-first range slot
-        # instead of silently co-locating with the max-value bucket.
+        # NULL (and NaN/inf — code-review r16 + ADVICE r16)
+        # clustering values must propagate as NULL in BOTH branches
+        # (ADVICE r15: F.least skips NULLs, so a NULL would otherwise
+        # land in the top bucket while the integral branch's floor
+        # propagates NULL; a NaN/inf would float through the
+        # arithmetic unclamped).  NULL/non-finite-keyed rows then
+        # take the nulls-first range slot instead of silently
+        # co-locating with the max-value bucket.
         unkeyed = F.col(c).isNull()
         if _is_nanable(c):
-            unkeyed = unkeyed | F.isnan(F.col(c))
+            unkeyed = unkeyed | _nonfinite(c)
         return F.when(unkeyed, F.lit(None).cast("long")).when(
             span == F.lit(0.0), F.lit(0)
         ).otherwise(
-            F.least(F.floor(scaled / span), F.lit(65535))
+            F.least(F.floor(scaled / span), F.lit(int(n_buckets) - 1))
         ).cast("long")
 
     bound_names = [n for i in range(len(cluster_cols))

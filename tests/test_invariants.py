@@ -2086,6 +2086,57 @@ def test_zorder_write_nan_does_not_collapse_dimension(spark, tmp_path):
     assert spans and sum(spans) / len(spans) < 0.8, spans
 
 
+def test_zorder_write_inf_does_not_collapse_dimension(spark, tmp_path):
+    """ADVICE r17: the r16 NaN fix excluded NaN from the min/max
+    domain bounds but not ±Infinity — a single inf row made
+    span = inf, so floor(x / inf) quantized every FINITE row to
+    bucket 0, silently collapsing the dimension via a different
+    special value.  With the fix, bounds exclude all non-finite
+    values, ±inf rows take the NULL (nulls-first) slot alongside
+    NaN, and the finite rows keep a genuinely bounded per-file span."""
+    import glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    from data_ingest_utils_spark.sources.writers import zorder_write
+
+    rows = [(i, float(i), float(i % 97)) for i in range(1, 2001)]
+    src = spark.createDataFrame(
+        rows, "k int, x double, y double"
+    ).unionByName(
+        spark.createDataFrame(
+            [(9001, float("inf"), 50.0), (9002, float("-inf"), 51.0)],
+            "k int, x double, y double",
+        )
+    )
+    zp = str(tmp_path / "zinf")
+    zorder_write(src, zp, "x", "y", n_files=8)
+    back = spark.read.parquet(zp)
+    assert back.count() == 2002  # both inf rows survive
+    assert back.filter(F.col("x") == float("inf")).count() == 1
+    assert back.filter(F.col("x") == float("-inf")).count() == 1
+    # the x dimension did NOT collapse: per-file x spans over the
+    # finite domain are bounded (span=inf collapse would put the full
+    # finite domain in every file)
+    spans = []
+    for f in sorted(glob.glob(f"{zp}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = float("inf"), float("-inf")
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                stats = col.statistics
+                if col.path_in_schema == "x" and stats is not None \
+                        and stats.has_min_max and math.isfinite(stats.min) \
+                        and math.isfinite(stats.max):
+                    lo, hi = min(lo, stats.min), max(hi, stats.max)
+        if hi >= lo:
+            spans.append((hi - lo) / 2000.0)
+    assert spans and sum(spans) / len(spans) < 0.8, spans
+
+
 def test_zorder16_nd_reference_and_2col_compat(spark):
     """zorder16_nd (round 16): the N-dim interleave must (a) match a
     hand-rolled Python Morton reference bit-for-bit for D=2 and D=3
@@ -2122,6 +2173,96 @@ def test_zorder16_nd_reference_and_2col_compat(spark):
         zorder16_nd()
     with pytest.raises(ValueError):
         zorder16_nd(*[F.col("qx")] * 5)
+
+
+def test_zorder16_nd_d4_nonnegative_and_reference(spark):
+    """ADVICE r17: with 16-bit coordinates, D=4 wrote dimension 3's
+    top bit to position 63 — the JVM long's sign bit — so half the
+    domain became negative z-values and repartitionByRange's signed
+    ordering split the Morton curve at the sign seam.  The fix
+    quantizes D=4 to 15 bits (z ≤ 60 bits, always non-negative).
+    Pin: (a) D=4 matches the 15-bit Python Morton reference
+    bit-for-bit, (b) the all-max coordinate (32767⁴) yields a
+    POSITIVE z, (c) zorder_bits is 16 for D ≤ 3 / 15 for D = 4."""
+    from data_ingest_utils_spark.sources.writers import (
+        zorder16_nd,
+        zorder_bits,
+    )
+
+    assert [zorder_bits(d) for d in (1, 2, 3, 4)] == [16, 16, 16, 15]
+
+    def ref_morton(coords, bits):
+        z = 0
+        d = len(coords)
+        for i in range(bits):
+            for j, q in enumerate(coords):
+                z |= ((q >> i) & 1) << (d * i + j)
+        return z
+
+    cases = [
+        (0, 0, 0, 0), (1, 2, 3, 4), (32767, 32767, 32767, 32767),
+        (32767, 0, 1, 16384), (12345, 21321, 4097, 32000),
+        (16384, 8192, 4096, 2048),
+    ]
+    df = spark.createDataFrame(cases, "qa long, qb long, qc long, qd long")
+    got = df.select(
+        zorder16_nd(
+            F.col("qa"), F.col("qb"), F.col("qc"), F.col("qd")
+        ).alias("z")
+    ).collect()
+    for coords, r in zip(cases, got):
+        assert r.z == ref_morton(coords, 15), coords
+        assert r.z >= 0, coords
+
+
+def test_zorder4_layout_no_sign_seam_file(spark, tmp_path):
+    """ADVICE r17 regression at the layout level: before the 15-bit
+    fix, the file straddling the z sign seam spanned nearly the full
+    domain on ALL FOUR clustering columns (signed range ordering cut
+    the Morton curve at the sign flip).  After the fix every file's
+    span is bounded: no file may span >90% of the domain on all four
+    columns simultaneously, and the per-column mean span over files
+    stays below the ~1.0 a collapsed layout would show."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingest_utils_spark.sources.writers import zorder_write
+
+    n = 4096
+    rows = [
+        (i, (i * 7) % n, (i * 131) % n, (i * 631) % n) for i in range(n)
+    ]
+    src = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    zp = str(tmp_path / "z4")
+    zorder_write(src, zp, "a", "b", "c", "d", n_files=16)
+    cols = ["a", "b", "c", "d"]
+    per_file = []
+    for f in sorted(glob.glob(f"{zp}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: float("inf") for c in cols}
+        hi = {c: float("-inf") for c in cols}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                s = col.statistics
+                if col.path_in_schema in lo and s is not None \
+                        and s.has_min_max:
+                    lo[col.path_in_schema] = min(lo[col.path_in_schema], s.min)
+                    hi[col.path_in_schema] = max(hi[col.path_in_schema], s.max)
+        per_file.append(
+            {c: (hi[c] - lo[c]) / (n - 1) for c in cols if hi[c] >= lo[c]}
+        )
+    assert len(per_file) >= 8
+    # the sign-seam pathology: one file spanning ~everything on all 4
+    seam_files = [
+        s for s in per_file if len(s) == 4 and all(v > 0.9 for v in s.values())
+    ]
+    assert not seam_files, per_file
+    for c in cols:
+        spans = [s[c] for s in per_file if c in s]
+        assert sum(spans) / len(spans) < 0.85, (c, spans)
 
 
 def test_zorder3_layout_bounds_all_three_spans(spark, tmp_path):
