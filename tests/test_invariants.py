@@ -2381,3 +2381,37 @@ def test_zorder_write_fractional_columns(spark, tmp_path):
     )
     zorder_write(const, cp, "x", "y", n_files=4)
     assert spark.read.parquet(cp).count() == 64
+
+
+def test_ngram_banded_recall_floor_table():
+    """Round 17 (VERDICT r16 task #5): the banded-dedup recall floor
+    is PER-SCALE, each entry derived as measured-recall − explicit
+    tolerance (replacing the single global 0.95 that sat 1.5 pts
+    under the sf0.1 measurement).  Pin the derivation: every floor is
+    strictly below its measured point by its own tolerance, the
+    measured points match SIMHASH8_r16's committed band, and the
+    resolver maps sf dirs (trailing slash included) and unknown
+    scales correctly."""
+    from tools.rowsonly_certificate import (
+        NGRAM_BANDED_RECALL_FLOOR_DEFAULT,
+        NGRAM_BANDED_RECALL_FLOORS,
+        ngram_banded_recall_floor,
+    )
+
+    # the committed measured band (SIMHASH8_r16.json / BASELINE.md)
+    assert NGRAM_BANDED_RECALL_FLOORS["sf0.01"][0] == 1.0
+    assert NGRAM_BANDED_RECALL_FLOORS["sf0.1"][0] == 0.9648
+    assert NGRAM_BANDED_RECALL_FLOORS["sf1.0"][0] == 0.976
+    for scale, (measured, tol) in NGRAM_BANDED_RECALL_FLOORS.items():
+        floor = ngram_banded_recall_floor(f"/root/testdata/{scale}")
+        assert floor == round(measured - tol, 4), (scale, floor)
+        assert 0.9 <= floor < measured, (scale, floor)
+        assert 0.0 < tol <= 0.05, (scale, tol)
+    # trailing slash and .scale-style parents resolve the same
+    assert ngram_banded_recall_floor("/root/testdata/sf0.1/") == \
+        ngram_banded_recall_floor("/root/testdata/sf0.1")
+    assert ngram_banded_recall_floor("/root/repo/.scale/sf1.0") == \
+        round(0.976 - 0.035, 4)
+    # unknown scale falls back to the weakest measured point − tol
+    assert ngram_banded_recall_floor("/tmp/whatever") == \
+        round(NGRAM_BANDED_RECALL_FLOOR_DEFAULT, 4)

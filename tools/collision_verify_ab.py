@@ -43,12 +43,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def prototype_collision_verify(docs: DataFrame, n: int, threshold: float) -> DataFrame:
-    """Arrays-ride-the-band-shuffle formulation (round-13 prototype)."""
+def prototype_collision_verify(
+    docs: DataFrame, n: int, threshold: float, signatures: int = 2
+) -> DataFrame:
+    """Arrays-ride-the-band-shuffle formulation (round-13 prototype).
+
+    Round 17 (VERDICT r16 "what's wrong" #2): the band explode is no
+    longer 4-band hardcoded — it picks up every ``band*`` column the
+    requested signature count emits, so the prototype arm A/Bs
+    against the PRODUCTION geometry (signatures=2 → 8×16 bands since
+    round 16) instead of the legacy signatures=1 shape."""
     from data_ingest_utils_spark.operators import dedup as dd
 
-    sig = dd.simhash64(docs, "text", "doc_id", unit="token", n=n).localCheckpoint(
-        eager=True
+    sig = dd.simhash64(
+        docs, "text", "doc_id", unit="token", n=n, signatures=signatures
+    ).localCheckpoint(eager=True)
+    band_cols = sorted(
+        (c for c in sig.columns if c.startswith("band")),
+        key=lambda c: int(c[4:]),
     )
     hv = dd._shingle_hash_arrays(docs, n, "doc_id")
     both = sig.join(hv, "doc_id")
@@ -56,7 +68,7 @@ def prototype_collision_verify(docs: DataFrame, n: int, threshold: float) -> Dat
         "doc_id",
         "hv",
         F.posexplode(
-            F.array(*[F.col(f"band{b}") for b in range(4)])
+            F.array(*[F.col(c) for c in band_cols])
         ).alias("band_idx", "band_val"),
     )
     a = bands.select(
@@ -94,6 +106,11 @@ def main() -> int:
     ap.add_argument("--out", default="ABCHECK_r14.json")
     ap.add_argument("--masters", default="local,cluster",
                     help="comma subset of {local,cluster}")
+    ap.add_argument("--signatures", type=int, default=2,
+                    help="SimHash signature count for BOTH arms "
+                         "(2 = the production 8x16-band geometry "
+                         "since round 16; 1 = the legacy 4x16 pin "
+                         "the r14 artifact was measured with)")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -127,16 +144,17 @@ def main() -> int:
         arms: dict = {}
         rows_by_arm: dict[str, list] = {}
         for arm, build in (
-            # signatures=1 pins the 4×16-band geometry BOTH arms were
-            # designed around (the prototype's band explode is 4-band
-            # hardcoded): since round 16 the production default is
-            # signatures=2 (8 bands), and comparing an 8-band landed
-            # arm against the 4-band prototype would no longer be
-            # byte-identical — this tool A/Bs the VERIFY SHAPE, not
-            # the band geometry (tools/simhash_bands_ab.py does that).
+            # Both arms run the SAME signature count (default 2 — the
+            # production 8×16-band geometry since round 16; round 17
+            # generalized the prototype's band explode away from its
+            # 4-band hardcoding), so the A/B isolates the VERIFY
+            # SHAPE at the geometry production actually uses.  Band
+            # geometry itself is A/B'd by tools/simhash_bands_ab.py.
             ("landed", lambda: ngram_jaccard_banded(
-                docs, n=n, threshold=threshold, signatures=1)),
-            ("prototype", lambda: prototype_collision_verify(docs, n, threshold)),
+                docs, n=n, threshold=threshold,
+                signatures=args.signatures)),
+            ("prototype", lambda: prototype_collision_verify(
+                docs, n, threshold, signatures=args.signatures)),
         ):
             build().write.format("noop").mode("overwrite").save()  # warm
             times = []
