@@ -40,6 +40,14 @@ SHAPES = {
     "llm_dedup_ngram_banded": "documents",
     "llm_segment_dedup": "documents",
     "evt_stream_stream_join": "events",
+    # extended families (round 17, beyond the VERDICT's three): the
+    # block-quadratic vector shape, the salted skew join over the
+    # 60 M-row fact, and the broadcast star join
+    "llm_embed_near_dup": "embeddings",
+    "join_skew_stress": "lineitem",
+    "join_multiway_star": "lineitem",
+    "llm_sim_binary_hamming_batch": "embeddings",
+    "evt_funnel_steps": "events",
 }
 
 SCALES = [
