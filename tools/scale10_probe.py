@@ -48,6 +48,11 @@ SHAPES = {
     "join_multiway_star": "lineitem",
     "llm_sim_binary_hamming_batch": "embeddings",
     "evt_funnel_steps": "events",
+    # batch 3: the native session-window agg and the certified-recall
+    # banded-MinHash dedup pipeline (the e2e key: signatures → bands →
+    # candidates → exact verify → connected components → keep-min)
+    "evt_session": "events",
+    "llm_dedup_minhash_e2e": "documents",
 }
 
 SCALES = [
