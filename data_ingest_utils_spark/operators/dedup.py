@@ -335,9 +335,15 @@ BROADCAST_VERIFY_MAX_DOCS = 1_000_000
 #: collision 11.8 s (attach keeps the 1.8× small-scale win that made
 #: it the default since round 13; at 5 k docs both read ~5 s,
 #: checkpoint-job-dominated).  The floor sits between the two
-#: measured points; at real-cluster (netty) shuffle the collision
-#: shape's advantage only grows (volume ratio ≈ collisions-per-doc/4
-#: ≈ 30–40× here).
+#: measured points.  Under a REAL multi-JVM master the attach arm
+#: auto-resolves to BROADCAST attach while the corpus fits the 1 M-doc
+#: broadcast gate, which already removes the per-pair re-shuffle —
+#: measured at sf10 under local-cluster[2,8,8192]: broadcast-attach
+#: 95.6 s vs collision 90.6 s (ABCHECK_r17_sf10.json), so the
+#: collision shape stays ahead (1.05×) even against that mitigation;
+#: ABOVE the broadcast ceiling (the 100 TB regime) the attach arm
+#: fails closed to shuffle attach and the collision shape's
+#: O(docs × bands) volume is the only scale path.
 COLLISION_VERIFY_MIN_DOCS = 200_000
 
 
