@@ -119,7 +119,21 @@ def simhash64(
         if unit == "token"
         else shingles(F.col(text_col), n)
     )
-    tok = df.select(id_col, F.explode(feats).alias("term"))
+    # Parallelism guard (round 17, measured): the explode + 64·S-way
+    # conditional-sum partial aggregation below inherits the SCAN's
+    # partitioning — an 8-file fixture runs it 8-wide on a 32-core
+    # host (24 cores idle).  Same no-op-at-scale contract as
+    # _shingle_hash_arrays: with ample scan partitions (the 100 TB
+    # case) the guard never repartitions.  Interleaved same-session
+    # A/B at sf1 (50 k docs, S=2, local[32], noop-timed signature
+    # materialization): unguarded median 3.95 s vs guarded 3.38 s
+    # (best 3.60 vs 3.03) — the stage is only partly map-bound (the
+    # final 128-column agg and checkpoint write don't widen), so the
+    # win is ~15%, not 4×.  Output identical (hash agg is
+    # partitioning-insensitive).
+    tok = ensure_parallelism(df, id_col).select(
+        id_col, F.explode(feats).alias("term")
+    )
     for s in range(signatures):
         # Signature s hashes the feature salted with s \x01 bytes —
         # independent hash families from one feature stream, so every

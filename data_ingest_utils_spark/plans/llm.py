@@ -3074,11 +3074,13 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive 10-token segments, drop every segment whose exact text
     repeats ANYWHERE in the corpus, and report per doc the segment
     count, survivors, and a sha256 of the cleaned text (original
-    order).  Plan shape at 100 TB: segment explode is narrow; the
-    frequency count is one map-side-combinable hash agg; the
-    count-back join shuffles on the segment string; the per-doc
-    reassembly is one more hash agg using sort_array(collect_list)
-    to restore order without a window."""
+    order).  Plan shape at 100 TB: segment explode is narrow; ONE
+    map-side-combinable hash agg per segment carries both the
+    frequency count and the min (doc_id, i) occurrence — unique
+    segments are recovered from the agg itself, so there is no
+    count-back join and the explode runs once, not once per
+    consumer; the per-doc reassembly is one more hash agg using
+    sort_array(collect_list) to restore order without a window."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     n_segs = F.ceil(F.size(t) / F.lit(10)).cast("long")
@@ -3103,8 +3105,31 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = d.select(
         "doc_id", F.posexplode(seg_arr).alias("i", "seg")
     )
-    cnt = segs.groupBy("seg").agg(F.count("*").alias("c"))
-    kept = segs.join(cnt, "seg").filter(F.col("c") == 1)
+    # Fused count-and-locate (round 17, guide §2.3/§2.4): a unique
+    # segment's single occurrence IS its min occurrence, so one
+    # groupBy(seg) carrying count + min(struct(doc_id, i)) replaces
+    # the count agg + count-back join — the join's second full
+    # segment-explode pass (the plan evaluated `segs` once per
+    # consumer) and its segment-string-keyed shuffle both disappear,
+    # and the agg state stays O(1) per segment (min, not
+    # collect_list, so a hot segment repeated 10⁹ times costs one
+    # 16-byte buffer, not a list).  Rows with c > 1 are dropped
+    # exactly as the joined filter dropped them; for c == 1 the min
+    # struct is the only (doc_id, i) — output byte-identical
+    # (oracle-hash re-verified round 17).
+    kept = (
+        segs.groupBy("seg")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.struct("doc_id", "i")).alias("_occ"),
+        )
+        .filter(F.col("c") == 1)
+        .select(
+            F.col("_occ.doc_id").alias("doc_id"),
+            F.col("_occ.i").alias("i"),
+            "seg",
+        )
+    )
     ka = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.sha2(
