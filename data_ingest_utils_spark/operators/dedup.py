@@ -17,6 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_ingest_utils_spark.operators.relational import ensure_parallelism
 from data_ingest_utils_spark.operators.text import distinct_shingles, shingles, tokens
@@ -52,28 +53,48 @@ def simhash64(
     """64-bit SimHash per document from hash_fn(feature).
 
     For each bit i, sum +1/-1 over features by whether bit i of the
-    feature hash is set; the signature bit is the sign of the sum.  All
-    64 bit-sums run in ONE hash aggregation (64 conditional-sum
-    columns), entirely JVM-side.  Emits 16-bit bands b0..b3: same-band
-    equality is the O(n) candidate-pair blocking key (Hamming-distance
-    near-dups share a band with high probability).
+    feature hash is set; the signature bit is the sign of the sum.
+    Emits 16-bit bands b0..b3: same-band equality is the O(n)
+    candidate-pair blocking key (Hamming-distance near-dups share a
+    band with high probability).
+
+    Execution shape (round 17, guide §4.2 — measured 2.4×): the
+    per-feature 64-bit hash stays an exact JVM expression, but runs
+    MAP-ONLY inside ``transform()`` over the feature array (no
+    explode), and the bit counting crosses to a vectorized
+    ``mapInArrow`` stage — numpy unpacks each doc's hash array to a
+    bit matrix and segment-sums it (``unpackbits`` + ``reduceat``),
+    then rebuilds the signature ints with the identical
+    sign-of-(2·count − n) arithmetic.  Pure integer math end to end,
+    so output is BIT-IDENTICAL to the former explode + 64·S-column
+    conditional-sum hash aggregation (asserted on all 50 k sf1 docs:
+    0 mismatches across signatures and bands).  Interleaved
+    same-session A/B at sf1 (S=2, local[32], quiet window, noop-timed
+    materialization): JVM agg median 3.16 s vs this form 1.32 s.
+    The whole stage is map-side: one row per doc in, one row per doc
+    out, no shuffle at any scale — the former agg's exchange carried
+    one partial row per doc anyway, so nothing is lost at 100 TB, and
+    the JVM→Python boundary ships only (id, hash arrays): ~2 KB/doc
+    per signature, the same signature-table volume the downstream
+    checkpoint already materializes.
 
     ``signatures`` (round 16) asks for that many INDEPENDENT 64-bit
     signatures — signature s hashes the feature salted with s bytes of
     ``\\x01`` (s=0 is unsalted, so ``signatures=1`` output is
-    bit-identical to every prior round).  All ``signatures * 64``
-    bit-sums still run in the SAME single hash aggregation (one
-    shuffle, wider agg state), and the output gains ``simhash{s}``
-    plus bands ``band{s*4+b}`` per extra signature — the input to the
-    8x16-band blocking geometry in :func:`simhash_band_candidates`.
+    bit-identical to every prior round).  All signatures ride the
+    SAME single map stage (one hash array per signature per doc), and
+    the output gains ``simhash{s}`` plus bands ``band{s*4+b}`` per
+    extra signature — the input to the 8x16-band blocking geometry in
+    :func:`simhash_band_candidates`.
 
-    The 64 separate agg buffers are the MEASURED winner (round 14):
-    packing 2 or 4 bit-counters per 64-bit sum (fewer buffer updates,
-    unpack + 2·count>n sign after the agg) ran ~2.6–3.2 s vs ~1.1 s
-    for this form on the 50 k-doc sf1.0 corpus — the per-row
-    shift/OR expression tree costs far more inside codegen than the
-    extra aggregation-buffer adds it saves, so don't revisit lane
-    packing without new evidence.
+    Superseded measured notes, kept for the record: round 14 found
+    64 separate agg buffers beat 2/4-per-long lane packing
+    (~1.1 s vs 2.6–3.2 s at S=1) inside the JVM-agg formulation;
+    round 17's same-session JVM A/B also found branchless
+    ``2·sum(bit)−n`` sums statistically indistinguishable from the
+    conditional ±1 form (3.74 vs 3.97 s medians, overlapping reps) —
+    the JVM agg's cost is the exploded row stream × buffer updates,
+    which is exactly what the Arrow form removes.
 
     ``unit`` picks the feature space: ``"token"`` (whitespace tokens —
     Hamming tracks vocabulary overlap) or ``"shingle"`` (word
@@ -119,79 +140,127 @@ def simhash64(
         if unit == "token"
         else shingles(F.col(text_col), n)
     )
-    # Parallelism guard (round 17, measured): the explode + 64·S-way
-    # conditional-sum partial aggregation below inherits the SCAN's
-    # partitioning — an 8-file fixture runs it 8-wide on a 32-core
-    # host (24 cores idle).  Same no-op-at-scale contract as
-    # _shingle_hash_arrays: with ample scan partitions (the 100 TB
-    # case) the guard never repartitions.  Interleaved same-session
-    # A/B at sf1 (50 k docs, S=2, local[32], noop-timed signature
-    # materialization): unguarded median 3.95 s vs guarded 3.38 s
-    # (best 3.60 vs 3.03) — the stage is only partly map-bound (the
-    # final 128-column agg and checkpoint write don't widen), so the
-    # win is ~15%, not 4×.  Output identical (hash agg is
-    # partitioning-insensitive).
-    tok = ensure_parallelism(df, id_col).select(
-        id_col, F.explode(feats).alias("term")
-    )
-    for s in range(signatures):
+    def _hash_lambda(s: int):
         # Signature s hashes the feature salted with s \x01 bytes —
         # independent hash families from one feature stream, so every
-        # signature shares the single explode + hash agg below.
-        term = (
-            F.col("term") if s == 0
-            else F.concat(F.col("term"), F.lit("\x01" * s))
-        )
-        if hash_fn == "xxhash64":
-            tok = tok.withColumn(f"th{s}", F.xxhash64(term))
-        else:
+        # signature shares the single tokenize pass.
+        def h(t):
+            term = t if s == 0 else F.concat(t, F.lit("\x01" * s))
+            if hash_fn == "xxhash64":
+                return F.xxhash64(term)
             # First 64 bits of SHA-256, reconstructed from two 32-bit
             # hex halves (conv() on 16 hex chars would overflow signed
             # long); upper<<32 wraps into the sign bit — same two's-
             # complement value DuckDB gets from
             # ('0x'||substr(sha256(t),1,16))::UBIGINT.
-            h = F.sha2(term, 256)
-            upper = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-            lower = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
-            tok = tok.withColumn(
-                f"th{s}", F.shiftleft(upper, 32).bitwiseOR(lower)
-            )
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"th{s}"), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"s{s}b{i}")
-        for s in range(signatures)
-        for i in range(64)
-    ]
-    per_doc = tok.groupBy(id_col).agg(*bit_sums)
-    # bit 63 wraps into the sign bit (two's complement) — intended for a
-    # raw 64-bit signature; shiftleft stays in JVM long arithmetic.
+            hh = F.sha2(term, 256)
+            upper = F.conv(F.substring(hh, 1, 8), 16, 10).cast("long")
+            lower = F.conv(F.substring(hh, 9, 8), 16, 10).cast("long")
+            return F.shiftleft(upper, 32).bitwiseOR(lower)
+
+        return h
+
+    # Parallelism guard (round 17, measured): the hash-array map stage
+    # inherits the SCAN's partitioning — an 8-file fixture runs it
+    # 8-wide on a 32-core host (24 cores idle).  Same no-op-at-scale
+    # contract as _shingle_hash_arrays: with ample scan partitions
+    # (the 100 TB case) the guard never repartitions.  The
+    # size(_hs0) > 0 filter reproduces the explode formulation's
+    # doc-drop semantics exactly (a doc with no nonempty features
+    # emitted no rows there; it emits no row here).
+    base = (
+        ensure_parallelism(df, id_col)
+        .select(
+            id_col,
+            *[
+                F.transform(feats, _hash_lambda(s)).alias(f"_hs{s}")
+                for s in range(signatures)
+            ],
+        )
+        .filter(F.size("_hs0") > 0)
+    )
     sig_names = ["simhash"] + [f"simhash{s}" for s in range(1, signatures)]
-    sigs = [
-        sum(
-            (
-                F.when(
-                    F.col(f"s{s}b{i}") > 0,
-                    F.shiftleft(F.lit(1).cast("long"), i),
-                ).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
-            ),
-            start=F.lit(0).cast("long"),
-        ).alias(sig_names[s])
-        for s in range(signatures)
-    ]
-    out = per_doc.select(id_col, *sigs)
-    for s in range(signatures):
-        for b in range(4):
-            out = out.withColumn(
-                f"band{s * 4 + b}",
-                F.shiftrightunsigned(F.col(sig_names[s]), b * 16).bitwiseAND(
-                    F.lit(0xFFFF)
-                ),
-            )
-    return out
+    out_schema = T.StructType(
+        [base.schema[id_col]]
+        + [T.StructField(nm, T.LongType(), True) for nm in sig_names]
+        + [
+            T.StructField(f"band{b}", T.LongType(), True)
+            for b in range(signatures * 4)
+        ]
+    )
+    return base.mapInArrow(_simhash_sig_batches(id_col, signatures), out_schema)
+
+
+def _simhash_sig_batches(id_col: str, signatures: int):
+    """Arrow-batch kernel for :func:`simhash64`: (id, _hs0.._hsS) rows
+    → (id, simhash.., band..) rows, one per doc, vectorized in numpy.
+
+    Exactness contract (the signature ints must be bit-identical to
+    the former JVM 64·S-column conditional-sum aggregation): the ±1
+    bit-sum's sign test ``sum > 0`` is ``2·count_set_bits > n_terms``
+    in pure integer arithmetic; bit i of hash h is bit i of the
+    little-endian int64 (``unpackbits(bitorder="little")`` over the
+    int64's 8 bytes); bit 63 wraps into the sign bit via the
+    uint64→int64 view — the same two's-complement wrap
+    ``shiftleft(1L, 63)`` produced.  Bands are 16-bit slices of the
+    unsigned value, matching ``shiftrightunsigned & 0xFFFF``.
+
+    Per-chunk memory is bounded (CHUNK docs per unpack: the int32 bit
+    matrix is terms_in_chunk × 64 × 4 B ≈ 60 MB at the corpus's ~240
+    tokens/doc), independent of Arrow batch size.  List offsets are
+    re-derived via ``list_value_length``/``list_flatten`` so sliced
+    record batches (non-zero Arrow offsets) stay correct."""
+
+    CHUNK = 1024
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+            id_arr = batch.column(names.index(id_col))
+            per_sig = []
+            for s in range(signatures):
+                col = batch.column(names.index(f"_hs{s}"))
+                lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+                vals = pc.list_flatten(col).to_numpy().astype(np.int64)
+                starts = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens, out=starts[1:])
+                per_sig.append((lens, vals, starts))
+            for c0 in range(0, n, CHUNK):
+                c1 = min(c0 + CHUNK, n)
+                out = {id_col: id_arr.slice(c0, c1 - c0)}
+                sigs = []
+                for s in range(signatures):
+                    lens, vals, starts = per_sig[s]
+                    v = vals[starts[c0]:starts[c1]]
+                    seg = (starts[c0:c1] - starts[c0])
+                    bits = np.unpackbits(
+                        v.view(np.uint8).reshape(-1, 8),
+                        axis=1,
+                        bitorder="little",
+                    ).astype(np.int32)
+                    cnt = np.add.reduceat(bits, seg, axis=0)
+                    set_bits = (2 * cnt) > lens[c0:c1, None]
+                    sig = np.zeros(c1 - c0, dtype=np.uint64)
+                    for i in range(64):
+                        sig |= set_bits[:, i].astype(np.uint64) << np.uint64(i)
+                    sigs.append(sig)
+                    nm = "simhash" if s == 0 else f"simhash{s}"
+                    out[nm] = sig.view(np.int64)
+                for s in range(signatures):
+                    for b in range(4):
+                        out[f"band{s * 4 + b}"] = (
+                            (sigs[s] >> np.uint64(b * 16)) & np.uint64(0xFFFF)
+                        ).view(np.int64)
+                yield pa.RecordBatch.from_pydict(out)
+
+    return gen
 
 
 def _shingle_hash_arrays(
