@@ -662,8 +662,16 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row volume, dominates the one-batch drain (14.5 s → 6.25 s
         # measured; see state_partitions_scope).  Since round 11 this
         # is run_available_now's default (state_partitions=8).
+        # no_data_batches=False (round 17): inner-join matches emit in
+        # the data batch itself, so the trailing empty micro-batch
+        # (watermark-flush machinery for append-mode windowed aggs)
+        # only re-pays per-store commit + planning here — skipping it
+        # measured median 4.01 → 2.46 s at sf1, identical 3420-row
+        # output, and the one-fed-batch guard below is unaffected.
         progress = run_available_now(
-            joined.select("purchase_id", "view_id", "user_id"), sink
+            joined.select("purchase_id", "view_id", "user_id"),
+            sink,
+            no_data_batches=False,
         )
         # Runtime guard (ADVICE r10): the plan's correctness depends on
         # availableNow draining all 8 staged files in ONE micro-batch —

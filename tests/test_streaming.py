@@ -1003,3 +1003,56 @@ def test_promote_cache_build_three_states(tmp_path):
     make_dir(build, "solo..", manifest=True)
     _promote_cache_build(build, src)
     assert open(f"{src}/part-000.parquet").read() == "solo.."
+
+
+def test_no_data_batches_off_inner_join_output_invariant(spark, tmp_path):
+    """``run_available_now(no_data_batches=False)`` (round 17) skips
+    the trailing empty micro-batch for drains whose rows all emit in
+    the data batches.  For a MULTI-batch inner stream-stream join the
+    output must be identical either way (inner matches emit on
+    arrival; the trailing batch only advances the watermark for
+    state GC), and the scoped conf must restore after the drain."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    rows0 = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 1.0),
+        (3, "2024-01-01 10:20:00", 1, "purchase", 5.0),
+    ]
+    rows1 = [
+        (4, "2024-01-01 10:50:00", 1, "click", 1.0),
+        (5, "2024-01-01 11:05:00", 1, "purchase", 5.0),
+        (6, "2024-01-01 11:00:00", 2, "purchase", 5.0),
+    ]
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prior = spark.conf.get(key, None)
+    outs = []
+    for name, nd in (("ndoff_a", None), ("ndoff_b", False)):
+        (tmp_path / name).mkdir()
+        src = _write_batches(str(tmp_path / name), [rows0, rows1])
+        s = read_parquet_stream(spark, src)
+        clicks = s.filter(F.col("event_type") == "click").withWatermark(
+            "ts", "10 minutes"
+        )
+        purchases = s.filter(F.col("event_type") == "purchase").withWatermark(
+            "ts", "10 minutes"
+        )
+        joined = purchases.join(
+            clicks.select(
+                F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+            ),
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("ts")),
+        ).select(F.col("event_id").alias("purchase_id"), "user_id", "c_ts")
+        run_available_now(joined, name, no_data_batches=nd)
+        assert spark.conf.get(key, None) == prior  # scope restored
+        outs.append(
+            Counter(
+                (r.purchase_id, r.user_id, str(r.c_ts))
+                for r in spark.table(name).collect()
+            )
+        )
+    assert outs[0] == outs[1] and sum(outs[0].values()) == 3
