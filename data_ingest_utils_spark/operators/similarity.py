@@ -539,6 +539,40 @@ def quantized_rerank_topk(
     )
 
 
+def _hamming_words_expr(bits, qbits, words: int):
+    """Σ bit_count(bits[w] XOR qbits[w]) over the packed sign words.
+
+    UNROLLED for realistic word counts (round 17, guide §4.1): the
+    former ``aggregate(zip_with(...))`` formulation pays interpreted
+    per-element lambda evaluation per (query, vector) pair, while a
+    flat sum of ``bit_count(a ^ b)`` terms is plain codegen-able long
+    arithmetic.  Measured 2.4× on the evaluation at volume (6 M pairs
+    × words=8: HOF median 0.403 s vs unrolled 0.167 s, 0 mismatches);
+    at the sf1 bench's 60 k-pair coarse stage the delta is inside
+    noise (fixed stage overhead dominates), so this is a scale win,
+    not a bench win.  Equivalence is exact: both sides always carry
+    exactly ``words`` elements (builders emit fixed-width arrays or
+    NULL), integer XOR/bit_count/add term by term, and a NULL array
+    propagates NULL through getItem → bit_count → ``+`` exactly as it
+    did through zip_with → aggregate.  The HOF fallback stays for
+    absurd widths (>64 words = >4096 dims) where an unrolled
+    expression tree would bloat codegen."""
+    if words <= 64:
+        total = F.lit(0).cast("long")
+        for w in range(words):
+            total = total + F.bit_count(
+                bits.getItem(w).bitwiseXOR(qbits.getItem(w))
+            ).cast("long")
+        return total
+    return F.aggregate(
+        F.zip_with(
+            bits, qbits, lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def pack_sign_bits(vals: Sequence[float], words: int) -> list[int]:
     """Sign-bit binary quantization of one vector, driver-side: bit
     ``j`` of word ``w`` is set iff element ``w*64 + j`` is strictly
@@ -664,14 +698,7 @@ def binary_hamming_topk(
     qlit = F.array(*[F.lit(int(b)).cast("long") for b in qbits])
 
     codes = binary_sign_codes(df, dim=len(q), vec_col=vec_col, id_col=id_col)
-    hd = F.aggregate(
-        F.zip_with(
-            F.col("_bits"), qlit,
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    hd = _hamming_words_expr(F.col("_bits"), qlit, words)
     coarse = (
         codes.select(id_col, hd.alias("_hd"))
         # NULLS LAST explicitly (code-review r13): a NULL-embedding
@@ -750,14 +777,7 @@ def binary_hamming_batch_topk(
         )
     )
     codes = binary_sign_codes(df, dim=dim, vec_col=vec_col, id_col=id_col)
-    hd = F.aggregate(
-        F.zip_with(
-            F.col("_bits"), F.col("_qbits"),
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    hd = _hamming_words_expr(F.col("_bits"), F.col("_qbits"), words)
     coarse = (
         codes.crossJoin(qframe)  # broadcast nested-loop: |Q| small rows
         .select("query_id", id_col, (-hd).cast("double").alias("_coarse"))
