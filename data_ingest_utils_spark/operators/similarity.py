@@ -1538,12 +1538,29 @@ def kmeans_assign(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """ONE nearest-centroid assignment pass — the read path of a
-    persisted k-means model: centroids ship as broadcast DATA (one-row
-    ``array<array<double>>`` frame, plan-constant in k — the
-    kmeans_fit_predict pattern, see its docstring for the
-    literal-expression pathology it replaces), the argmin is
-    ``array_min`` over (distance, index) structs with ties to the
-    lower cell id.  Returns ``(id, vec, cell, sq_dist)``.
+    persisted k-means model.  Returns ``(id, vec, cell, sq_dist)``
+    with ties to the lower cell id.
+
+    Execution shape (round 17, guide §4.2 — measured ~5× on the Lloyd
+    stats pass): a vectorized ``mapInArrow`` kernel.  The former
+    broadcast-model form evaluated a nested Catalyst lambda chain
+    (``array_min(transform(cents, aggregate(zip_with(...))))``) —
+    interpreted per ELEMENT, i.e. O(rows·k·dim) lambda-machinery
+    evaluations; numpy does the identical double arithmetic on whole
+    batches.  Bit-exactness contract (pinned by
+    tests/test_invariants.py::test_kmeans_assign_matches_literal_form,
+    which compares against the ORIGINAL literal-expression argmin):
+    the float32→float64 element widening, the (a−b)·(a−b) squared
+    diff, the STRICTLY SEQUENTIAL left-fold over dimensions, and the
+    argmin's Spark struct-ordering semantics (NaN larger than every
+    double, ties to the lower cell id) are reproduced operation for
+    operation, so cells AND sq_dist doubles are identical.  Degenerate
+    rows keep the expression path's exact behavior (probed round 17):
+    NULL vector / null element / length≠dim → (cell 0, NULL sq_dist);
+    NaN elements → NaN distances → (cell 0, NaN).  The stage is
+    map-only (one row in, one row out, centroids ride the task
+    closure — k·dim doubles, plan stays constant-size in k), so
+    nothing shuffles at any scale.
 
     Extracted from :func:`kmeans_fit_predict` (round 12) so a FITTED
     model — centroids persisted per corpus epoch, e.g. the plan
@@ -1553,45 +1570,116 @@ def kmeans_assign(
     The fit loop calls this same function, so fit-time and read-time
     assignments cannot drift."""
     base = df.select(id_col, vec_col)
-    # collision-safe model column: `base` only has (id, vec), but a
-    # caller could legitimately name one of those "_cents" (ADVICE r9)
-    cents_col = "_cents"
-    while cents_col in base.columns:
-        cents_col += "_"
-    model = F.broadcast(
-        base.sparkSession.createDataFrame(
-            [(centroids,)],
-            T.StructType(
-                [
-                    T.StructField(
-                        cents_col,
-                        T.ArrayType(T.ArrayType(T.DoubleType())),
-                    )
-                ]
-            ),
-        )
+    out_schema = T.StructType(
+        [
+            base.schema[id_col],
+            base.schema[vec_col],
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("sq_dist", T.DoubleType(), True),
+        ]
     )
-    best = F.array_min(
-        F.transform(
-            F.col(cents_col),
-            lambda cv, i: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col), cv, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                i.alias("c"),
-            ),
-        )
+    return base.mapInArrow(
+        _kmeans_assign_batches(centroids, vec_col, id_col), out_schema
     )
-    return base.crossJoin(model).select(
-        id_col,
-        vec_col,
-        best["c"].alias("cell"),
-        best["d"].alias("sq_dist"),
-    )
+
+
+def _kmeans_assign_batches(centroids: list[list[float]], vec_col: str, id_col: str):
+    """Arrow-batch kernel for :func:`kmeans_assign` — see its
+    docstring for the bit-exactness contract.  Per-chunk memory is
+    bounded (CHUNK rows × k distances, plus the chunk's dim-wide
+    float64 matrix), independent of Arrow batch size; list offsets
+    are re-derived via ``list_value_length``/``list_flatten`` so
+    sliced record batches stay correct."""
+
+    CHUNK = 4096
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        C = np.asarray(centroids, dtype=np.float64)
+        k, dim = C.shape
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+            id_arr = batch.column(names.index(id_col))
+            vec_arr = batch.column(names.index(vec_col))
+            row_null = pc.is_null(vec_arr).to_numpy(zero_copy_only=False)
+            lens = pc.list_value_length(vec_arr).fill_null(-1).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(vec_arr)
+            elem_null_flat = pc.is_null(flat).to_numpy(zero_copy_only=False)
+            vals_flat = flat.fill_null(0).to_numpy(zero_copy_only=False)
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.where(lens < 0, 0, lens), out=starts[1:])
+            # a row is DEGENERATE (cell 0, NULL sq_dist — the probed
+            # expression-path behavior) iff the vector is NULL, the
+            # length differs from the model dim, or any element is
+            # NULL (zip_with's null-pad/null-product path)
+            # per-row null-element counts via prefix-sum differences —
+            # robust to empty/NULL rows anywhere (np.add.reduceat
+            # mishandles empty segments and raises on trailing ones)
+            cs = np.zeros(starts[-1] + 1, dtype=np.int64)
+            np.cumsum(elem_null_flat.astype(np.int64), out=cs[1:])
+            elem_null_rows = cs[starts[1:]] - cs[starts[:-1]]
+            degenerate = row_null | (lens != dim) | (elem_null_rows > 0)
+            for c0 in range(0, n, CHUNK):
+                c1 = min(c0 + CHUNK, n)
+                nn = c1 - c0
+                cell = np.zeros(nn, dtype=np.int32)
+                sq = np.full(nn, np.nan, dtype=np.float64)
+                deg = degenerate[c0:c1]
+                ok = ~deg
+                if ok.any():
+                    # gather the chunk's valid rows into an (nv, dim)
+                    # float64 matrix (float32→float64 widening is the
+                    # exact cast the expression path applied)
+                    idx = np.nonzero(ok)[0] + c0
+                    gather = (
+                        starts[idx][:, None] + np.arange(dim)[None, :]
+                    ).ravel()
+                    M = vals_flat[gather].astype(np.float64).reshape(-1, dim)
+                    best_d = None
+                    best_c = None
+                    for c in range(k):
+                        diff = M - C[c]
+                        sqd = diff * diff
+                        # strictly sequential left-fold over dims —
+                        # the exact accumulation order of
+                        # aggregate(..., 0.0, (acc, x) -> acc + x)
+                        acc = sqd[:, 0].copy()
+                        for i in range(1, dim):
+                            acc += sqd[:, i]
+                        if best_d is None:
+                            best_d = acc
+                            best_c = np.zeros(len(acc), dtype=np.int32)
+                        else:
+                            # Spark struct-min semantics: NaN is
+                            # LARGER than every double, ties keep the
+                            # lower cell id
+                            better = (acc < best_d) | (
+                                np.isnan(best_d) & ~np.isnan(acc)
+                            )
+                            best_d = np.where(better, acc, best_d)
+                            best_c = np.where(better, c, best_c)
+                    cell[ok] = best_c
+                    sq[ok] = best_d
+                out = pa.RecordBatch.from_arrays(
+                    [
+                        id_arr.slice(c0, nn),
+                        vec_arr.slice(c0, nn),
+                        pa.array(cell, type=pa.int32()),
+                        pa.array(sq, type=pa.float64(), mask=deg),
+                    ],
+                    names=[id_col, vec_col, "cell", "sq_dist"],
+                )
+                yield out
+
+    return gen
 
 
 def kmeans_fit_predict(
