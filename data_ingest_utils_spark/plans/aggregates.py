@@ -390,10 +390,26 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_approx`` (GK sketch, fixed memory, mergeable) — the
     same trade agg_approx_count_distinct documents for distinct
     counts."""
+    # ONE percentile buffer for the three l_extendedprice quantiles
+    # (round 17, guide §2.4/§5.1): three scalar `percentile` aggs each
+    # buffered the full column per group per partial — the multi-
+    # quantile form sorts one buffer and interpolates all three ranks
+    # from it, same definition, identical doubles (A/B: results equal,
+    # sf0.1 warm noop median 3.09 → 1.10 s).
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
-        F.round(F.expr("percentile(l_discount, 0.5)"), 6).alias("median_disc"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
+            ).alias("_ps"),
+            F.expr("percentile(l_discount, 0.5)").alias("_md"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_ps")[0], 6).alias("p50"),
+            F.round(F.col("_ps")[1], 6).alias("p90"),
+            F.round(F.col("_ps")[2], 6).alias("p99"),
+            F.round(F.col("_md"), 6).alias("median_disc"),
+        )
     )

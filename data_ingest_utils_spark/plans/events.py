@@ -1197,9 +1197,22 @@ def evt_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stage, d_us)"
         )
     ).filter(F.col("d_us").isNotNull())
-    return deltas.groupBy("stage").agg(
-        F.count("*").alias("n_users"),
-        F.round(F.expr("percentile(d_us, 0.5)") / F.lit(1000000.0), 6).alias("p50_s"),
-        F.round(F.expr("percentile(d_us, 0.9)") / F.lit(1000000.0), 6).alias("p90_s"),
-        F.round(F.expr("percentile(d_us, 0.99)") / F.lit(1000000.0), 6).alias("p99_s"),
+    # ONE percentile buffer for all three ranks (round 17 — same
+    # rewrite as agg_percentile_exact, measured there 3.09 → 1.10 s at
+    # sf0.1): the multi-quantile `percentile(col, array(...))` sorts
+    # one per-group buffer and interpolates every rank from it,
+    # identical doubles to three scalar aggs over the same values.
+    return (
+        deltas.groupBy("stage")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.expr("percentile(d_us, array(0.5D, 0.9D, 0.99D))").alias("_ps"),
+        )
+        .select(
+            "stage",
+            "n_users",
+            F.round(F.col("_ps")[0] / F.lit(1000000.0), 6).alias("p50_s"),
+            F.round(F.col("_ps")[1] / F.lit(1000000.0), 6).alias("p90_s"),
+            F.round(F.col("_ps")[2] / F.lit(1000000.0), 6).alias("p99_s"),
+        )
     )
