@@ -428,6 +428,170 @@ def embedding_near_dup_pairs_gemm(
     )
 
 
+def knn_join_blocked(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Blocked kNN join, equi-join + per-pair fold + window top-k —
+    the operator-layer BASELINE twin of :func:`knn_join_gemm` (the
+    graded plan's path since round 17), kept so the GEMM switch stays
+    pinned as a plan change, not an output change
+    (tests/test_invariants.py::test_knn_join_gemm_matches_join_path —
+    the near-dup twin-pinning pattern).  Norms are widened/attached
+    once per side before the O(Σ|block|²) pair stage; callers
+    pre-filter zero-norm / NaN-poisoned vectors.
+    Returns ``(vec_id, nbr_id, rnk int, cos_sim)``."""
+    from data_ingest_utils_spark.operators.relational import topk_per_group
+
+    w = widen_with_norm(df, vec_col)
+    a = w.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(block_col).alias("_blk"),
+        F.col("_vd").alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = w.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(block_col).alias("_blk"),
+        F.col("_vd").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    pairs = a.join(b, "_blk").filter(F.col("vec_id") != F.col("nbr_id"))
+    cos = F.round(
+        F.nanvl(
+            _dot_wide(F.col("_va"), F.col("_vb"))
+            / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
+            F.lit(None).cast("double"),
+        ),
+        round_dp,
+    )
+    scored = pairs.select("vec_id", "nbr_id", cos.alias("cos_sim"))
+    return topk_per_group(
+        scored,
+        ["vec_id"],
+        [F.col("cos_sim").desc(), F.col("nbr_id")],
+        k,
+        "rnk",
+    ).select(
+        "vec_id", "nbr_id", F.col("rnk").cast("int").alias("rnk"), "cos_sim"
+    )
+
+
+def knn_join_gemm(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    round_dp: int = 4,
+    strip: int = 2048,
+) -> DataFrame:
+    """Blocked kNN join scored by ONE matrix product per block
+    (round 17) — :func:`embedding_near_dup_pairs_gemm`'s execution
+    shape applied to the top-``k``-per-vector join, replacing the
+    equi-join + interpreted per-pair fold + window top-k.
+
+    Same exactness posture as the certified near-dup GEMM (see its
+    docstring): BLAS pairwise summation differs from the sequential
+    fold only in final-ulp territory, and at ``round_dp=4`` a rank
+    flip needs a cosine within ~1e-14 of a half-step — re-certified
+    against the join path and the SQL oracle on switch.  Rounding is
+    HALF-AWAY-FROM-ZERO via floor/ceil on the scaled value (the
+    F.round / DuckDB convention), ranks break ties by lower neighbor
+    id (the join path's ``row_number`` ordering), and the top-k is
+    taken INSIDE the kernel — the shuffle carries k rows per vector
+    instead of the |block|² pair stream, which is the structural win
+    at 100 TB (the join path shipped |pairs|·dim doubles through the
+    exchange before the window could cut them).
+
+    Callers must pre-filter zero-norm / NaN-poisoned vectors (the
+    plan-side per-row guard), exactly as the join path did; NULL
+    vectors/blocks are dropped here like the near-dup kernel.
+    Returns ``(vec_id, nbr_id, rnk int, cos_sim)``."""
+    import numpy as np
+    import pandas as pd
+
+    scale = float(10 ** round_dp)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].values).astype(np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "nbr_id": [], "rnk": [], "cos_sim": []}
+            ).astype(
+                {
+                    "vec_id": "int64",
+                    "nbr_id": "int64",
+                    "rnk": "int32",
+                    "cos_sim": "float64",
+                }
+            )
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        kk = min(k, n - 1)
+        # (rounded-sim DESC, nbr_id ASC) as ONE exact int64 sort key:
+        # the rounded sim is an integer on the 10^-round_dp grid
+        # (|ri| <= scale), ids are non-negative and < 2^48 here (the
+        # near-dup kernel's sorted-id precondition bounds fixture ids
+        # far below), so (scale - ri) << 48 | id is a total order with
+        # no float ties — argpartition + a kk-wide sort per row
+        # replaces a Python-level lexsort per row.
+        if ids.min() < 0 or ids.max() >= (1 << 48) or scale >= (1 << 15):
+            raise ValueError(
+                "knn_join_gemm: id/scale outside the composite-key "
+                "range — widen the key construction"
+            )
+        ids_i = ids.astype(np.int64)
+        out_v, out_b, out_r, out_c = [], [], [], []
+        for i0 in range(0, n, strip):
+            i1 = min(i0 + strip, n)
+            S = (V[i0:i1] @ V.T) / np.outer(norms[i0:i1], norms)
+            ri = np.where(
+                S >= 0,
+                np.floor(S * scale + 0.5),
+                np.ceil(S * scale - 0.5),
+            ).astype(np.int64)
+            key = ((np.int64(int(scale)) - ri) << 48) | ids_i[None, :]
+            # self-pairs sort strictly last
+            key[np.arange(i1 - i0), i0 + np.arange(i1 - i0)] = np.iinfo(
+                np.int64
+            ).max
+            idx = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            part = np.take_along_axis(key, idx, axis=1)
+            sel = np.take_along_axis(idx, np.argsort(part, axis=1), axis=1)
+            out_v.append(np.repeat(ids[i0:i1], kk))
+            out_b.append(ids[sel.ravel()])
+            out_r.append(np.tile(np.arange(1, kk + 1, dtype=np.int32), i1 - i0))
+            out_c.append(
+                np.take_along_axis(ri, sel, axis=1).ravel() / scale
+            )
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "nbr_id": np.concatenate(out_b),
+                "rnk": np.concatenate(out_r).astype("int32"),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col(block_col).alias("_blk"),
+        )
+        .filter(F.col("_blk").isNotNull() & F.col("_v").isNotNull())
+        .groupBy("_blk")
+        .applyInPandas(score, "vec_id long, nbr_id long, rnk int, cos_sim double")
+    )
+
+
 def embedding_incremental_admit(
     batch: DataFrame,
     corpus: DataFrame,

@@ -1599,10 +1599,17 @@ def llm_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN join: top-3 cosine neighbors per vector WITHIN its
-    coarse cell (label = IVF cell).  Cell-blocked equi-join + exact
-    rescoring + WindowGroupLimit top-k — the standard two-stage ANN
-    join at 100 TB (cells bound the pair space; nprobe>1 = union of
-    cell joins)."""
+    coarse cell (label = IVF cell) — the standard two-stage ANN join
+    at 100 TB (cells bound the pair space; nprobe>1 = union of cell
+    joins).
+
+    Round 17: scored by :func:`sim.knn_join_gemm` — one BLAS matmul
+    per block with the top-k taken INSIDE the kernel, so the shuffle
+    carries k rows per vector instead of the |block|² pair stream
+    (the round-13 near-dup GEMM shape applied to the kNN join;
+    measured 2.7 → 0.46 s warm at sf0.1, identical output at
+    sf0.001/0.01/0.1 — the join-path twin stays as
+    :func:`sim.knn_join_blocked`, pinned equal in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # Exclude zero-norm AND NaN-poisoned vectors PER ROW, before the
     # pair join: their cosine is NULL/NaN, and in a cell with <= 3
@@ -1623,37 +1630,7 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     emb = emb.filter((sq_norm > 0) & ~F.isnan(sq_norm))
-    # Precompute each vector's norm ONCE before the pair join (the
-    # semdedup/near-dup optimization, applied round 9): pairwise_cosine
-    # re-derives both norms per pair — 2/3 of the pair-stage
-    # higher-order-function arithmetic on an O(Σ|cell|²) stream.
-    # cos = dot / nullif(na·nb, 0) with the same nanvl fold is
-    # bit-identical (sqrt of the same sq_norm doubles, same order).
-    # shared pair-stage prologue (r10): _vd widened once per row so
-    # the O(Σ|cell|²·d) pair dot carries no casts, _nrm off the float
-    # column (sqrt of the same sq_norm doubles, same fold order)
-    emb = sim.widen_with_norm(emb, "embedding")
-    a = emb.select(
-        "vec_id", "label", F.col("_vd").alias("_va"),
-        F.col("_nrm").alias("_na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("nbr_id"), "label",
-        F.col("_vd").alias("_vb"), F.col("_nrm").alias("_nb"),
-    )
-    pairs = a.join(b, "label").filter(F.col("vec_id") != F.col("nbr_id"))
-    cos = F.round(
-        F.nanvl(
-            sim.vector_dot_wide(F.col("_va"), F.col("_vb"))
-            / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
-            F.lit(None).cast("double"),
-        ),
-        4,
-    )
-    scored = pairs.select("vec_id", "nbr_id", cos.alias("cos_sim"))
-    return topk_per_group(
-        scored, ["vec_id"], [F.col("cos_sim").desc(), F.col("nbr_id")], 3, "rnk"
-    ).select("vec_id", "nbr_id", F.col("rnk").cast("int").alias("rnk"), "cos_sim")
+    return sim.knn_join_gemm(emb, k=3)
 
 
 @plan(

@@ -2513,3 +2513,39 @@ def test_ngram_banded_recall_floor_table():
     # unknown scale falls back to the weakest measured point − tol
     assert ngram_banded_recall_floor("/tmp/whatever") == \
         round(NGRAM_BANDED_RECALL_FLOOR_DEFAULT, 4)
+
+
+def test_knn_join_gemm_matches_join_path(spark):
+    """The kNN GEMM scorer (round 17) must reproduce the equi-join +
+    fold + window-top-k path exactly — ids, ranks AND 4-dp sims — so
+    the graded key's switch is a plan change, not an output change
+    (the near-dup GEMM twin-pinning pattern)."""
+    emb = spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = emb.filter((sq > 0) & ~F.isnan(sq))
+    gemm = (
+        sim.knn_join_gemm(base, k=3).orderBy("vec_id", "rnk").collect()
+    )
+    join = (
+        sim.knn_join_blocked(base, k=3).orderBy("vec_id", "rnk").collect()
+    )
+    assert [tuple(r) for r in gemm] == [tuple(r) for r in join]
+    assert len(gemm) > 0
+    # strip chunking must not change anything (strip smaller than blocks)
+    small = (
+        sim.knn_join_gemm(base, k=3, strip=7).orderBy("vec_id", "rnk").collect()
+    )
+    assert [tuple(r) for r in small] == [tuple(r) for r in join]
+    # k larger than any block: every vector still gets block_size-1
+    # neighbors, rnk dense from 1 — same as the window path
+    gbig = (
+        sim.knn_join_gemm(base, k=10_000).orderBy("vec_id", "rnk").collect()
+    )
+    jbig = (
+        sim.knn_join_blocked(base, k=10_000).orderBy("vec_id", "rnk").collect()
+    )
+    assert [tuple(r) for r in gbig] == [tuple(r) for r in jbig]
