@@ -107,15 +107,14 @@ def test_global_agg_partial_final(spark):
 
 
 def test_kmeans_assign_broadcast_model(spark):
-    """The r9 k-means assignment ships centroids as broadcast DATA
-    (one-row DataFrame, BroadcastNestedLoopJoin attach) and computes
-    the argmin with transform-index — the plan must contain the
-    single-row broadcast attach and stay constant-size in k (the
-    pre-r9 literal form grew O(k·dim) Catalyst nodes)."""
+    """The r17 k-means assignment computes the argmin in ONE map-only
+    Arrow kernel (centroids ride the task closure): the plan must be a
+    single MapInArrow with NO join/exchange of any kind, and stay
+    constant-size in k (the pre-r9 literal form grew O(k·dim) Catalyst
+    nodes; the r9–r16 form paid a BroadcastNestedLoopJoin model
+    attach)."""
     import contextlib
     import io
-
-    from pyspark.sql import functions as F
 
     from data_ingest_utils_spark.operators import similarity as sim
 
@@ -125,18 +124,26 @@ def test_kmeans_assign_broadcast_model(spark):
     with contextlib.redirect_stdout(buf):
         assigned.explain("formatted")
     plan = buf.getvalue()
-    assert "BroadcastNestedLoopJoin" in plan  # the one-row model attach
+    assert "MapInArrow" in plan  # the vectorized assignment kernel
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan  # map-only: no shuffle at any scale
     # constant-size: no per-centroid expression expansion in the plan
     assert len(plan) < 20_000, f"assign plan ballooned: {len(plan)} chars"
 
 
 def test_knn_join_not_cartesian(spark):
-    """llm_knn_join rides the cell equi-join."""
+    """llm_knn_join (r17 GEMM form) blocks by label with ONE exchange
+    and takes the top-k inside the Arrow kernel — no pair-stream join,
+    no cartesian, no post-kernel window pass."""
     plan = _plan(spark, "llm_knn_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "WindowGroupLimit" in plan
+    assert "FlatMapGroupsInPandas" in plan  # the per-block GEMM kernel
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1  # one label shuffle
+    assert "Window" not in plan  # top-k taken in-kernel
 
 
 def test_salted_join_spreads_key(spark):
