@@ -1530,6 +1530,131 @@ def test_simhash_double_signature_geometry(spark, planted_docs):
     assert c1 <= c2, "8-band candidates must contain every 4-band pair"
 
 
+def _simhash64_explode_agg_form(df, unit, n, hash_fn, signatures):
+    """The pre-r17 simhash64 formulation, reproduced verbatim for the
+    twin test below: explode the feature stream, hash per (doc, term)
+    row, 64·S conditional ±1 sums per doc, sign-of-sum bit packing.
+    This WAS the production path through round 16 (and the form the
+    r17 Arrow kernel's ad-hoc 16-dial equivalence sweep ran against);
+    keeping it as a test-local reference pins the kernel the same way
+    test_kmeans_assign_matches_literal_form pins the k-means kernel."""
+    from data_ingest_utils_spark.operators.relational import ensure_parallelism
+    from data_ingest_utils_spark.operators.text import shingles, tokens
+
+    feats = (
+        F.array_remove(tokens(F.col("text")), "")
+        if unit == "token"
+        else shingles(F.col("text"), n)
+    )
+    tok = ensure_parallelism(df, "doc_id").select(
+        "doc_id", F.explode(feats).alias("term")
+    )
+    for s in range(signatures):
+        term = (
+            F.col("term") if s == 0
+            else F.concat(F.col("term"), F.lit("\x01" * s))
+        )
+        if hash_fn == "xxhash64":
+            tok = tok.withColumn(f"th{s}", F.xxhash64(term))
+        else:
+            h = F.sha2(term, 256)
+            upper = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            lower = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+            tok = tok.withColumn(
+                f"th{s}", F.shiftleft(upper, 32).bitwiseOR(lower)
+            )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"th{s}"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{s}b{i}")
+        for s in range(signatures)
+        for i in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    sig_names = ["simhash"] + [f"simhash{s}" for s in range(1, signatures)]
+    sigs = [
+        sum(
+            (
+                F.when(
+                    F.col(f"s{s}b{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ),
+            start=F.lit(0).cast("long"),
+        ).alias(sig_names[s])
+        for s in range(signatures)
+    ]
+    out = per_doc.select("doc_id", *sigs)
+    for s in range(signatures):
+        for b in range(4):
+            out = out.withColumn(
+                f"band{s * 4 + b}",
+                F.shiftrightunsigned(F.col(sig_names[s]), b * 16).bitwiseAND(
+                    F.lit(0xFFFF)
+                ),
+            )
+    return out
+
+
+@pytest.mark.parametrize(
+    "unit,hash_fn,signatures",
+    [
+        ("token", "xxhash64", 2),   # the production banded-dedup dials
+        ("shingle", "sha256", 1),   # the oracle-checkable + shingle arm
+    ],
+)
+def test_simhash64_kernel_matches_explode_agg_form(
+    spark, planted_docs, unit, hash_fn, signatures
+):
+    """Round 17: the mapInArrow bit-count kernel (numpy unpackbits +
+    reduceat) must reproduce the pre-r17 explode + 64·S-conditional-sum
+    hash-agg formulation BIT-FOR-BIT — every signature long and every
+    16-bit band, including blank-doc drops and two's-complement sign
+    wraps.  Pure integer arithmetic both sides, so equality is exact,
+    not tolerance.  Corpus: planted near-dups + blank/whitespace/
+    unicode/single-token edge docs + real fixture documents."""
+    edge = spark.createDataFrame(
+        [
+            (5001, ""),                      # drops (no features)
+            (5002, "   "),                   # whitespace-only (see below)
+            (5003, "one"),                   # single feature
+            (5004, "répété répété ünïcode"),  # repeated + non-ascii
+            (5005, "a b c d e f g h i j"),   # short distinct tokens
+        ],
+        "doc_id long, text string",
+    )
+    real = (
+        spark.read.parquet(f"{SF_T2}/documents.parquet")
+        # +10000 keeps fixture ids disjoint from planted/edge ids: a
+        # collision would merge two docs in the agg form (groupBy) but
+        # not in the kernel (row-per-row), failing spuriously
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .limit(200)
+    )
+    docs = planted_docs.unionByName(edge).unionByName(real)
+    kw = dict(unit=unit, hash_fn=hash_fn, signatures=signatures)
+    new = {r["doc_id"]: r.asDict() for r in dd.simhash64(docs, **kw).collect()}
+    old = {
+        r["doc_id"]: r.asDict()
+        for r in _simhash64_explode_agg_form(
+            docs, unit=unit, n=3, hash_fn=hash_fn, signatures=signatures
+        ).collect()
+    }
+    assert set(new) == set(old), "doc drop semantics drifted"
+    # Blank text drops on both arms ("" → 1 token < n for shingles;
+    # array_remove leaves nothing for tokens).  Whitespace-only drops
+    # only on the TOKEN arm: split(" ") preserves empty tokens, so
+    # "   " has 4 tokens and yields 2 shingles — a real signature that
+    # both formulations must (and do) agree on.
+    assert 5001 not in new
+    assert (5002 not in new) if unit == "token" else (5002 in new)
+    for d, row in old.items():
+        assert new[d] == row, f"doc {d}: kernel {new[d]} != agg {row}"
+
+
 def test_zorder_write_null_fractional_propagates(spark, tmp_path):
     """ADVICE r15: a NULL clustering value in the FRACTIONAL quant
     branch must propagate NULL into the z-value (nulls-first range
