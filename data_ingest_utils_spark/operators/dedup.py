@@ -417,8 +417,12 @@ BROADCAST_VERIFY_MAX_DOCS = 1_000_000
 #: 25 013 rows); 50 k docs / 6.3 M candidates — attach 6.45 s vs
 #: collision 11.8 s (attach keeps the 1.8× small-scale win that made
 #: it the default since round 13; at 5 k docs both read ~5 s,
-#: checkpoint-job-dominated).  The floor sits between the two
-#: measured points.  Under a REAL multi-JVM master the attach arm
+#: checkpoint-job-dominated).  The floor itself was measured in the
+#: optimization round at EXACTLY 200 k docs (×40 key-strided corpus,
+#: ABCHECK_r17_sf4.json): collision/attach 0.987 on local[*] and
+#: 0.949 under local-cluster[2,8,4096], identical 9 989 rows both
+#: arms — a statistical tie at the gate point, so the crossover has
+#: no cliff and either mis-side costs ≤~5%.  Under a REAL multi-JVM master the attach arm
 #: auto-resolves to BROADCAST attach while the corpus fits the 1 M-doc
 #: broadcast gate, which already removes the per-pair re-shuffle —
 #: measured at sf10 under local-cluster[2,8,8192]: broadcast-attach
