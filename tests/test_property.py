@@ -334,7 +334,7 @@ def test_prop_minhash_signature_paths_identical(spark, docs):
             df, "text", "doc_id", num_perm, shingle_n
         ).collect()
     }
-    hv = _shingle_hash_arrays(
+    hv, _ = _shingle_hash_arrays(
         df.select("doc_id", "text"), shingle_n, "doc_id"
     )
     via_arrays = {

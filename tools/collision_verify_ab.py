@@ -62,7 +62,7 @@ def prototype_collision_verify(
         (c for c in sig.columns if c.startswith("band")),
         key=lambda c: int(c[4:]),
     )
-    hv = dd._shingle_hash_arrays(docs, n, "doc_id")
+    hv, _ = dd._shingle_hash_arrays(docs, n, "doc_id")
     both = sig.join(hv, "doc_id")
     bands = both.select(
         "doc_id",

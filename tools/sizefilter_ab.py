@@ -69,7 +69,7 @@ def main() -> int:
     }
 
     # Candidate volume per arm (the verify stage's cost driver).
-    hv = _shingle_hash_arrays(docs, 3, "doc_id")
+    hv, _ = _shingle_hash_arrays(docs, 3, "doc_id")
     sizes = hv.select("doc_id", F.size("hv").alias("_n"))
     n_cand_landed = simhash_band_candidates(docs).count()
     n_cand_filtered = simhash_band_candidates(
